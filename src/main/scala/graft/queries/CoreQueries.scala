@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.LedgerFunctions._
+import graft.operators.{MergeIgnore, SurrogateKeys}
+
+/** The SURVEY §2 operator inventory expressed as oracle-checkable queries
+  * over the driver's TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * Conventions shared with the DuckDB oracle SQL (driver t2 gate):
+  *   - every money/quantity aggregate goes through DecimalType — exact and
+  *     associative, so partial/final aggregation order can't produce
+  *     floating-point drift between engines;
+  *   - every output column is explicitly aliased (and explicitly typed
+  *     where engine defaults differ, e.g. year() is INT in Spark but
+  *     BIGINT in DuckDB);
+  *   - no ORDER BY in unlimited results (driver compares as sets).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables(s, d, name)
+
+  /** Exact 2-dp decimal view of a double column. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A7/A1: grouped aggregation with filter pushdown (TPC-H Q1 shape —
+    // the canonical "Metabase slice" over the fact table, SURVEY §3.3).
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // J1-J5/A7: the 5-way star join (fact + 4 dims), like the reference's
+    // fato_lancamento build (app/etl.py:122-128). Dims broadcast.
+    "q2_star_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = broadcast(t(s, d, "nation"))
+      val r = broadcast(t(s, d, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // A1/A2/P3: DISTINCT with a pushed-down filter (app/etl.py:49,63-65).
+    "q3_distinct_filter" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_acctbal") > 0.0)
+        .select(col("c_mktsegment"))
+        .distinct()),
+
+    // J6/K3: left-anti join — the merge-ignore primitive (SURVEY §2.3).
+    // Customers who never placed a >400k order.
+    "q4_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // left-semi join (EXISTS).
+    "q5_semi_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem").filter(col("l_quantity") > 45.0)
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+    }),
+
+    // F7-F10: the dedup-hash pipeline (canon + concat + md5) applied to
+    // the documents table (app/utils.py:16-25 semantics).
+    "q6_ledger_hash" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        md5(concat(
+          canon(col("lang")), lit("-"),
+          canon(col("source")), lit("-"),
+          col("n_chars").cast("string"))).as("id_hash"))),
+
+    // F3-F6: Brazilian money parse round-trip — format a known decimal in
+    // pt-BR locale then parse it back (app/utils.py:5-14).
+    "q7_brl_money" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val brl = translate(col("p_retailprice").cast(DecimalType(15, 2)).cast("string"), ".", ",")
+      p.select(
+        col("p_partkey"),
+        brl.as("valor_brl"),
+        parseBrazilianMoney(brl).as("valor"))
+    }),
+
+    // F11-F16: the dim_tempo build — month dim with ISO week + month
+    // bounds (app/etl.py:20-40), derived from order dates.
+    "q8_month_dim" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(monthStart(col("o_orderdate")).as("data_inicio"))
+        .distinct()
+        .select(
+          yearOf(col("data_inicio")).cast("int").as("ano"),
+          monthOf(col("data_inicio")).cast("int").as("mes"),
+          isoWeek(col("data_inicio")).cast("int").as("semana"),
+          col("data_inicio"),
+          monthEnd(col("data_inicio")).as("data_fim"))),
+
+    // SERIAL replacement: dense surrogate keys over a distinct dim
+    // (SURVEY §1.3, initdb/01_schema.sql:14).
+    "q9_dim_surrogate" -> ((s, d) =>
+      SurrogateKeys.assign(
+        t(s, d, "part").select(col("p_type").as("nome_tipo")).distinct(),
+        "id_tipo", Seq("nome_tipo"))
+        .select(col("id_tipo"), col("nome_tipo"))),
+
+    // window top-k per group (deterministic tie-break).
+    "q10_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dec(col("o_totalprice")).as("price"), col("rn"))
+    }),
+
+    // P5/A5/A6: the null-audit validation (app/app.py:34-62) as one
+    // aggregate over the documents contract columns.
+    "q11_null_audit" -> ((s, d) => {
+      val required = Seq("text", "lang", "source")
+      val bad = required.map(c => blankToNull(col(c)).isNull).reduce(_ || _)
+      t(s, d, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(bad, 1).otherwise(0)).cast("bigint").as("n_bad"),
+        countDistinct(col("lang")).as("n_langs"))
+    }),
+
+    // K3 end-to-end: merge-ignore delta (dropDuplicates + anti join) —
+    // (customer, year) combos a new batch would add to an existing dim
+    // keyed by the combos that already saw a >300k order.
+    "q12_merge_ignore" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val batch = o.select(col("o_custkey"),
+        yearOf(col("o_orderdate")).cast("int").as("ano"))
+      val existing = o.filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey"), yearOf(col("o_orderdate")).cast("int").as("ano"))
+      MergeIgnore.newRows(batch, existing, Seq("o_custkey", "ano"))
+    }),
+
+    // set op: UNION (distinct).
+    "q13_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey")))
+        .distinct()),
+
+    // J5 analog: equi-join on derived (year, month) keys
+    // (app/etl.py:127-128).
+    "q14_derived_key_join" -> ((s, d) => {
+      val om = t(s, d, "orders")
+        .groupBy(
+          yearOf(col("o_orderdate")).cast("int").as("ano"),
+          monthOf(col("o_orderdate")).cast("int").as("mes"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("order_total"))
+      val lm = t(s, d, "lineitem")
+        .groupBy(
+          yearOf(col("l_shipdate")).cast("int").as("ano"),
+          monthOf(col("l_shipdate")).cast("int").as("mes"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("ship_total"))
+      om.join(lm, Seq("ano", "mes"), "inner")
+        .select(col("ano"), col("mes"), col("order_total"), col("ship_total"))
+    }),
+
+    // time-windowed aggregation over the events table (batch analog of
+    // the M4 streaming query). The events parquet stores TIMESTAMP(NANOS),
+    // which Spark's vectorized reader rejects; read the raw int64 nanos
+    // (legacy conf) and convert with integer division — a double division
+    // would lose precision above 2^53 ns.
+    "q15_events_hourly" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, d, "events")
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .groupBy(
+          date_trunc("hour", col("ts_utc")).as("hour_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast(DecimalType(38, 2)).as("total_value"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_star_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q3_distinct_filter" ->
+      "SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal > 0.0",
+
+    "q4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "q5_semi_join" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)""".stripMargin,
+
+    "q6_ledger_hash" ->
+      """SELECT doc_id,
+        | md5(lower(trim(lang)) || '-' || lower(trim(source)) || '-' || CAST(n_chars AS VARCHAR)) AS id_hash
+        |FROM documents""".stripMargin,
+
+    "q7_brl_money" ->
+      """SELECT p_partkey,
+        | replace(CAST(CAST(p_retailprice AS DECIMAL(15,2)) AS VARCHAR), '.', ',') AS valor_brl,
+        | CAST(replace(replace(replace(CAST(CAST(p_retailprice AS DECIMAL(15,2)) AS VARCHAR), '.', ','), '.', ''), ',', '.') AS DECIMAL(15,2)) AS valor
+        |FROM part""".stripMargin,
+
+    "q8_month_dim" ->
+      """SELECT CAST(year(data_inicio) AS INT) AS ano,
+        |       CAST(month(data_inicio) AS INT) AS mes,
+        |       CAST(weekofyear(data_inicio) AS INT) AS semana,
+        |       data_inicio,
+        |       last_day(data_inicio) AS data_fim
+        |FROM (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS data_inicio
+        |      FROM orders)""".stripMargin,
+
+    "q9_dim_surrogate" ->
+      """SELECT CAST(row_number() OVER (ORDER BY nome_tipo) AS INT) AS id_tipo, nome_tipo
+        |FROM (SELECT DISTINCT p_type AS nome_tipo FROM part)""".stripMargin,
+
+    "q10_window_topk" ->
+      """SELECT o_custkey, o_orderkey, price, rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |        CAST(row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        | FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q11_null_audit" ->
+      """SELECT COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN (text IS NULL OR regexp_matches(text, '^\s*$'))
+        |                 OR (lang IS NULL OR regexp_matches(lang, '^\s*$'))
+        |                 OR (source IS NULL OR regexp_matches(source, '^\s*$'))
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        | COUNT(DISTINCT lang) AS n_langs
+        |FROM documents""".stripMargin,
+
+    "q12_merge_ignore" ->
+      """SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS INT) AS ano FROM orders
+        |EXCEPT
+        |SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS ano FROM orders
+        |WHERE o_totalprice > 300000.0""".stripMargin,
+
+    "q13_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q14_derived_key_join" ->
+      """WITH om AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS ano,
+        |         CAST(month(o_orderdate) AS INT) AS mes,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_total
+        |  FROM orders GROUP BY 1, 2),
+        |lm AS (
+        |  SELECT CAST(year(l_shipdate) AS INT) AS ano,
+        |         CAST(month(l_shipdate) AS INT) AS mes,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS ship_total
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT om.ano, om.mes, order_total, ship_total
+        |FROM om JOIN lm ON om.ano = lm.ano AND om.mes = lm.mes""".stripMargin,
+
+    "q15_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin
+  )
+}
