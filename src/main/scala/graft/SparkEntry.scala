@@ -12,4 +12,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql
+  /** Queries intentionally without oracle SQL (non-SQL-expressible in
+    * DuckDB; driver records a weaker rows-only check). Keep tight. */
+  def rowsOnlyQueries: Set[String] = Set.empty
 }
