@@ -1,0 +1,149 @@
+package graft.ledger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.LedgerFunctions._
+import graft.operators.{MergeIgnore, SurrogateKeys}
+
+/** Entry point 2 (SURVEY §3.2): staging → star schema. Six loaders over
+  * `staging_lancamentos`, each ending in a merge-ignore write, sequenced
+  * by the reference's dependency DAG (reference app/etl.py:136-149):
+  * tipo→grupo→categoria→fato, tempo→fato, classificacao→fato.
+  *
+  * Spark-first shape: every loader is one declarative DataFrame pipeline
+  * — Catalyst broadcasts the dim joins (dims are tiny), hash-aggregates
+  * the DISTINCTs, and whole-stage-codegens the scalar work. Surrogate
+  * keys replace SERIAL via row_number + max-offset (SURVEY §1.3).
+  *
+  * Documented divergence (SURVEY §1.4-2): `dim_tempo` merges on
+  * (ano, mes) instead of blind-appending, so re-uploading a month cannot
+  * create duplicate time rows. The reference's behavior is an
+  * unconstrained artifact; final fact content is identical either way.
+  */
+final class Warehouse(catalog: Catalog) {
+
+  private def staging: DataFrame = catalog.table("staging_lancamentos")
+
+  /** dim_tempo (reference app/etl.py:20-40). */
+  def loadDimTempo(): Long = {
+    val months = staging
+      .select(col("Data")).na.drop().dropDuplicates("Data")
+      .select(parseMonth(col("Data")).as("d")).na.drop()
+      .select(
+        yearOf(col("d")).cast("int").as("ano"),
+        monthOf(col("d")).cast("int").as("mes"),
+        isoWeek(col("d")).cast("int").as("semana"),
+        monthStart(col("d")).as("data_inicio"),
+        monthEnd(col("d")).as("data_fim"))
+      .dropDuplicates("ano", "mes")
+    mergeDim("dim_tempo", months, Seq("ano", "mes"), "id_tempo",
+      orderBy = Seq("ano", "mes"))
+  }
+
+  /** dim_tipo (reference app/etl.py:43-55). */
+  def loadDimTipo(): Long =
+    mergeDim("dim_tipo",
+      staging.select(col("Tipo").as("nome_tipo")).na.drop().distinct(),
+      Seq("nome_tipo"), "id_tipo", orderBy = Seq("nome_tipo"))
+
+  /** dim_classificacao (reference app/etl.py:57-70). */
+  def loadDimClassificacao(): Long =
+    mergeDim("dim_classificacao",
+      staging.select(col("Classificação").as("nome_classificacao"))
+        .filter(col("nome_classificacao").isNotNull).distinct(),
+      Seq("nome_classificacao"), "id_classificacao",
+      orderBy = Seq("nome_classificacao"))
+
+  /** dim_grupo (reference app/etl.py:72-85): grupo values resolved to
+    * their parent tipo's surrogate key. */
+  def loadDimGrupo(): Long = {
+    val dt = broadcast(catalog.table("dim_tipo"))
+    val sl = staging
+    val rows = sl
+      .join(dt, sl("Tipo") === dt("nome_tipo"))
+      .select(col("id_tipo"), col("Grupo").as("nome_grupo"))
+      .distinct()
+    mergeDim("dim_grupo", rows, Seq("id_tipo", "nome_grupo"), "id_grupo",
+      orderBy = Seq("id_tipo", "nome_grupo"))
+  }
+
+  /** dim_categoria (reference app/etl.py:88-102). */
+  def loadDimCategoria(): Long = {
+    val dt = broadcast(catalog.table("dim_tipo"))
+    val dg = broadcast(catalog.table("dim_grupo"))
+    val sl = staging
+    val rows = sl
+      .join(dt, sl("Tipo") === dt("nome_tipo"))
+      .join(dg, dg("nome_grupo") === sl("Grupo") && dg("id_tipo") === dt("id_tipo"))
+      .select(col("id_grupo"), col("Categoria").as("nome_categoria"))
+      .distinct()
+    mergeDim("dim_categoria", rows, Seq("id_grupo", "nome_categoria"),
+      "id_categoria", orderBy = Seq("id_grupo", "nome_categoria"))
+  }
+
+  /** fato_lancamento (reference app/etl.py:105-133): the 5-way star join
+    * + merge-ignore on id_hash. All five dim sides broadcast; the only
+    * shuffle left is the anti-join against existing hashes, and at scale
+    * that prunes to the (ano, mes) partitions present in the batch.
+    */
+  def loadFato(): Long = {
+    val sl = staging.withColumn("__d", parseMonth(col("Data")))
+      .withColumn("ano", yearOf(col("__d")).cast("int"))
+      .withColumn("mes", monthOf(col("__d")).cast("int"))
+    val dt = broadcast(catalog.table("dim_tipo"))
+    val dg = broadcast(catalog.table("dim_grupo"))
+    val dc = broadcast(catalog.table("dim_categoria"))
+    val cs = broadcast(catalog.table("dim_classificacao"))
+    val dtmp = broadcast(catalog.table("dim_tempo"))
+
+    val candidates = sl
+      .join(dt, sl("Tipo") === dt("nome_tipo"))
+      .join(dg, dg("nome_grupo") === sl("Grupo") && dg("id_tipo") === dt("id_tipo"))
+      .join(dc, dc("nome_categoria") === sl("Categoria") && dc("id_grupo") === dg("id_grupo"))
+      .join(cs, cs("nome_classificacao") === sl("Classificação"))
+      .join(dtmp, dtmp("ano") === sl("ano") && dtmp("mes") === sl("mes"))
+      .select(
+        dt("id_tipo"), dg("id_grupo"), dc("id_categoria"),
+        dtmp("id_tempo"), cs("id_classificacao"),
+        col("Descrição").as("descricao"),
+        col("Valor").as("valor"),
+        col("id_hash"),
+        sl("ano"), sl("mes"))
+
+    val offset = catalog.maxId("fato_lancamento", "id_lancamento")
+    val existing = if (catalog.exists("fato_lancamento")) catalog.table("fato_lancamento") else null
+    val delta = MergeIgnore.newRows(candidates, existing, Seq("id_hash"))
+    val keyed = SurrogateKeys.assign(delta, "id_lancamento", Seq("id_hash"), offset)
+      .withColumn("id_lancamento", col("id_lancamento").cast("long"))
+      .select(Schemas.fatoLancamento.fieldNames.map(col): _*)
+    catalog.appendDelta("fato_lancamento", keyed, partitionBy = Seq("ano", "mes"))
+  }
+
+  /** Shared dim-merge: dedup batch keys, anti-join existing, assign
+    * surrogate ids continuing from the stored max (SERIAL semantics),
+    * append. */
+  private def mergeDim(table: String, rows: DataFrame, keys: Seq[String],
+                       idCol: String, orderBy: Seq[String]): Long = {
+    val offset = catalog.maxId(table, idCol)
+    val existing = if (catalog.exists(table)) catalog.table(table) else null
+    val delta = MergeIgnore.newRows(rows, existing, keys)
+    val keyed = SurrogateKeys.assign(delta, idCol, orderBy, offset)
+      .select(Schemas.schemaOf(table).fieldNames.map(col): _*)
+    catalog.appendDelta(table, keyed)
+  }
+
+  /** The full build, in dependency order. Returns per-table appended
+    * row counts. */
+  def run(): Map[String, Long] = {
+    val counts = Map(
+      "dim_tempo" -> loadDimTempo(),
+      "dim_tipo" -> loadDimTipo()) ++ Map(
+      "dim_grupo" -> loadDimGrupo()) ++ Map(
+      "dim_categoria" -> loadDimCategoria(),
+      "dim_classificacao" -> loadDimClassificacao()) ++ Map(
+      "fato_lancamento" -> loadFato())
+    catalog.registerAll()
+    counts
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ledger.{Catalog, Ingest, Warehouse}
+
+/** End-to-end ledger pipeline: CSV → staging → star schema, with the
+  * reference's idempotency invariant (re-running adds nothing) and an
+  * overlapping second batch (only genuinely-new dims/facts appended).
+  */
+class LedgerPipelineSpec extends SparkSpec {
+
+  private def writeCsv(dir: String, name: String, rows: Seq[String]): String = {
+    val header = "Descrição,Tipo,Grupo,Categoria,Classificação,Data,Valor"
+    val p = java.nio.file.Paths.get(dir, name)
+    Files.writeString(p, (header +: rows).mkString("\n"))
+    p.toString
+  }
+
+  private val batch1 = Seq(
+    """Aluguel Janeiro,Despesa,Moradia,Aluguel,Essencial,01/2024,"1.500,00"""",
+    """Mercado,Despesa,Alimentação,Supermercado,Essencial,01/2024,"823,45"""",
+    """Salário,Receita,Trabalho,CLT,Fixo,01/2024,"10.000,00"""",
+    """Cinema,Despesa,Lazer,Entretenimento,Supérfluo,01/2024,"59,90"""")
+
+  private val batch2 = Seq( // overlaps month + dims, adds one new category
+    """Aluguel Fevereiro,Despesa,Moradia,Aluguel,Essencial,02/2024,"1.500,00"""",
+    """Mercado,Despesa,Alimentação,Supermercado,Essencial,02/2024,"910,12"""",
+    """Farmácia,Despesa,Saúde,Remédios,Essencial,02/2024,"120,00"""")
+
+  test("full build, idempotent rerun, then incremental second batch") {
+    val dir = Files.createTempDirectory("ledger_e2e").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val wh = new Warehouse(cat)
+
+    val csv1 = writeCsv(dir, "b1.csv", batch1)
+    assert(Ingest.run(cat, csv1) === 4)
+    val c1 = wh.run()
+    assert(c1("dim_tempo") === 1 && c1("dim_tipo") === 2)
+    assert(c1("dim_grupo") === 4 && c1("dim_categoria") === 4)
+    assert(c1("dim_classificacao") === 3 && c1("fato_lancamento") === 4)
+
+    // fact FK integrity + money exactness via the SQL surface (§3.3)
+    cat.registerAll()
+    val bi = spark.sql(
+      """SELECT t.nome_tipo, SUM(f.valor) AS total
+        |FROM fato_lancamento f JOIN dim_tipo t USING (id_tipo)
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(bi.map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSeq
+      === Seq(("Despesa", "2383.35"), ("Receita", "10000.00")))
+
+    // idempotency: same file re-ingested + rebuilt adds nothing
+    Ingest.run(cat, csv1)
+    val c2 = wh.run()
+    assert(c2.values.sum === 0, s"rerun appended: $c2")
+
+    // incremental batch: new month, one new grupo+categoria, 3 new facts
+    val csv2 = writeCsv(dir, "b2.csv", batch2)
+    Ingest.run(cat, csv2)
+    val c3 = wh.run()
+    assert(c3("dim_tempo") === 1 && c3("dim_tipo") === 0)
+    assert(c3("dim_grupo") === 1 && c3("dim_categoria") === 1)
+    assert(c3("dim_classificacao") === 0 && c3("fato_lancamento") === 3)
+
+    // surrogate keys stay dense across batches
+    val ids = cat.table("fato_lancamento")
+      .select("id_lancamento").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted
+    assert(ids.toSeq === (1L to 7L))
+    // fact partition layout: ano=/mes= dirs exist (scale: month pruning)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/wh/fato_lancamento/ano=2024")))
+  }
+
+  test("validation rejects blank and null required fields with per-column report") {
+    val dir = Files.createTempDirectory("ledger_val").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val bad = writeCsv(dir, "bad.csv", Seq(
+      """Ok,Despesa,Moradia,Aluguel,Essencial,01/2024,"1,00"""",
+      """  ,Despesa,Moradia,Aluguel,Essencial,01/2024,"2,00"""",
+      """Sem tipo,,Moradia,Aluguel,Essencial,01/2024,"3,00""""))
+    val ex = intercept[Ingest.Rejected] { Ingest.run(cat, bad) }
+    val cols = ex.violations.select("coluna").as[String](spark.implicits.newStringEncoder)
+      .collect().sorted
+    assert(cols.toSeq === Seq("Descrição", "Tipo"))
+  }
+
+  test("hash-before-normalize: staging id_hash is computed on raw Valor") {
+    val dir = Files.createTempDirectory("ledger_hash").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val csv = writeCsv(dir, "h.csv", Seq(
+      """Aluguel Janeiro,Despesa,Moradia,Aluguel,Essencial,01/2024,"1.500,00""""))
+    Ingest.run(cat, csv)
+    val row = cat.table("staging_lancamentos").head()
+    // python: md5("despesa-moradia-aluguel-01/2024-aluguel janeiro-1.500,00")
+    assert(row.getAs[String]("id_hash") === "9d8982c2aa856902fbfcde2ec2b9fa40")
+    assert(row.getAs[java.math.BigDecimal]("Valor").toPlainString === "1500.00")
+  }
+}
