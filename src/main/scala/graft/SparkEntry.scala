@@ -7,11 +7,13 @@ object SparkEntry {
     queries("q2_star_revenue")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.TextQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracleSql
+    graft.queries.CoreQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql
   /** Queries intentionally without oracle SQL (non-SQL-expressible in
     * DuckDB; driver records a weaker rows-only check). Keep tight. */
   def rowsOnlyQueries: Set[String] = Set.empty

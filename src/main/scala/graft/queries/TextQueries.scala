@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * language ID, quality scoring, fingerprinting. The DuckDB oracle SQL
+  * is generated from the same stopword constants so the two sides can't
+  * drift.
+  *
+  * Oracle-safety: outputs are ints, strings, booleans, and single
+  * IEEE-double divisions of ints — all bit-deterministic across engines.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q16_text_stats" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        wsTokenCount(col("text")).cast("bigint").as("n_ws_tokens"),
+        reTokenCount(col("text")).cast("bigint").as("n_tokens"),
+        punctCount(col("text")).cast("bigint").as("n_punct"),
+        punctRatio(col("text")).as("punct_ratio"),
+        qualityKeep(col("text")).as("keep"))),
+
+    "q17_lang_id" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        col("lang"),
+        langId(col("text")).as("lang_detected"),
+        stopwordHits(col("text"), stopwords.head._2).cast("bigint").as("en_hits"))),
+
+    "q18_fingerprint" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp")))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def duckList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private def duckHits(lang: String): String = {
+    val stops = duckList(stopwords.toMap.apply(lang))
+    s"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), w -> list_contains($stops, w)))"
+  }
+
+  private val duckWsTokens =
+    "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+  private val duckPunct = "len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))"
+  private val duckPunctRatio =
+    s"CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0 ELSE CAST($duckPunct AS DOUBLE) / CAST(length(text) AS DOUBLE) END"
+
+  private val duckLangCase: String = {
+    val scored = stopwords.map { case (l, _) => s"s_$l" }
+    val cases = stopwords.init.zipWithIndex.map { case ((l, _), i) =>
+      val rest = scored.drop(i + 1)
+      val restMax = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN s_$l >= $restMax THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN ${scored.mkString(" + ")} = 0 THEN 'und' $cases ELSE '${stopwords.last._1}' END"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q16_text_stats" ->
+      s"""SELECT doc_id,
+         | $duckWsTokens AS n_ws_tokens,
+         | len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens,
+         | $duckPunct AS n_punct,
+         | $duckPunctRatio AS punct_ratio,
+         | ($duckWsTokens >= 5 AND $duckPunctRatio < 0.2) AS keep
+         |FROM documents""".stripMargin,
+
+    "q17_lang_id" -> {
+      val scoreCols = stopwords.map { case (l, _) => s"${duckHits(l)} AS s_$l" }
+        .mkString(",\n ")
+      s"""SELECT doc_id, lang, $duckLangCase AS lang_detected, s_en AS en_hits
+         |FROM (SELECT doc_id, lang, text,
+         | $scoreCols
+         |FROM documents)""".stripMargin
+    },
+
+    "q18_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin
+  )
+}
