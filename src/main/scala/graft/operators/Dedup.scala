@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.words
+
+/** Near-duplicate detection for training-data pipelines: word-shingle
+  * MinHash + LSH banding, SimHash, and exact n-gram Jaccard — all as
+  * built-in Catalyst expressions (array higher-order functions + md5),
+  * no UDFs, so signature computation pipelines inside whole-stage
+  * codegen over the scan.
+  *
+  * Scale shape (100 TB): signatures are per-row (shuffle-free); the only
+  * exchange is the band-key self-join, which shuffles just
+  * (id, band_key, shingle-set) — the classic LSH bucket join. Candidate
+  * pairs are verified with exact Jaccard, so band collisions never
+  * produce false positives.
+  *
+  * Determinism: every hash is md5 over an explicit string; minhash
+  * "values" are the md5 hex strings themselves under lexicographic min.
+  * No RNG, no seed, no partition-dependence — results are identical
+  * across engines and cluster layouts (the DuckDB oracle replays the
+  * same algorithm).
+  */
+object Dedup {
+
+  /** Distinct word k-shingles ("a b c" strings). Empty array when the
+    * text has fewer than k words.
+    *
+    * Built as a zip_with chain over k-1 shifted copies of the word
+    * array, NOT as `transform(sequence(...), i => slice(w, i, k))`:
+    * higher-order-function lambdas re-evaluate captured outer
+    * expressions per element, so the slice form recomputes the word
+    * regexp once per shingle (O(words²) per doc — measured 7× slower
+    * end-to-end). zip_with's array arguments evaluate exactly once;
+    * its lambda touches only bound variables. zip_with pads the
+    * shorter (shifted) side with null and concat propagates it, so the
+    * k-1 tail entries null out and array_compact drops them.
+    */
+  def shingles(c: Column, k: Int): Column = {
+    val w = words(c)
+    if (k == 1) array_distinct(w)
+    else {
+      val zipped = (1 until k).foldLeft(w) { (acc, j) =>
+        val shifted = slice(w, lit(j + 1), greatest(size(w) - j, lit(0)))
+        zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+      }
+      array_distinct(array_compact(zipped))
+    }
+  }
+
+  /** MinHash signature: for hash h in 1..numHashes,
+    * min over shingles of md5("h:" + shingle), as hex strings. */
+  def minhashes(sh: Column, numHashes: Int): Seq[Column] =
+    (1 to numHashes).map { h =>
+      array_min(transform(sh, s => md5(concat(lit(s"$h:"), s))))
+    }
+
+  /** LSH band keys: md5("b|m1|m2|...") per band of `rows` signature
+    * positions. A shared key in ANY band makes a candidate pair. */
+  def bandKeys(mins: Seq[Column], bands: Int, rows: Int): Column = {
+    require(mins.size == bands * rows, s"${mins.size} != $bands*$rows")
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", lit(b.toString) +: mins.slice(b * rows, (b + 1) * rows): _*))
+    }: _*)
+  }
+
+  /** Exact Jaccard over two distinct-element arrays (int/int → one IEEE
+    * double division: engine-deterministic). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** The full near-dup pipeline: shingle → minhash → band explode →
+    * bucket self-join → exact-Jaccard verify. Returns
+    * (a_id, b_id, jaccard) with a_id < b_id and jaccard >= threshold.
+    *
+    * Minhash signatures are computed RELATIONALLY — explode shingles,
+    * then 12 min(md5) aggregates with map-side partial combine — instead
+    * of nested array expressions: Catalyst's projection collapse would
+    * re-evaluate the shingle array once per minhash column (12×), and at
+    * 100 TB the exploded+combined form also spills gracefully where a
+    * giant per-row expression cannot. Band keys and the bucket join only
+    * move (id, band_key); shingle sets are re-joined just for the
+    * candidate pairs that need Jaccard verification.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+
+    val minCols = (1 to numHashes).map(h =>
+      min(md5(concat(lit(s"$h:"), col("s")))).as(s"m$h"))
+    val mins = sig.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|",
+        lit(b.toString) +: (1 to numHashes).slice(b * rows, (b + 1) * rows)
+          .map(h => col(s"m$h")): _*))
+    }
+    val exploded = mins.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+
+    val candidates = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+
+    val sa = sig.select(col("id").as("a_id"), col("sh").as("sh_a"))
+    val sb = sig.select(col("id").as("b_id"), col("sh").as("sh_b"))
+    candidates.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  private val hexTab = "0123456789abcdef"
+
+  private def nibbleVal(ch: Column): Column =
+    when(ascii(ch) <= 57, ascii(ch) - 48).otherwise(ascii(ch) - 87)
+
+  /** 64 bits (0/1 ints) of a word's md5 prefix. The hex string is split
+    * to a char array FIRST (evaluated once as a zip/transform argument)
+    * so the lambda never captures the md5 expression — capture would
+    * recompute the digest once per nibble (see [[shingles]]). */
+  def wordBits(w: Column): Column =
+    flatten(transform(slice(split(md5(w), ""), 1, 16), ch => {
+      val d = nibbleVal(ch)
+      array(
+        when(d.bitwiseAND(lit(8)) > 0, lit(1)).otherwise(lit(0)),
+        when(d.bitwiseAND(lit(4)) > 0, lit(1)).otherwise(lit(0)),
+        when(d.bitwiseAND(lit(2)) > 0, lit(1)).otherwise(lit(0)),
+        when(d.bitwiseAND(lit(1)) > 0, lit(1)).otherwise(lit(0)))
+    }))
+
+  /** Per-bit majority vote over all words (repeats counted); ties → 1.
+    * Returns array<int> of 64 bits. */
+  def simhashBits(c: Column): Column = {
+    val ws = words(c)
+    val zeros = transform(sequence(lit(1), lit(64)), _ => lit(0))
+    val sums = aggregate(ws, zeros,
+      (acc, w) => zip_with(acc, wordBits(w), (a, b) => a + b))
+    transform(sums, s => when(s * 2 >= size(ws), lit(1)).otherwise(lit(0)))
+  }
+
+  /** SimHash as a 16-char lowercase hex string. Assembled via one
+    * conv(bitstring, 2, 16) — indexing the bit array from a transform
+    * lambda would recompute the whole signature per nibble (capture
+    * re-evaluation, see [[shingles]]). */
+  def simhash64(c: Column): Column =
+    lpad(lower(conv(array_join(simhashBits(c), ""), 2, 16)), 16, "0")
+
+  /** Hamming distance between two bit arrays. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, x) => acc + x)
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.{fingerprint, words}
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity-search operators as oracle-checked queries.
+  *
+  * Near-dup results on a random corpus would be empty, so each query
+  * PLANTS deterministic mutations inside the query itself (documents ∪
+  * mutated copies with id+1e6): results are non-empty and identical at
+  * every scale factor, and the DuckDB oracle plants the same rows.
+  *
+  * The MinHash/LSH oracle replays the FULL algorithm (shingle → md5
+  * minhash → band keys → bucket join → exact-Jaccard verify) — it is
+  * md5-based and RNG-free, so candidate generation is engine-exact, not
+  * just the final similarity filter.
+  */
+object DedupQueries {
+
+  // planted-mutation parameters (shared by Spark + oracle SQL)
+  private val MutMod = 29
+  private val MutOff = 1000000
+  private val MutSuffix = " zz qq extra mutated tail"
+  // minhash params
+  private val K = 3; private val H = 12; private val B = 4
+  private val Tau = 0.5
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").select("doc_id", "text")
+
+  /** documents ∪ near-dup mutations (suffix appended). */
+  private def mutatedBatch(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    base.unionAll(base.filter(col("doc_id") % MutMod === 0).select(
+      (col("doc_id") + MutOff).as("doc_id"),
+      concat(col("text"), lit(MutSuffix)).as("text")))
+  }
+
+  /** documents ∪ exact-dup copies (whitespace/case variants — same
+    * fingerprint). */
+  private def exactDupBatch(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    base.unionAll(base.filter(col("doc_id") % MutMod === 0).select(
+      (col("doc_id") + MutOff).as("doc_id"),
+      concat(lit("  "), upper(col("text")), lit(" ")).as("text")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: hash-groupBy on the normalized fingerprint.
+    "q19_exact_dedup" -> ((s, d) =>
+      exactDupBatch(s, d)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
+        .filter(col("n_dups") > 1)),
+
+    // MinHash + LSH banding + exact-Jaccard verify.
+    "q20_minhash_lsh" -> ((s, d) =>
+      Dedup.nearDupPairs(mutatedBatch(s, d), "doc_id", "text",
+        k = K, numHashes = H, bands = B, threshold = Tau)),
+
+    // SimHash signatures + hamming distance over the planted pairs.
+    "q21_simhash" -> ((s, d) => {
+      val sims = mutatedBatch(s, d)
+        .filter(size(words(col("text"))) > 0)
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"),
+          Dedup.simhashBits(col("text")).as("bits"))
+      val a = sims.as("a")
+      val b = sims.as("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + MutOff)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sim").as("sim_a"), col("b.sim").as("sim_b"),
+          Dedup.hamming(col("a.bits"), col("b.bits")).cast("int").as("hamming"))
+    }),
+
+    // direct pairwise n-gram (word-set) Jaccard on a bounded id range.
+    "q22_ngram_jaccard" -> ((s, d) => {
+      val t = docs(s, d).filter(col("doc_id") < 30)
+        .select(col("doc_id"), Dedup.shingles(col("text"), 1).as("sh"))
+      val a = t.as("a")
+      val b = t.as("b")
+      a.join(b, col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          Dedup.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
+    // brute-force cosine top-k (ANN baseline): 20 queries × corpus.
+    "q23_ann_topk" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // embedding near-dup via sign-bucket LSH + exact cosine verify;
+    // planted scaled copies (×2 — exactly parallel) are the dups.
+    "q24_embedding_neardup" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val batch = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(col("vec_id") % MutMod === 0).select(
+          (col("vec_id") + MutOff).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      Similarity.signBucketPairs(batch, "vec_id", "embedding",
+        dims = 64, threshold = 0.999)
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val duckTextBatch =
+    s"""batch AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $MutOff, text || '$MutSuffix'
+       |  FROM documents WHERE doc_id % $MutMod = 0)""".stripMargin
+
+  private def duckShingles(k: Int): String =
+    s"CASE WHEN len(ws) >= $k THEN list_distinct(list_transform(range(0, len(ws) - ${k - 1}), " +
+      s"i -> array_to_string(list_slice(ws, i + 1, i + $k), ' '))) ELSE CAST([] AS VARCHAR[]) END"
+
+  private val duckJaccard =
+    "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)"
+
+  private val duckCos =
+    """SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
+      | (sqrt(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
+      |  sqrt(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q19_exact_dedup" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $MutOff, '  ' || upper(text) || ' '
+         |  FROM documents WHERE doc_id % $MutMod = 0)
+         |SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |       COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+         |FROM batch GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    "q20_minhash_lsh" -> {
+      val mins = (1 to H).map(h =>
+        s"list_aggregate(list_transform(sh, s -> md5('$h:' || s)), 'min')")
+      val bandExprs = (0 until B).map { bi =>
+        val r = H / B
+        val parts = mins.slice(bi * r, (bi + 1) * r).mkString(" || '|' || ")
+        s"md5('$bi' || '|' || $parts)"
+      }
+      s"""WITH $duckTextBatch,
+         |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM batch),
+         |sh AS (SELECT doc_id, ${duckShingles(K)} AS sh FROM w),
+         |bd AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS bk FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bd a JOIN bd b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT c.a_id, c.b_id, $duckJaccard AS jaccard
+         |FROM cand c
+         |JOIN sh sa ON sa.doc_id = c.a_id
+         |JOIN sh sb ON sb.doc_id = c.b_id
+         |WHERE $duckJaccard >= $Tau""".stripMargin
+    },
+
+    "q21_simhash" -> {
+      val nib = "CASE WHEN ascii(substr(md5(w), 1 + (i.i // 4), 1)) <= 57 " +
+        "THEN ascii(substr(md5(w), 1 + (i.i // 4), 1)) - 48 " +
+        "ELSE ascii(substr(md5(w), 1 + (i.i // 4), 1)) - 87 END"
+      s"""WITH $duckTextBatch,
+         |wd AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM batch),
+         |nw AS (SELECT doc_id, COUNT(*) AS n FROM wd GROUP BY 1),
+         |bits AS (
+         |  SELECT doc_id, i.i AS i, (($nib) >> (3 - (i.i % 4))) & 1 AS b
+         |  FROM wd, generate_series(0, 63) i(i)),
+         |sums AS (SELECT doc_id, i, CAST(SUM(b) AS BIGINT) AS s FROM bits GROUP BY 1, 2),
+         |sim AS (SELECT s.doc_id, s.i,
+         |          CASE WHEN 2 * s.s >= nw.n THEN 1 ELSE 0 END AS bit
+         |        FROM sums s JOIN nw ON nw.doc_id = s.doc_id),
+         |hexs AS (
+         |  SELECT doc_id, string_agg(substr('0123456789abcdef', 1 + nib, 1), '' ORDER BY j) AS simhash
+         |  FROM (SELECT doc_id, i // 4 AS j, CAST(SUM(bit * (8 >> (i % 4))) AS INT) AS nib
+         |        FROM sim GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |ham AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(SUM(abs(a.bit - b.bit)) AS INT) AS hamming
+         |  FROM sim a JOIN sim b ON b.doc_id = a.doc_id + $MutOff AND a.i = b.i
+         |  GROUP BY 1, 2)
+         |SELECT h.a_id, h.b_id, ha.simhash AS sim_a, hb.simhash AS sim_b, h.hamming
+         |FROM ham h
+         |JOIN hexs ha ON ha.doc_id = h.a_id
+         |JOIN hexs hb ON hb.doc_id = h.b_id""".stripMargin
+    },
+
+    "q22_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |           FROM documents WHERE doc_id < 30),
+         |sh AS (SELECT doc_id, ${duckShingles(1)} AS sh FROM w)
+         |SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, $duckJaccard AS jaccard
+         |FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+         |WHERE $duckJaccard >= 0.5""".stripMargin,
+
+    "q23_ann_topk" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $duckCos AS cos
+         |  FROM embeddings a, embeddings b, generate_series(1, 64) i(i)
+         |  WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM p) WHERE rank <= 5""".stripMargin,
+
+    "q24_embedding_neardup" ->
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $MutOff, list_transform(embedding, x -> CAST(x * 2 AS REAL))
+         |  FROM embeddings WHERE vec_id % $MutMod = 0),
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $duckCos AS cos
+         |  FROM eb a, eb b, generate_series(1, 64) i(i)
+         |  WHERE a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id FROM p WHERE cos > 0.999""".stripMargin
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: distinct word k-grams, empty below k words") {
+    val out = Seq("a b c d", "a b", "x x x x")
+      .toDF("t").select(Dedup.shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq("x x x")) // distinct
+  }
+
+  test("nearDupPairs finds planted near-dup, not unrelated docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tail"),
+      (3L, "completely different content about database engines and queries")
+    ).toDF("id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "id", "text", k = 3, numHashes = 12,
+      bands = 4, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val df = Seq(
+      "spark catalyst optimizer rewrites logical plans into physical plans",
+      "spark catalyst optimizer rewrites logical plans into physical trees",
+      "bananas oranges apples grapes melons pears peaches plums kiwis figs")
+      .toDF("t").select(Dedup.simhashBits(col("t")).as("bits"))
+    val bits = df.as[Seq[Int]].collect()
+    def ham(a: Seq[Int], b: Seq[Int]) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(bits(0), bits(1)) < ham(bits(0), bits(2)))
+    assert(bits(0).size === 64)
+  }
+
+  test("cosine: parallel vectors 1.0, orthogonal 0.0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f, 2.0f), Seq(2.0f, 0.0f, 4.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("a", "b").select(Similarity.cosine(col("a"), col("b")))
+    val out = df.as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+  }
+
+  test("signBucket is invariant under positive scaling") {
+    val df = Seq(
+      Seq.tabulate(64)(i => (math.sin(i + 1)).toFloat)).toDF("v")
+      .select(Similarity.signBucket(col("v"), 64).as("b1"),
+        Similarity.signBucket(transform(col("v"), x => x * lit(3.0f)), 64).as("b2"))
+    val r = df.head()
+    assert(r.getString(0) === r.getString(1))
+    assert(r.getString(0).length === 16)
+  }
+
+  test("bruteForceTopK ranks the planted duplicate first") {
+    val base = (0L to 30L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8.0 + j).toFloat)))
+    val planted = Seq((100L, base(5)._2.map(x => x * 2.0f).toSeq))
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 5),
+      "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(top.toSeq === Seq(100L))
+  }
+}
