@@ -9,13 +9,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
-      graft.queries.DedupQueries.oracleSql
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
   /** Queries intentionally without oracle SQL (non-SQL-expressible in
     * DuckDB; driver records a weaker rows-only check). Keep tight. */
   def rowsOnlyQueries: Set[String] = Set.empty
