@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.ledger.{Catalog, Ingest, Validate, Warehouse}
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streams (SURVEY §2.7) — but its upload loop IS
+  * an at-least-once stream with exactly-once effect via the id_hash
+  * merge, so [[ledgerUploadStream]] runs the same validated ingest +
+  * warehouse build per micro-batch from a watched directory. The events
+  * analytics ([[hourlyEventCounts]], [[sessionWindows]],
+  * [[runningUserCounts]]) are the streaming twins of the batch q15
+  * query family.
+  *
+  * Scale notes: windowed aggregates shuffle on (window, key) with
+  * partial aggregation; watermarks bound state. Sessionization uses the
+  * built-in `session_window` (Spark's merging session aggregation)
+  * rather than hand-rolled state where possible;
+  * [[runningUserCounts]] shows the flatMapGroupsWithState route for
+  * state machines the built-ins can't express.
+  */
+object Streams {
+
+  /** Watermarked hourly counts per event_type (append-mode capable). */
+  def hourlyEventCounts(events: DataFrame,
+                        watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based session windows per user (built-in merging sessions). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"))
+
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class UserCount(user_id: Long, n_events: Long, last_type: String)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * event counts, emitting an update per batch that touches the user.
+    * Production deployments bound state by enabling
+    * GroupStateTimeout.ProcessingTimeTimeout + state.remove() on
+    * timeout (omitted here: pending timeouts keep the engine
+    * scheduling batches, which blocks test harnesses that wait for
+    * quiescence). */
+  def runningUserCounts(events: Dataset[Event]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserCount]) =>
+          val evs = batch.toSeq
+          val prev = state.getOption.getOrElse(UserCount(uid, 0L, ""))
+          val next = UserCount(uid, prev.n_events + evs.size,
+            evs.lastOption.map(_.event_type).getOrElse(prev.last_type))
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** The reference's upload loop as a file-watch stream: each CSV file
+    * dropped in `watchDir` becomes a micro-batch that runs the same
+    * validate → hash → staging → warehouse-merge pipeline. Idempotent
+    * under replay (at-least-once delivery, exactly-once effect) because
+    * every write is a keyed merge-ignore. */
+  def ledgerUploadStream(spark: SparkSession, catalog: Catalog,
+                         watchDir: String, checkpointDir: String,
+                         availableNow: Boolean = true) = {
+    val raw = spark.readStream
+      .option("sep", ",").option("quote", "\"").option("header", "true")
+      .schema(graft.ledger.Schemas.csvSchema)
+      .csv(watchDir)
+    val q = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("30 seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val clean = Validate.normalizeBlanks(batch)
+          .na.drop(graft.ledger.Schemas.requiredColumns)
+        catalog.replace("staging_lancamentos", Ingest.toStaging(clean))
+        new Warehouse(catalog).run()
+        ()
+      }
+    q.start()
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ledger.Catalog
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("hourlyEventCounts: watermarked windowed aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(ts(5), 1L, "click", 1.0), Event(ts(10), 2L, "click", 2.0),
+      Event(ts(20), 1L, "view", 3.0))
+    val q = Streams.hourlyEventCounts(mem.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("event_type", "n_events", "total_value")
+        .as[(String, Long, Double)].collect().sortBy(_._1)
+      assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionWindows: gap-based sessions split on idle gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    // user 1: events at 10:00,10:10 (one session), then 11:30 (new session)
+    mem.addData(
+      Event(Timestamp.valueOf("2026-01-01 10:00:00"), 1L, "a", 0.0),
+      Event(Timestamp.valueOf("2026-01-01 10:10:00"), 1L, "a", 0.0),
+      Event(Timestamp.valueOf("2026-01-01 11:30:00"), 1L, "a", 0.0))
+    val q = Streams.sessionWindows(mem.toDF(), gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "n_events")
+        .as[(Long, Long)].collect().sortBy(_._2)
+      assert(rows.toSeq === Seq((1L, 1L), (1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("runningUserCounts: custom keyed state accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = Streams.runningUserCounts(mem.toDS())
+      .writeStream.format("memory").queryName("ucounts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(ts(1), 7L, "click", 0.0), Event(ts(2), 7L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts(3), 7L, "buy", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ucounts")
+        .as[(Long, Long, String)].collect().sortBy(_._2)
+      assert(rows.toSeq === Seq((7L, 2L, "view"), (7L, 3L, "buy")))
+    } finally q.stop()
+  }
+
+  test("ledgerUploadStream: files dropped in a dir flow through the warehouse, idempotently") {
+    val dir = Files.createTempDirectory("stream_ledger").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val cat = new Catalog(spark, s"$dir/wh")
+    val header = "Descrição,Tipo,Grupo,Categoria,Classificação,Data,Valor"
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/m1.csv"),
+      header + "\n" + """Aluguel,Despesa,Moradia,Aluguel,Essencial,01/2024,"1.500,00"""")
+    val q1 = Streams.ledgerUploadStream(spark, cat, s"$dir/in", s"$dir/cp")
+    q1.awaitTermination(60000)
+    assert(cat.table("fato_lancamento").count() === 1)
+    // second file: one dup row (merge-ignored) + one new row
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/m2.csv"),
+      header + "\n" +
+        """Aluguel,Despesa,Moradia,Aluguel,Essencial,01/2024,"1.500,00"""" + "\n" +
+        """Mercado,Despesa,Alimentação,Mercado,Essencial,02/2024,"300,00"""")
+    val q2 = Streams.ledgerUploadStream(spark, cat, s"$dir/in", s"$dir/cp")
+    q2.awaitTermination(60000)
+    assert(cat.table("fato_lancamento").count() === 2)
+    assert(cat.table("dim_tempo").count() === 2)
+  }
+}
