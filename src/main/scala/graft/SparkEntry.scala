@@ -10,15 +10,20 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.OlapQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
-      graft.queries.MultimodalQueries.oracleSql
+      graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.OlapQueries.oracleSql
   /** Queries intentionally without oracle SQL (non-SQL-expressible in
     * DuckDB; driver records a weaker rows-only check). Keep tight. */
-  def rowsOnlyQueries: Set[String] = Set.empty
+  def rowsOnlyQueries: Set[String] = Set(
+    // HLL sketch values are engine-specific; accuracy is asserted in
+    // OlapSpec against the exact count instead.
+    "q30_approx_distinct")
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.SkewJoin
+
+/** OLAP breadth beyond the reference's own surface (SURVEY §2.4 road-
+  * map): multi-dimensional aggregates (rollup/cube/grouping sets),
+  * sketches (HLL approx distinct), exact percentiles, and a skew-safe
+  * salted join (oracle = the plain join it must equal).
+  */
+object OlapQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ROLLUP (priority, year) — Metabase-style drill-down totals.
+    "q27_rollup" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .rollup(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("int").as("ano"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"))),
+
+    // CUBE (returnflag, linestatus).
+    "q28_cube" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))),
+
+    // GROUPING SETS via the SQL surface.
+    "q29_grouping_sets" -> ((s, d) => {
+      Tables(s, d, "customer").createOrReplaceTempView("gs_customer")
+      s.sql(
+        """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+          |FROM gs_customer
+          |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""".stripMargin)
+    }),
+
+    // HLL sketch — approximate distinct (rows-only: sketches are
+    // engine-specific; accuracy asserted in OlapSpec instead).
+    "q30_approx_distinct" -> ((s, d) =>
+      Tables(s, d, "orders").agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custkeys"),
+        count(lit(1)).as("n_orders"))),
+
+    // exact interpolated percentiles; whole-number quantities make the
+    // midpoint arithmetic exact in double on both engines.
+    "q31_percentiles" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))),
+
+    // salted skew join — must produce exactly the plain-join result.
+    "q32_salted_join" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      SkewJoin.saltedJoin(li, o, Seq("l_orderkey"), buckets = 8)
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("total"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q27_rollup" ->
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS ano,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, ano)""".stripMargin,
+
+    "q28_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q29_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""".stripMargin,
+
+    "q31_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | MIN(l_quantity) AS min_qty,
+        | MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q32_salted_join" ->
+      """SELECT l_orderkey, o_orderpriority,
+        | COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin
+  )
+}
