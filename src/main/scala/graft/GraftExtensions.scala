@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.expressions.DotProductFloat
+
+/** Engine extensions, installed via the public extension point:
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // in-process
+  *   // or spark.sql.extensions=graft.GraftExtensions (config/submit)
+  *
+  * Currently registers the native expressions (SQL-callable and used by
+  * the operators through `call_function`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(DotProductFloat.registration)
+  }
+}

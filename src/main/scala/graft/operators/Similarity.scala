@@ -22,19 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double.
-    * Element order of the sums is the array order (Spark `aggregate` is
-    * a sequential fold), so results are reproducible run-to-run. */
+  /** Cosine similarity of two float-array columns, computed in double
+    * via the native fused-loop [[graft.expressions.DotProductFloat]]
+    * (bit-identical accumulation order to the composed
+    * aggregate/zip_with form, but codegen'd — no per-row allocation). */
   def cosine(a: Column, b: Column): Column = {
-    def dotD(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (s, v) => s + v)
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+    val d = graft.expressions.VectorExpressions.dotF _
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
   }
 
   private def dotD(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (s, v) => s + v)
+    graft.expressions.VectorExpressions.dotF(x, y)
 
   /** Exact top-k neighbors for each row of `queries` against `corpus`
     * (both (idCol, vecCol)); self-pairs excluded. Output:
@@ -72,9 +70,8 @@ object Similarity {
     * by a positive constant cannot change its bucket. */
   def signBucket(vecCol: Column, dims: Int, planes: Int = 16): Column = {
     val bits = (0 until planes).map { p =>
-      val h = array(hyperplane(p, dims).map(lit): _*)
-      val dot = aggregate(zip_with(vecCol, h, (x, w) => x.cast("double") * w),
-        lit(0.0), (s, v) => s + v)
+      val h = array(hyperplane(p, dims).map(x => lit(x.toFloat)): _*)
+      val dot = graft.expressions.VectorExpressions.dotF(vecCol, h)
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
