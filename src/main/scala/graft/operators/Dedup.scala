@@ -50,22 +50,6 @@ object Dedup {
     }
   }
 
-  /** MinHash signature: for hash h in 1..numHashes,
-    * min over shingles of md5("h:" + shingle), as hex strings. */
-  def minhashes(sh: Column, numHashes: Int): Seq[Column] =
-    (1 to numHashes).map { h =>
-      array_min(transform(sh, s => md5(concat(lit(s"$h:"), s))))
-    }
-
-  /** LSH band keys: md5("b|m1|m2|...") per band of `rows` signature
-    * positions. A shared key in ANY band makes a candidate pair. */
-  def bandKeys(mins: Seq[Column], bands: Int, rows: Int): Column = {
-    require(mins.size == bands * rows, s"${mins.size} != $bands*$rows")
-    array((0 until bands).map { b =>
-      md5(concat_ws("|", lit(b.toString) +: mins.slice(b * rows, (b + 1) * rows): _*))
-    }: _*)
-  }
-
   /** Exact Jaccard over two distinct-element arrays (int/int → one IEEE
     * double division: engine-deterministic). */
   def jaccard(a: Column, b: Column): Column =

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.LedgerFunctions._
+import graft.ledger.{Catalog, Ingest, Warehouse}
+
+/** Property-based invariants (SURVEY §5-2): money round-trip, warehouse
+  * idempotency, and referential integrity over generated batches.
+  * (ScalaCheck Gen driven directly — the scalatestplus bridge is not in
+  * the offline dependency cache.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val moneyGen: Gen[BigDecimal] = for {
+    units <- Gen.chooseNum(0L, 9999999999999L) // fits DECIMAL(15,2)
+    cents <- Gen.chooseNum(0, 99)
+  } yield BigDecimal(units) + BigDecimal(cents) / 100
+
+  private def toBrl(d: BigDecimal): String = {
+    val s = d.setScale(2).toString
+    val Array(ip, fp) = s.split("\\.")
+    ip.reverse.grouped(3).mkString(".").reverse + "," + fp
+  }
+
+  test("property: BRL format → parse is the identity on DECIMAL(15,2)") {
+    for (seed <- 1L to 10L) {
+      val ds = sample(Gen.listOfN(50, moneyGen), seed)
+      val out = ds.map(toBrl).toDF("v")
+        .select(parseBrazilianMoney(col("v")).cast("string"))
+        .as[String].collect().map(BigDecimal(_))
+      assert(out.toSeq === ds.map(_.setScale(2)), s"seed=$seed")
+    }
+  }
+
+  private val word = Gen.oneOf("Casa", "Luz", "Água", "Ação", " Mercado ", "x")
+  private val rowGen: Gen[(String, String, String, String, String, String, String)] =
+    for {
+      desc <- Gen.oneOf("Compra mensal", "Pagamento", "Açaí é bom")
+      tipo <- Gen.oneOf("Receita", "Despesa")
+      grupo <- word; cat <- word
+      cls <- Gen.oneOf("Fixo", "Variável")
+      mes <- Gen.chooseNum(1, 12)
+      valor <- moneyGen
+    } yield (desc, tipo, grupo, cat, cls, f"$mes%02d/2025", toBrl(valor))
+
+  test("property: warehouse build is idempotent and FK-complete for any batch") {
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(20, rowGen), seed)
+      locally {
+        val dir = Files.createTempDirectory("prop_wh").toString
+        val csv = (Seq("Descrição,Tipo,Grupo,Categoria,Classificação,Data,Valor") ++
+          rows.map { case (d, t, g, c, cl, m, v) => s"""$d,$t,$g,$c,$cl,$m,"$v"""" })
+          .mkString("\n")
+        Files.writeString(java.nio.file.Paths.get(s"$dir/b.csv"), csv)
+        val cat = new Catalog(spark, s"$dir/wh")
+        Ingest.run(cat, s"$dir/b.csv")
+        val wh = new Warehouse(cat)
+        wh.run()
+        val afterFirst = cat.table("fato_lancamento").count()
+        // distinct hashes == fact rows (merge key invariant)
+        val hashes = cat.table("staging_lancamentos")
+          .select("id_hash").distinct().count()
+        assert(afterFirst === hashes)
+        // rerun: nothing changes anywhere
+        Ingest.run(cat, s"$dir/b.csv")
+        val c2 = wh.run()
+        assert(c2.values.sum === 0, s"rerun appended $c2")
+        // referential integrity: every fact FK resolves
+        cat.registerAll()
+        val orphans = spark.sql(
+          """SELECT COUNT(*) FROM fato_lancamento f
+            |LEFT JOIN dim_tipo t USING (id_tipo)
+            |LEFT JOIN dim_grupo g USING (id_grupo)
+            |LEFT JOIN dim_categoria c USING (id_categoria)
+            |LEFT JOIN dim_classificacao cl USING (id_classificacao)
+            |LEFT JOIN dim_tempo tm USING (id_tempo)
+            |WHERE t.id_tipo IS NULL OR g.id_grupo IS NULL OR c.id_categoria IS NULL
+            |   OR cl.id_classificacao IS NULL OR tm.id_tempo IS NULL""".stripMargin)
+          .head().getLong(0)
+        assert(orphans === 0L)
+      }
+    }
+  }
+}
