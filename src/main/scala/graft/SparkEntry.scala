@@ -11,7 +11,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.OlapQueries.queries
+      graft.queries.OlapQueries.queries ++
+      graft.queries.EventQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,7 +20,8 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
-      graft.queries.OlapQueries.oracleSql
+      graft.queries.OlapQueries.oracleSql ++
+      graft.queries.EventQueries.oracleSql
   /** Queries intentionally without oracle SQL (non-SQL-expressible in
     * DuckDB; driver records a weaker rows-only check). Keep tight. */
   def rowsOnlyQueries: Set[String] = Set(

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lastAtOrBefore picks the latest right row at or before each left time") {
+    val quotes = Seq( // key, time, price
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "qt", "price")
+    val trades = Seq( // key, time
+      ("A", 5L), ("A", 10L), ("A", 25L), ("A", 99L),
+      ("B", 14L), ("B", 15L)).toDF("sym", "tt")
+    val out = AsOfJoin.lastAtOrBefore(trades, quotes, Seq("sym"),
+      leftTime = "tt", rightTime = "qt", payload = Seq("price"))
+      .select("sym", "tt", "price")
+      .as[(String, Long, Option[Double])].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("A", 5L, None),        // before first quote
+      ("A", 10L, Some(1.0)),  // exact tie: quote at same t matches
+      ("A", 25L, Some(2.0)),
+      ("A", 99L, Some(3.0)),
+      ("B", 14L, None),
+      ("B", 15L, Some(9.0))))
+  }
+
+  test("payload name collision with left side gets right_ prefix") {
+    val l = Seq((1, 10L, "lv")).toDF("k", "t", "v")
+    val r = Seq((1, 5L, "rv")).toDF("k", "rt", "v")
+    val out = AsOfJoin.lastAtOrBefore(l, r, Seq("k"), "t", "rt", Seq("v"))
+    assert(out.columns.contains("right_v") && out.columns.contains("v"))
+    assert(out.select("right_v").as[String].head() === "rv")
+  }
+}
