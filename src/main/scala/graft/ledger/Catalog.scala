@@ -1,43 +1,99 @@
 package graft.ledger
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.MergeIgnore
 
-/** Parquet-backed warehouse catalog. One directory per table under
-  * `root`; every table is also registered as a temp view so the full
-  * `spark.sql` surface works over the warehouse (the Metabase entry
-  * point, SURVEY §3.3).
+/** Parquet-backed warehouse catalog with MANIFEST-POINTER commits.
   *
-  * Merge semantics: the reference relied on Postgres UNIQUE constraints +
-  * `ON CONFLICT DO NOTHING` (reference app/etl.py:51,66,81,98,129). Spark
-  * has no constraints, so [[mergeIgnore]] composes
-  * dropDuplicates → left-anti join → append. The delta is materialized to
-  * a staging subdir before the append so the append job never reads the
-  * directory it writes (single-writer discipline; non-atomicity vs PG
-  * transactions is documented in SURVEY §7.4-1).
+  * Layout per table:
+  * {{{
+  *   <root>/<table>/c3/part-*.parquet          data, one dir per commit
+  *   <root>/<table>/c4/ano=2024/mes=1/...      (partitioned commits)
+  *   <root>/<table>/_manifests/v4              list of live commit dirs
+  *   <root>/<table>/_manifests/LATEST          current version number
+  * }}}
   *
-  * Scale: dims stay tiny (≤ millions of rows at 100 TB fact scale) so
-  * their anti-joins broadcast. The fact merge anti-joins on `id_hash`
-  * — at scale the existing-side read prunes to the `ano/mes` partitions
-  * present in the incoming batch (a monthly batch touches one partition,
-  * not the whole history).
+  * Every write lands in a FRESH commit directory, then a new manifest
+  * version is written and `LATEST` is flipped with an atomic rename.
+  * Readers resolve `LATEST` → manifest → commit dirs, so a crash
+  * mid-write leaves only invisible orphan data — the reference relied
+  * on Postgres transactions for this (reference app/etl.py:53 et al.);
+  * plain parquet append would expose partial files. Single-writer
+  * discipline is still assumed (no CAS on LATEST); on HDFS/S3 the
+  * rename maps to the store's atomic-rename/commit primitive.
+  *
+  * Every table is also registered as a temp view so the full
+  * `spark.sql` surface works over the warehouse (SURVEY §3.3).
+  *
+  * Scale: dims stay tiny so their merge anti-joins broadcast; the fact
+  * merge anti-joins on `id_hash` and its commits are partitioned by
+  * (ano, mes), so month-sliced reads prune whole directories. Many
+  * small commits accumulate scan overhead — [[compact]] folds a table
+  * back to one commit (same manifest flip, fully atomic).
   */
 final class Catalog(val spark: SparkSession, val root: String) {
 
-  private def path(table: String): String = s"$root/$table"
+  private def tableDir(t: String): String = s"$root/$t"
+  private def manifestDir(t: String): Path = Paths.get(tableDir(t), "_manifests")
 
-  def exists(table: String): Boolean =
-    Files.exists(Paths.get(path(table).stripPrefix("file:")))
+  private def latestVersion(t: String): Option[Int] = {
+    val p = manifestDir(t).resolve("LATEST")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
+    else None
+  }
 
-  /** Read a table, or an empty frame with the declared schema. */
-  def table(table: String): DataFrame =
-    if (exists(table)) spark.read.schema(Schemas.schemaOf(table)).parquet(path(table))
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.schemaOf(table))
+  /** Live commit dirs (absolute paths) at the latest version. */
+  private def liveCommits(t: String): Seq[String] =
+    latestVersion(t) match {
+      case None => Seq.empty
+      case Some(v) =>
+        Files.readAllLines(manifestDir(t).resolve(s"v$v"), StandardCharsets.UTF_8)
+          .asScala.toSeq.filter(_.nonEmpty)
+    }
+
+  /** Publish `dirs` as the new table state: write v{N+1}, then flip
+    * LATEST via write-temp + atomic rename. */
+  private def commit(t: String, dirs: Seq[String]): Unit = {
+    val md = manifestDir(t)
+    Files.createDirectories(md)
+    val next = latestVersion(t).getOrElse(0) + 1
+    Files.write(md.resolve(s"v$next"),
+      dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val tmp = md.resolve(s"LATEST.tmp$next")
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, md.resolve("LATEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def newCommitDir(t: String): String = {
+    val v = latestVersion(t).getOrElse(0) + 1
+    s"${tableDir(t)}/c${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  def exists(table: String): Boolean = latestVersion(table).isDefined
+
+  /** Read a table (union of live commits), or an empty frame with the
+    * declared schema. Partition columns (fact: ano/mes) come back via
+    * per-commit basePath discovery; pruning applies per scan. */
+  def table(table: String): DataFrame = {
+    val schema = Schemas.schemaOf(table)
+    val commits = liveCommits(table)
+    if (commits.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      commits.map { c =>
+        spark.read.schema(schema).option("basePath", c).parquet(c)
+          .select(schema.fieldNames.map(col): _*)
+      }.reduce(_.unionAll(_))
+  }
 
   def register(table: String): Unit =
     this.table(table).createOrReplaceTempView(table)
@@ -46,7 +102,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   /** K1: full-replace write (staging semantics, reference app/app.py:79). */
   def replace(table: String, df: DataFrame): Unit = {
-    df.write.mode(SaveMode.Overwrite).parquet(path(table))
+    val dir = newCommitDir(table)
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    commit(table, Seq(dir))
     register(table)
   }
 
@@ -58,36 +116,43 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   /** K3: insert-if-absent. Appends `batch` rows whose `keys` are not
     * already in `table`, deduped per key within the batch. Returns the
-    * number of rows appended. `partitionBy` controls physical layout
-    * (fact: ano/mes).
-    */
+    * number of rows appended. */
   def mergeIgnore(table: String, batch: DataFrame, keys: Seq[String],
                   partitionBy: Seq[String] = Seq.empty): Long = {
     val existing = if (exists(table)) this.table(table) else null
     appendDelta(table, MergeIgnore.newRows(batch, existing, keys), partitionBy)
   }
 
-  /** Append a pre-computed delta (already deduped/anti-joined). The
-    * delta plan may read `table` itself, so it is materialized to a
-    * staging subdir first — the append job must never scan files it is
-    * concurrently creating. */
+  /** Append a pre-computed delta (already deduped/anti-joined) as a new
+    * commit. The delta plan may read `table` itself; it materializes
+    * into its own fresh directory, which becomes visible only at the
+    * manifest flip — the append can never scan files it is creating. */
   def appendDelta(table: String, delta: DataFrame,
                   partitionBy: Seq[String] = Seq.empty): Long = {
-    val tmp = s"$root/.delta_${table}_${java.util.UUID.randomUUID().toString.take(8)}"
-    delta.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val materialized = spark.read.schema(delta.schema).parquet(tmp)
-    val n = materialized.count()
-    if (n > 0) {
-      val w = materialized.write.mode(SaveMode.Append)
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(path(table))
-    }
-    deleteRecursively(Paths.get(tmp))
+    val dir = newCommitDir(table)
+    val w = delta.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+    // declared schema: an empty delta writes no data files to infer from
+    val n = spark.read.schema(delta.schema).option("basePath", dir)
+      .parquet(dir).count()
+    if (n > 0) commit(table, liveCommits(table) :+ dir)
+    else deleteRecursively(Paths.get(dir))
     register(table)
     n
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  /** Fold all commits into one (scan-overhead maintenance). Atomic:
+    * readers see either the old commit set or the compacted one. */
+  def compact(table: String, partitionBy: Seq[String] = Seq.empty): Unit = {
+    if (!exists(table)) return
+    val dir = newCommitDir(table)
+    val w = this.table(table).write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+    commit(table, Seq(dir))
+    register(table)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))

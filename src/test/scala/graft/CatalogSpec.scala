@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+
+import graft.ledger.{Catalog, Schemas}
+
+/** Manifest-commit semantics of the warehouse catalog. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tipoDf(names: String*) =
+    names.zipWithIndex.map { case (n, i) => (i + 1, n) }.toDF("id_tipo", "nome_tipo")
+
+  test("orphan data dirs without a manifest flip are invisible to readers") {
+    val dir = Files.createTempDirectory("cat_orphan").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.replace("dim_tipo", tipoDf("a", "b"))
+    // simulate a crashed writer: data lands but no manifest commit
+    tipoDf("ghost").write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/wh/dim_tipo/c99_deadbeef")
+    assert(cat.table("dim_tipo").count() === 2)
+    val names = cat.table("dim_tipo").select("nome_tipo")
+      .as[String].collect().sorted
+    assert(names.toSeq === Seq("a", "b"))
+  }
+
+  test("replace flips to exactly the new state; appendDelta accumulates commits") {
+    val dir = Files.createTempDirectory("cat_ver").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.replace("dim_tipo", tipoDf("a"))
+    cat.appendDelta("dim_tipo", tipoDf("b").withColumn("id_tipo",
+      org.apache.spark.sql.functions.lit(2)))
+    assert(cat.table("dim_tipo").count() === 2)
+    cat.replace("dim_tipo", tipoDf("z"))
+    assert(cat.table("dim_tipo").select("nome_tipo").as[String].collect().toSeq === Seq("z"))
+  }
+
+  test("compact folds commits into one, preserving content and partitions") {
+    val dir = Files.createTempDirectory("cat_compact").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val rows = (1 to 10).map(i =>
+      (i.toLong, 1, 1, 1, 1, 1, s"d$i", new java.math.BigDecimal(s"$i.00"), s"h$i", 2024, i % 3 + 1))
+    val df = rows.toDF(Schemas.fatoLancamento.fieldNames: _*)
+      .withColumn("valor", org.apache.spark.sql.functions.col("valor")
+        .cast(org.apache.spark.sql.types.DecimalType(15, 2)))
+    df.filter("mes = 1").createOrReplaceTempView("b1")
+    cat.appendDelta("fato_lancamento", spark.table("b1"), Seq("ano", "mes"))
+    cat.appendDelta("fato_lancamento", df.filter("mes <> 1"), Seq("ano", "mes"))
+    val before = cat.table("fato_lancamento").count()
+    cat.compact("fato_lancamento", Seq("ano", "mes"))
+    assert(cat.table("fato_lancamento").count() === before)
+    // single live commit after compaction
+    val latest = Files.readString(
+      Paths.get(s"$dir/wh/fato_lancamento/_manifests/LATEST")).trim.toInt
+    val dirs = Files.readString(
+      Paths.get(s"$dir/wh/fato_lancamento/_manifests/v$latest")).split("\n")
+    assert(dirs.length === 1)
+    // month pruning still possible: partition dirs exist in the commit
+    import scala.jdk.CollectionConverters._
+    val files = Files.walk(Paths.get(dirs.head)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(files.contains("mes=1"))
+  }
+}

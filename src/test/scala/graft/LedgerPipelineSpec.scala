@@ -69,8 +69,12 @@ class LedgerPipelineSpec extends SparkSpec {
       .select("id_lancamento").as[Long](spark.implicits.newLongEncoder)
       .collect().sorted
     assert(ids.toSeq === (1L to 7L))
-    // fact partition layout: ano=/mes= dirs exist (scale: month pruning)
-    assert(Files.exists(java.nio.file.Paths.get(s"$dir/wh/fato_lancamento/ano=2024")))
+    // fact partition layout: ano=/mes= dirs exist inside the commit
+    // dirs (scale: month pruning)
+    import scala.jdk.CollectionConverters._
+    val factFiles = Files.walk(java.nio.file.Paths.get(s"$dir/wh/fato_lancamento"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    assert(factFiles.contains("ano=2024"), s"no ano=2024 dir in $factFiles")
   }
 
   test("validation rejects blank and null required fields with per-column report") {
