@@ -47,15 +47,28 @@ object Ingest {
 
   /** Full ingestion: validate (strict = throw with the violation report,
     * mirroring the reference's hard stop at app/app.py:53-62), transform,
-    * overwrite staging. Returns the staged row count.
+    * overwrite staging. Permissive mode routes offending rows to
+    * `rejects_lancamentos` with the violated-column list (SURVEY
+    * §1.4-7) instead of failing the batch. Returns the staged count.
     */
   def run(catalog: Catalog, csvPath: String, strict: Boolean = true): Long = {
     val raw = readCsv(catalog.spark, csvPath)
     val v = Validate(raw)
     if (strict && !v.ok()) throw Rejected(v.missingColumns, v.violations)
-    val staged = toStaging(
-      if (strict) raw else Validate.normalizeBlanks(raw).na.drop(Schemas.requiredColumns))
-    catalog.replace("staging_lancamentos", staged)
+    val normalized = Validate.normalizeBlanks(raw)
+    val clean =
+      if (strict) raw
+      else {
+        val motivo = array_join(array_compact(array(
+          Schemas.requiredColumns.map(c => when(col(c).isNull, lit(c))): _*)), ",")
+        val rejected = normalized
+          .withColumn("motivo", motivo)
+          .filter(col("motivo") =!= "")
+          .select(Schemas.rejects.fieldNames.map(col): _*)
+        catalog.replace("rejects_lancamentos", rejected)
+        normalized.na.drop(Schemas.requiredColumns)
+      }
+    catalog.replace("staging_lancamentos", toStaging(clean))
     catalog.table("staging_lancamentos").count()
   }
 }

@@ -77,12 +77,19 @@ object Schemas {
     StructField("ano", IntegerType),
     StructField("mes", IntegerType)))
 
+  /** Permissive-mode rejects (SURVEY §1.4-7): the raw row + the list of
+    * violated columns. Replaced per batch, like staging. */
+  val rejects: StructType = StructType(
+    requiredColumns.map(StructField(_, StringType)) :+
+      StructField("motivo", StringType, nullable = false))
+
   val tableNames: Seq[String] = Seq(
-    "staging_lancamentos", "dim_tempo", "dim_tipo", "dim_grupo",
-    "dim_categoria", "dim_classificacao", "fato_lancamento")
+    "staging_lancamentos", "rejects_lancamentos", "dim_tempo", "dim_tipo",
+    "dim_grupo", "dim_categoria", "dim_classificacao", "fato_lancamento")
 
   def schemaOf(table: String): StructType = table match {
     case "staging_lancamentos" => stagingSchema
+    case "rejects_lancamentos" => rejects
     case "dim_tempo"           => dimTempo
     case "dim_tipo"            => dimTipo
     case "dim_grupo"           => dimGrupo

@@ -88,6 +88,13 @@ class LedgerPipelineSpec extends SparkSpec {
     val cols = ex.violations.select("coluna").as[String](spark.implicits.newStringEncoder)
       .collect().sorted
     assert(cols.toSeq === Seq("Descrição", "Tipo"))
+
+    // permissive: clean rows staged, offenders routed to rejects
+    assert(Ingest.run(cat, bad, strict = false) === 1)
+    val rejects = cat.table("rejects_lancamentos")
+      .select("motivo").as[String](spark.implicits.newStringEncoder)
+      .collect().sorted
+    assert(rejects.toSeq === Seq("Descrição", "Tipo"))
   }
 
   test("hash-before-normalize: staging id_hash is computed on raw Valor") {
