@@ -12,7 +12,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.OlapQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.RelationalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,7 +22,8 @@ object SparkEntry {
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.OlapQueries.oracleSql ++
-      graft.queries.EventQueries.oracleSql
+      graft.queries.EventQueries.oracleSql ++
+      graft.queries.RelationalQueries.oracleSql
   /** Queries intentionally without oracle SQL (non-SQL-expressible in
     * DuckDB; driver records a weaker rows-only check). Keep tight. */
   def rowsOnlyQueries: Set[String] = Set(

@@ -152,6 +152,22 @@ final class Catalog(val spark: SparkSession, val root: String) {
     register(table)
   }
 
+  /** Delete commit dirs not referenced by the LATEST manifest (crashed
+    * writers, replaced/compacted history). Assumes no reader is pinned
+    * to an older version — run from the single writer, like compaction
+    * in any MVCC table format. */
+  def vacuum(table: String): Int = {
+    val live = liveCommits(table).map(p => Paths.get(p).getFileName.toString).toSet
+    val td = Paths.get(tableDir(table))
+    if (!Files.exists(td)) return 0
+    val doomed = Files.list(td).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p))
+      .filter(p => p.getFileName.toString != "_manifests")
+      .filterNot(p => live.contains(p.getFileName.toString))
+    doomed.foreach(deleteRecursively)
+    doomed.size
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Remaining relational breadth: pivot, set ops, non-equi (range)
+  * joins, and the window-function family. Oracles use portable CASE /
+  * window SQL (no DuckDB-only syntax) so both sides share semantics.
+  */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // pivot: order totals by priority (rows) × year (columns).
+    "q36_pivot" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot(year(col("o_orderdate")).cast("int"), Seq(1995, 1996, 1997))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)))
+        .withColumnsRenamed(Map("1995" -> "y1995", "1996" -> "y1996", "1997" -> "y1997"))),
+
+    // INTERSECT: customers active in both 1995 and 1996.
+    "q37_intersect" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      yr(1995).intersect(yr(1996))
+    }),
+
+    // non-equi range join: price bands × parts (small band table
+    // broadcasts; the nested-loop scan is the right plan for a tiny
+    // non-equi build side).
+    "q38_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("low", 0.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 99999.0))
+        .toDF("band", "lo", "hi")
+      Tables(s, d, "part").join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(dec(col("p_retailprice"))).cast(DecimalType(38, 2)).as("total_price"))
+    }),
+
+    // window family: rank/dense_rank/lag/lead/running sum per group.
+    "q39_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders")
+        .filter(col("o_custkey") < 200)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast("int").as("rnk"),
+          dense_rank().over(w).cast("int").as("drnk"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          sum(dec(col("o_totalprice"))).over(cum).cast(DecimalType(38, 2)).as("running_total"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q36_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS y1995,
+        | CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS y1996,
+        | CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS y1997
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q37_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+
+    "q38_range_join" ->
+      """WITH bands(band, lo, hi) AS (
+        |  VALUES ('low', 0.0, 930.0), ('mid', 930.0, 970.0), ('high', 970.0, 99999.0))
+        |SELECT band, COUNT(*) AS n_parts,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY 1""".stripMargin,
+
+    "q39_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(rank() OVER w AS INT) AS rnk,
+        | CAST(dense_rank() OVER w AS INT) AS drnk,
+        | lag(o_orderkey) OVER w AS prev_order,
+        | lead(o_orderkey) OVER w AS next_order,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_total
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+  )
+}

@@ -62,5 +62,8 @@ class CatalogSpec extends SparkSpec {
     val files = Files.walk(Paths.get(dirs.head)).iterator().asScala
       .map(_.getFileName.toString).toSet
     assert(files.contains("mes=1"))
+    // vacuum removes the two superseded commit dirs, content unchanged
+    assert(cat.vacuum("fato_lancamento") === 2)
+    assert(cat.table("fato_lancamento").count() === before)
   }
 }
