@@ -133,17 +133,29 @@ final class Warehouse(catalog: Catalog) {
     catalog.appendDelta(table, keyed)
   }
 
-  /** The full build, in dependency order. Returns per-table appended
-    * row counts. */
+  /** The full build. The reference's only hard edges are
+    * tipo→grupo→categoria→fato, tempo→fato, classificacao→fato
+    * (app/etl.py:136-149 runs sequentially only by accident), so the
+    * three independent dims run as parallel futures — concurrent Spark
+    * jobs interleave their stages and hide scheduling latency; each
+    * writes a different table, preserving single-writer-per-table
+    * discipline. Returns per-table appended row counts. */
   def run(): Map[String, Long] = {
-    val counts = Map(
-      "dim_tempo" -> loadDimTempo(),
-      "dim_tipo" -> loadDimTipo()) ++ Map(
-      "dim_grupo" -> loadDimGrupo()) ++ Map(
-      "dim_categoria" -> loadDimCategoria(),
-      "dim_classificacao" -> loadDimClassificacao()) ++ Map(
-      "fato_lancamento" -> loadFato())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tempoF = Future(loadDimTempo())
+    val clsF = Future(loadDimClassificacao())
+    val tipo = loadDimTipo()
+    val grupo = loadDimGrupo()
+    val categoria = loadDimCategoria()
+    val tempo = Await.result(tempoF, Duration.Inf)
+    val cls = Await.result(clsF, Duration.Inf)
+    val fato = loadFato()
     catalog.registerAll()
-    counts
+    Map(
+      "dim_tempo" -> tempo, "dim_tipo" -> tipo, "dim_grupo" -> grupo,
+      "dim_categoria" -> categoria, "dim_classificacao" -> cls,
+      "fato_lancamento" -> fato)
   }
 }
