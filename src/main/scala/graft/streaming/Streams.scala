@@ -48,6 +48,17 @@ object Streams {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup on an id column: at-least-once upstream →
+    * effectively-once downstream. State is bounded by the watermark
+    * (ids older than the delay are evicted — the training-pipeline
+    * "don't reprocess the same doc" guard as a stream). */
+  def dedupedByIds(events: DataFrame, idCols: Seq[String],
+                   tsCol: String = "ts",
+                   watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class UserCount(user_id: Long, n_events: Long, last_type: String)
 

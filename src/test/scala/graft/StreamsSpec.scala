@@ -73,6 +73,24 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedByIds: duplicate ids across micro-batches emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = Streams.dedupedByIds(mem.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 1L, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts(3), 1L, "click", 3.0), Event(ts(4), 2L, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").select("user_id", "event_type")
+        .as[(Long, String)].collect().sorted
+      assert(rows.toSeq === Seq((1L, "click"), (2L, "click")))
+    } finally q.stop()
+  }
+
   test("ledgerUploadStream: files dropped in a dir flow through the warehouse, idempotently") {
     val dir = Files.createTempDirectory("stream_ledger").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
