@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.DotProductFloat
+import graft.expressions.{DotProductFloat, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -16,5 +16,6 @@ import graft.expressions.DotProductFloat
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(DotProductFloat.registration)
+    ext.injectFunction(WordShingles.registration)
   }
 }

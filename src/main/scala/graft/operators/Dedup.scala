@@ -38,7 +38,12 @@ object Dedup {
     * shorter (shifted) side with null and concat propagates it, so the
     * k-1 tail entries null out and array_compact drops them.
     */
-  def shingles(c: Column, k: Int): Column = {
+  def shingles(c: Column, k: Int): Column =
+    graft.expressions.TextExpressions.wordShingles(c, k)
+
+  /** The pure-builtin composition (slower: interpreted HOF chain) —
+    * kept as the parity reference for the native expression. */
+  def shinglesComposed(c: Column, k: Int): Column = {
     val w = words(c)
     if (k == 1) array_distinct(w)
     else {

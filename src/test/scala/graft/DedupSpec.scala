@@ -14,6 +14,22 @@ class DedupSpec extends SparkSpec {
     assert(out(2) === Seq("x x x")) // distinct
   }
 
+  test("native word_shingles matches the composed builtin form on real docs") {
+    for (k <- Seq(1, 2, 3)) {
+      val diff = Tables(spark, sf001, "documents")
+        .select(Dedup.shingles(col("text"), k).as("fast"),
+          Dedup.shinglesComposed(col("text"), k).as("slow"))
+        .filter(col("fast") =!= col("slow"))
+      assert(diff.count() === 0, s"k=$k mismatch")
+    }
+    // unicode + punctuation edge: lowercase mapping shared with lower()
+    val edge = Seq("AÇÃO é ótima! X9y, Zz... ,,", "", "  ", "ab").toDF("text")
+    val d2 = edge.select(Dedup.shingles(col("text"), 2).as("fast"),
+      Dedup.shinglesComposed(col("text"), 2).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(d2.count() === 0)
+  }
+
   test("nearDupPairs finds planted near-dup, not unrelated docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
