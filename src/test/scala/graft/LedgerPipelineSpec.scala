@@ -77,6 +77,29 @@ class LedgerPipelineSpec extends SparkSpec {
     assert(factFiles.contains("ano=2024"), s"no ano=2024 dir in $factFiles")
   }
 
+  test("BI surface: typed fact Dataset and canned Metabase-shape queries") {
+    val dir = Files.createTempDirectory("ledger_bi").toString
+    val cat = new graft.ledger.Catalog(spark, s"$dir/wh")
+    Ingest.run(cat, writeCsv(dir, "b.csv", batch1))
+    new Warehouse(cat).run()
+
+    val fact = graft.ledger.BiQueries.fact(cat).collect()
+    assert(fact.length === 4)
+    assert(fact.map(_.valor.toPlainString).sorted.head === "10000.00")
+
+    val monthly = graft.ledger.BiQueries.monthlyByTipo(spark).collect()
+    assert(monthly.map(r => (r.getString(0), r.getDecimal(3).toPlainString)).toSeq
+      === Seq(("Despesa", "2383.35"), ("Receita", "10000.00")))
+
+    val drill = graft.ledger.BiQueries.categoryDrilldown(spark)
+    assert(drill.filter("nome_tipo IS NULL").count() === 1) // grand total row
+
+    val share = graft.ledger.BiQueries.classificationShare(spark, 2024, 1)
+    val total = share.agg(org.apache.spark.sql.functions.sum("share"))
+      .head().getDecimal(0).doubleValue()
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
+
   test("validation rejects blank and null required fields with per-column report") {
     val dir = Files.createTempDirectory("ledger_val").toString
     val cat = new Catalog(spark, s"$dir/wh")
