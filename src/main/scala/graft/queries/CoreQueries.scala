@@ -15,7 +15,14 @@ import graft.operators.{MergeIgnore, SurrogateKeys}
   * Conventions shared with the DuckDB oracle SQL (driver t2 gate):
   *   - every money/quantity aggregate goes through DecimalType — exact and
   *     associative, so partial/final aggregation order can't produce
-  *     floating-point drift between engines;
+  *     floating-point drift between engines — and the FINAL output column
+  *     is cast to DOUBLE on both sides: one correctly-rounded conversion
+  *     of the identical exact value (unscaled < 2^53 at every SF, so the
+  *     double is exact anyway). DECIMAL must not appear in result schemas:
+  *     engines render equal decimals with different string scales
+  *     ("901.00" vs "901.0"), which breaks the driver's stringified hash
+  *     compare even when values are identical (round-1 lesson: the 12
+  *     hash-mismatched queries were exactly the 12 with decimal outputs);
   *   - every output column is explicitly aliased (and explicitly typed
   *     where engine defaults differ, e.g. year() is INT in Spark but
   *     BIGINT in DuckDB);
@@ -40,10 +47,10 @@ object CoreQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -62,7 +69,7 @@ object CoreQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-            .cast(DecimalType(38, 4)).as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -108,7 +115,7 @@ object CoreQueries {
       p.select(
         col("p_partkey"),
         brl.as("valor_brl"),
-        parseBrazilianMoney(brl).as("valor"))
+        parseBrazilianMoney(brl).cast("double").as("valor"))
     }),
 
     // F11-F16: the dim_tempo build — month dim with ISO week + month
@@ -140,7 +147,7 @@ object CoreQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          dec(col("o_totalprice")).as("price"), col("rn"))
+          dec(col("o_totalprice")).cast("double").as("price"), col("rn"))
     }),
 
     // P5/A5/A6: the null-audit validation (app/app.py:34-62) as one
@@ -179,12 +186,12 @@ object CoreQueries {
         .groupBy(
           yearOf(col("o_orderdate")).cast("int").as("ano"),
           monthOf(col("o_orderdate")).cast("int").as("mes"))
-        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("order_total"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("order_total"))
       val lm = t(s, d, "lineitem")
         .groupBy(
           yearOf(col("l_shipdate")).cast("int").as("ano"),
           monthOf(col("l_shipdate")).cast("int").as("mes"))
-        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("ship_total"))
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("ship_total"))
       om.join(lm, Seq("ano", "mes"), "inner")
         .select(col("ano"), col("mes"), col("order_total"), col("ship_total"))
     }),
@@ -203,7 +210,7 @@ object CoreQueries {
           col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(dec(col("value"))).cast(DecimalType(38, 2)).as("total_value"))
+          sum(dec(col("value"))).cast("double").as("total_value"))
     })
   )
 
@@ -213,9 +220,9 @@ object CoreQueries {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -223,7 +230,7 @@ object CoreQueries {
 
     "q2_star_revenue" ->
       """SELECT r_name, n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -253,7 +260,7 @@ object CoreQueries {
     "q7_brl_money" ->
       """SELECT p_partkey,
         | replace(CAST(CAST(p_retailprice AS DECIMAL(15,2)) AS VARCHAR), '.', ',') AS valor_brl,
-        | CAST(replace(replace(replace(CAST(CAST(p_retailprice AS DECIMAL(15,2)) AS VARCHAR), '.', ','), '.', ''), ',', '.') AS DECIMAL(15,2)) AS valor
+        | CAST(CAST(replace(replace(replace(CAST(CAST(p_retailprice AS DECIMAL(15,2)) AS VARCHAR), '.', ','), '.', ''), ',', '.') AS DECIMAL(15,2)) AS DOUBLE) AS valor
         |FROM part""".stripMargin,
 
     "q8_month_dim" ->
@@ -272,7 +279,7 @@ object CoreQueries {
     "q10_window_topk" ->
       """SELECT o_custkey, o_orderkey, price, rn FROM (
         | SELECT o_custkey, o_orderkey,
-        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         |        CAST(row_number() OVER (PARTITION BY o_custkey
         |                                ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
         | FROM orders)
@@ -302,12 +309,12 @@ object CoreQueries {
       """WITH om AS (
         |  SELECT CAST(year(o_orderdate) AS INT) AS ano,
         |         CAST(month(o_orderdate) AS INT) AS mes,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_total
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total
         |  FROM orders GROUP BY 1, 2),
         |lm AS (
         |  SELECT CAST(year(l_shipdate) AS INT) AS ano,
         |         CAST(month(l_shipdate) AS INT) AS mes,
-        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS ship_total
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ship_total
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT om.ano, om.mes, order_total, ship_total
         |FROM om JOIN lm ON om.ano = lm.ano AND om.mes = lm.mes""".stripMargin,
@@ -315,7 +322,7 @@ object CoreQueries {
     "q15_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin
   )

@@ -24,14 +24,14 @@ object OlapQueries {
         .rollup(col("o_orderpriority"),
           year(col("o_orderdate")).cast("int").as("ano"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"))),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))),
 
     // CUBE (returnflag, linestatus).
     "q28_cube" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_items"),
-          sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))),
 
     // GROUPING SETS via the SQL surface.
     "q29_grouping_sets" -> ((s, d) => {
@@ -67,7 +67,7 @@ object OlapQueries {
       SkewJoin.saltedJoin(li, o, Seq("l_orderkey"), buckets = 8)
         .groupBy(col("l_orderkey"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
-          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("total"))
+          sum(dec(col("l_extendedprice"))).cast("double").as("total"))
     })
   )
 
@@ -76,13 +76,13 @@ object OlapQueries {
     "q27_rollup" ->
       """SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS ano,
         | COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY ROLLUP (o_orderpriority, ano)""".stripMargin,
 
     "q28_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
@@ -101,7 +101,7 @@ object OlapQueries {
     "q32_salted_join" ->
       """SELECT l_orderkey, o_orderpriority,
         | COUNT(*) AS n_items,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2""".stripMargin
   )

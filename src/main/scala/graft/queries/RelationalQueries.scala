@@ -22,7 +22,7 @@ object RelationalQueries {
       Tables(s, d, "orders")
         .groupBy(col("o_orderpriority"))
         .pivot(year(col("o_orderdate")).cast("int"), Seq(1995, 1996, 1997))
-        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)))
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
         .withColumnsRenamed(Map("1995" -> "y1995", "1996" -> "y1996", "1997" -> "y1997"))),
 
     // INTERSECT: customers active in both 1995 and 1996.
@@ -45,7 +45,7 @@ object RelationalQueries {
         col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_parts"),
-          sum(dec(col("p_retailprice"))).cast(DecimalType(38, 2)).as("total_price"))
+          sum(dec(col("p_retailprice"))).cast("double").as("total_price"))
     }),
 
     // window family: rank/dense_rank/lag/lead/running sum per group.
@@ -60,7 +60,7 @@ object RelationalQueries {
           dense_rank().over(w).cast("int").as("drnk"),
           lag(col("o_orderkey"), 1).over(w).as("prev_order"),
           lead(col("o_orderkey"), 1).over(w).as("next_order"),
-          sum(dec(col("o_totalprice"))).over(cum).cast(DecimalType(38, 2)).as("running_total"))
+          sum(dec(col("o_totalprice"))).over(cum).cast("double").as("running_total"))
     })
   )
 
@@ -68,9 +68,9 @@ object RelationalQueries {
 
     "q36_pivot" ->
       """SELECT o_orderpriority,
-        | CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS y1995,
-        | CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS y1996,
-        | CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS y1997
+        | CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS y1995,
+        | CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS y1996,
+        | CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS y1997
         |FROM orders GROUP BY 1""".stripMargin,
 
     "q37_intersect" ->
@@ -82,7 +82,7 @@ object RelationalQueries {
       """WITH bands(band, lo, hi) AS (
         |  VALUES ('low', 0.0, 930.0), ('mid', 930.0, 970.0), ('high', 970.0, 99999.0))
         |SELECT band, COUNT(*) AS n_parts,
-        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY 1""".stripMargin,
 
@@ -94,7 +94,7 @@ object RelationalQueries {
         | lead(o_orderkey) OVER w AS next_order,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |            ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_total
+        |            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
   )
