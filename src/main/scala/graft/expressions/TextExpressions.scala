@@ -34,10 +34,16 @@ case class WordShingles(left: Expression, right: Expression)
   override def prettyName: String = WordShingles.name
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == IntegerType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"${WordShingles.name} expects (string, foldable int)")
+    if (!(left.dataType == StringType && right.dataType == IntegerType && right.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        s"${WordShingles.name} expects (string, foldable int)")
+    else right.eval(null) match {
+      // resolve-time rejection: a null k would unbox to 0 and k <= 0 would
+      // silently yield a single empty shingle per row instead of failing.
+      case kk: Int if kk > 0 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"${WordShingles.name} expects k to be a non-null int > 0, got $other")
+    }
 
   @transient private lazy val k: Int =
     right.eval(null).asInstanceOf[Int]

@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * whole-stage-codegen span), reading both arrays' primitive storage
   * directly: no allocation, no boxing. Accumulation order is index
   * 0..n-1 with floats widened to double — bit-identical to the
-  * composed form.
+  * composed form, INCLUDING null semantics: unequal lengths yield NULL
+  * (zip_with pads with null, null products nullify the sum) and a null
+  * element on either side yields NULL (null propagates through the
+  * aggregate's `+`).
   *
   * Registered through the PUBLIC extension point
   * ([[graft.GraftExtensions]] → `SparkSessionExtensions.injectFunction`)
@@ -29,6 +32,8 @@ case class DotProductFloat(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // null even on non-null inputs (length mismatch / null elements)
+  override def nullable: Boolean = true
   override def prettyName: String = DotProductFloat.name
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -45,13 +50,13 @@ case class DotProductFloat(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     sum
@@ -63,14 +68,17 @@ case class DotProductFloat(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $sum += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

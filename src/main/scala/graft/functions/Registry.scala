@@ -25,6 +25,9 @@ object Registry {
         |RETURNS STRING
         |RETURN CASE WHEN v RLIKE '^\\s*$' THEN NULL ELSE v END
         |""".stripMargin)
+    // valor coalesces to '0', not 'None': the pipeline applies fillna('0')
+    // to Valor BEFORE hashing (reference app/app.py:65, app/utils.py:6), so
+    // SQL callers must produce the same id_hash for rows with missing Valor.
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION ledger_hash(
         |  tipo STRING, grupo STRING, categoria STRING,
@@ -36,7 +39,7 @@ object Registry {
         |  lower(trim(coalesce(categoria, 'None'))), '-',
         |  trim(coalesce(data, 'None')), '-',
         |  lower(trim(coalesce(descricao, 'None'))), '-',
-        |  coalesce(valor_raw, 'None')))
+        |  coalesce(valor_raw, '0')))
         |""".stripMargin)
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION doc_fingerprint(t STRING)

@@ -114,8 +114,9 @@ final class Warehouse(catalog: Catalog) {
     val offset = catalog.maxId("fato_lancamento", "id_lancamento")
     val existing = if (catalog.exists("fato_lancamento")) catalog.table("fato_lancamento") else null
     val delta = MergeIgnore.newRows(candidates, existing, Seq("id_hash"))
-    val keyed = SurrogateKeys.assign(delta, "id_lancamento", Seq("id_hash"), offset)
-      .withColumn("id_lancamento", col("id_lancamento").cast("long"))
+    // Fact-scale id assignment: assignScalable (no single-task window,
+    // native long — the int-cast assign is reserved for dimension tables).
+    val keyed = SurrogateKeys.assignScalable(delta, "id_lancamento", Seq("id_hash"), offset)
       .select(Schemas.fatoLancamento.fieldNames.map(col): _*)
     catalog.appendDelta("fato_lancamento", keyed, partitionBy = Seq("ano", "mes"))
   }

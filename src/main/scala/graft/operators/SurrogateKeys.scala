@@ -25,24 +25,34 @@ object SurrogateKeys {
     df.withColumn(idCol, (row_number().over(w) + lit(offset)).cast("int"))
   }
 
-  /** Dense ids at fact scale: sort by `orderBy`, then per-partition
-    * row_number + exclusive prefix-sum of partition sizes. Two passes,
-    * no single-task window. */
+  /** Dense LONG ids at fact scale: range-repartition + sort by `orderBy`,
+    * then per-partition row_number + exclusive prefix-sum of partition
+    * sizes. Two passes, no single-task window, no 32-bit overflow.
+    *
+    * The sorted input is persisted before the counting pass:
+    * `repartitionByRange` samples boundaries per materialization, so
+    * without the pin the count job and the assignment job could see
+    * different partitionings and the prefix sums would be wrong.
+    * Partition starts join in via a broadcast map-join (a `when` chain
+    * over thousands of partitions would blow up codegen). */
   def assignScalable(df: DataFrame, idCol: String, orderBy: Seq[String], offset: Long = 0L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val sorted = df.repartitionByRange(orderBy.map(col): _*)
       .sortWithinPartitions(orderBy.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val withPid = sorted.withColumn("__pid", spark_partition_id())
     val counts = withPid.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = counts.keys.toSeq.sorted
-    val starts: Map[Int, Long] = pids.zip(
-      pids.scanLeft(offset) { case (acc, p) => acc + counts(p) }).toMap
+    val starts: Seq[(Int, Long)] = pids.zip(
+      pids.scanLeft(offset) { case (acc, p) => acc + counts(p) })
+    val spark = df.sparkSession
+    import spark.implicits._
+    val startsDf = broadcast(starts.toDF("__pid", "__start"))
     val w = Window.partitionBy(col("__pid")).orderBy(orderBy.map(col): _*)
-    val startExpr = starts.foldLeft(lit(offset)) { case (e, (p, s)) =>
-      when(col("__pid") === p, lit(s)).otherwise(e)
-    }
     withPid
-      .withColumn(idCol, row_number().over(w).cast("long") + startExpr)
-      .drop("__pid")
+      .join(startsDf, "__pid")
+      .withColumn(idCol, row_number().over(w).cast("long") + col("__start"))
+      .drop("__pid", "__start")
   }
 }

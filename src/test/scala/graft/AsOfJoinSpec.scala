@@ -25,6 +25,20 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 15L, Some(9.0))))
   }
 
+  test("a matched right row is attached whole — null fields included, never blended") {
+    // right row at t=20 has a null aux; the match at t=25 must carry
+    // (2.0, null), NOT blend aux=9 from the older t=10 row.
+    val quotes = Seq(
+      ("A", 10L, Some(1.0), Some(9)),
+      ("A", 20L, Some(2.0), None: Option[Int]))
+      .toDF("sym", "qt", "price", "aux")
+    val trades = Seq(("A", 25L)).toDF("sym", "tt")
+    val out = AsOfJoin.lastAtOrBefore(trades, quotes, Seq("sym"),
+      leftTime = "tt", rightTime = "qt", payload = Seq("price", "aux"))
+      .select("price", "aux").as[(Option[Double], Option[Int])].head()
+    assert(out === (Some(2.0), None))
+  }
+
   test("payload name collision with left side gets right_ prefix") {
     val l = Seq((1, 10L, "lv")).toDF("k", "t", "v")
     val r = Seq((1, 5L, "rv")).toDF("k", "rt", "v")

@@ -14,6 +14,16 @@ class DedupSpec extends SparkSpec {
     assert(out(2) === Seq("x x x")) // distinct
   }
 
+  test("word_shingles rejects non-positive or null k at analysis time") {
+    val df = Seq("a b c").toDF("t")
+    for (bad <- Seq("0", "-1", "CAST(NULL AS INT)")) {
+      val e = intercept[Exception] {
+        df.selectExpr(s"word_shingles(t, $bad)").collect()
+      }
+      assert(e.getMessage.contains("word_shingles"), s"k=$bad: ${e.getMessage}")
+    }
+  }
+
   test("native word_shingles matches the composed builtin form on real docs") {
     for (k <- Seq(1, 2, 3)) {
       val diff = Tables(spark, sf001, "documents")

@@ -30,6 +30,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.toSeq === Seq(Some(11.0), None, Some(0.0)))
   }
 
+  test("dotF matches composed-form null semantics: length mismatch and null elements") {
+    val df = Seq(
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(3.0f))),              // unequal length
+      (Seq(Some(1.0f), None), Seq(Some(3.0f), Some(4.0f))),        // null element
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(3.0f), Some(4.0f)))) // clean
+      .toDF("a", "b")
+    val out = df.select(dotF(col("a"), col("b"))).as[Option[Double]].collect()
+    assert(out.toSeq === Seq(None, None, Some(11.0)))
+  }
+
   test("dotF stays inside whole-stage codegen") {
     val df = Tables(spark, sf0001, "embeddings").limit(10)
       .select(dotF(col("embedding"), col("embedding")).as("d"))
