@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{DotProductFloat, WordShingles}
+import graft.expressions.{DotProductFloat, LangId, SimHashBits, StopHits, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -17,5 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(DotProductFloat.registration)
     ext.injectFunction(WordShingles.registration)
+    ext.injectFunction(SimHashBits.registration)
+    ext.injectFunction(LangId.registration)
+    ext.injectFunction(StopHits.registration)
   }
 }

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
@@ -100,8 +100,241 @@ object WordShingles {
     })
 }
 
+/** Shared [a-z]-run tokenizer for the native text expressions —
+  * byte-for-byte the semantics of
+  * `regexp_extract_all(lower(text), '[a-z]+')` (lowercasing via the
+  * same UTF8String.toLowerCase as the `lower` function). */
+private[expressions] object AzWords {
+  /** Word → occurrence count, plus total occurrences. */
+  def freq(text: UTF8String): (java.util.HashMap[String, Int], Int) = {
+    val lowered = text.toLowerCase.toString
+    val m = new java.util.HashMap[String, Int]()
+    var total = 0
+    var i = 0
+    val n = lowered.length
+    while (i < n) {
+      val c = lowered.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        var j = i + 1
+        while (j < n && lowered.charAt(j) >= 'a' && lowered.charAt(j) <= 'z') j += 1
+        val w = lowered.substring(i, j)
+        m.merge(w, 1, (a, b) => a + b)
+        total += 1
+        i = j
+      } else i += 1
+    }
+    (m, total)
+  }
+}
+
+/** Native SimHash bit vector: 64 ints (0/1), one fused pass.
+  *
+  * Semantics are EXACTLY the composed form
+  * ([[graft.operators.Dedup.simhashBitsComposed]]): per word occurrence,
+  * the first 16 hex chars of md5(word) contribute 64 bits (nibble
+  * MSB-first); bit i of the signature is 1 iff
+  * `2 * sum_i >= totalWords` (ties → 1; empty text → all ones). The
+  * composed aggregate/zip_with chain is interpreted and allocates two
+  * 64-element arrays per word occurrence — measured 16 s for one sf0.1
+  * pass vs well under a second for this loop. Repeated words hash once
+  * (frequency-weighted), which the HOF form cannot express.
+  */
+case class SimHashBits(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = SimHashBits.name
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"${SimHashBits.name} expects a string")
+
+  override def nullSafeEval(text: Any): Any = {
+    val (freq, total) = AzWords.freq(text.asInstanceOf[UTF8String])
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    freq.forEach { (w, f) =>
+      val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 64) {
+        if (((d(j >> 3) >> (7 - (j & 7))) & 1) == 1) counts(j) += f
+        j += 1
+      }
+    }
+    val bits = new Array[Any](64)
+    var i = 0
+    while (i < 64) {
+      bits(i) = if (2 * counts(i) >= total) 1 else 0
+      i += 1
+    }
+    new GenericArrayData(bits)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+object SimHashBits {
+  val name = "simhash_bits"
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[SimHashBits].getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, s"$name takes 1 argument, got ${exprs.length}")
+      SimHashBits(exprs.head)
+    })
+}
+
+/** Native stopword-hit count: occurrences (repeats counted) of words
+  * from a foldable list in the [a-z]-run tokenization of the text —
+  * EXACTLY `size(filter(regexp_extract_all(lower(text), '[a-z]+'),
+  * w => array_contains(stops, w)))`, as one tokenize pass + hash-set
+  * lookups instead of a regexp pass plus an interpreted filter lambda
+  * doing a linear array scan per word.
+  */
+case class StopHits(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = StopHits.name
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType &&
+        right.dataType.isInstanceOf[ArrayType] &&
+        right.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+        right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${StopHits.name} expects (string, foldable array<string>)")
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    val arr = right.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(text: Any, stops: Any): Any = {
+    val (freq, _) = AzWords.freq(text.asInstanceOf[UTF8String])
+    var hits = 0
+    freq.forEach { (w, f) => if (stopSet.contains(w)) hits += f }
+    hits
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StopHits =
+    copy(left = newLeft, right = newRight)
+}
+
+object StopHits {
+  val name = "stop_hits"
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[StopHits].getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"$name takes 2 arguments, got ${exprs.length}")
+      StopHits(exprs.head, exprs(1))
+    })
+}
+
+/** Native language ID: one tokenize pass + static stopword lookup.
+  *
+  * Semantics are EXACTLY the composed CASE/greatest form
+  * ([[graft.functions.TextFunctions.langIdComposed]]): score per
+  * language = stopword occurrences (repeats counted, a word may score
+  * for several languages), result = first language in list order
+  * attaining the maximum, "und" when all scores are zero. The composed
+  * form runs one regexp_extract_all + interpreted array filter PER
+  * LANGUAGE; this walks the text once and looks words up in a
+  * prebuilt word → languages map.
+  */
+case class LangId(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = LangId.name
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"${LangId.name} expects a string")
+
+  override def nullSafeEval(text: Any): Any = {
+    val (freq, _) = AzWords.freq(text.asInstanceOf[UTF8String])
+    val scores = new Array[Int](LangId.langs.length)
+    freq.forEach { (w, f) =>
+      val hit = LangId.wordLangs.get(w)
+      if (hit != null) {
+        var i = 0
+        while (i < hit.length) { scores(hit(i)) += f; i += 1 }
+      }
+    }
+    // first language attaining the max; all-zero scores → "und"
+    var best = -1
+    var bestScore = 0
+    var i = 0
+    while (i < scores.length) {
+      if (scores(i) > bestScore) { best = i; bestScore = scores(i) }
+      i += 1
+    }
+    if (best < 0) LangId.und else LangId.langsUtf8(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+object LangId {
+  val name = "lang_id"
+
+  private[expressions] val langs: Array[String] =
+    graft.functions.TextFunctions.stopwords.map(_._1).toArray
+  private[expressions] val langsUtf8: Array[UTF8String] =
+    langs.map(UTF8String.fromString)
+  private[expressions] val und: UTF8String = UTF8String.fromString("und")
+
+  /** word → indexes of every language whose stopword list contains it. */
+  private[expressions] val wordLangs: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    graft.functions.TextFunctions.stopwords.zipWithIndex.foreach {
+      case ((_, ws), i) =>
+        ws.foreach { w =>
+          m.merge(w, Array(i), (a, b) => a ++ b)
+        }
+    }
+    m
+  }
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[LangId].getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, s"$name takes 1 argument, got ${exprs.length}")
+      LangId(exprs.head)
+    })
+}
+
 object TextExpressions {
   /** Distinct k-shingles of [a-z] word runs, fused native loop. */
   def wordShingles(text: Column, k: Int): Column =
     call_function(WordShingles.name, text, org.apache.spark.sql.functions.lit(k))
+
+  /** 64 SimHash bits (0/1 ints), fused native loop. */
+  def simhashBits(text: Column): Column =
+    call_function(SimHashBits.name, text)
+
+  /** Stopword-argmax language ID, fused native loop. */
+  def langId(text: Column): Column =
+    call_function(LangId.name, text)
+
+  /** Stopword occurrence count, fused native loop. */
+  def stopHits(text: Column, stops: Seq[String]): Column =
+    call_function(StopHits.name, text,
+      org.apache.spark.sql.functions.array(
+        stops.map(org.apache.spark.sql.functions.lit): _*))
 }

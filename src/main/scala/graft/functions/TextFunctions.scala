@@ -30,8 +30,13 @@ object TextFunctions {
     regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))
 
   /** Count of words that appear in `stops` (with repeats — a ratio
-    * numerator, not a set size). */
-  def stopwordHits(c: Column, stops: Seq[String]): Column = {
+    * numerator, not a set size). Native one-pass expression
+    * ([[graft.expressions.StopHits]]). */
+  def stopwordHits(c: Column, stops: Seq[String]): Column =
+    graft.expressions.TextExpressions.stopHits(c, stops)
+
+  /** Pure-builtin composition — parity reference for [[stopwordHits]]. */
+  def stopwordHitsComposed(c: Column, stops: Seq[String]): Column = {
     val set = array(stops.map(lit): _*)
     size(filter(words(c), w => array_contains(set, w)))
   }
@@ -46,13 +51,18 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"),
     "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"))
 
-  /** Language ID: argmax stopword hits across [[stopwords]]. Chained
-    * CASE with GREATEST — the first language (list order) whose score
-    * ties-or-beats all later ones wins; "und" when nothing matched.
-    * The DuckDB oracle SQL is the same CASE shape, so the tie-break is
-    * engine-independent by construction. */
-  def langId(c: Column): Column = {
-    val scores = stopwords.map { case (l, s) => l -> stopwordHits(c, s) }
+  /** Language ID: argmax stopword hits across [[stopwords]]; first
+    * language (list order) wins ties; "und" when nothing matched.
+    * Native one-pass expression ([[graft.expressions.LangId]]); the
+    * DuckDB oracle replays the equivalent CASE/GREATEST SQL, and
+    * [[langIdComposed]] keeps that form for parity testing. */
+  def langId(c: Column): Column =
+    graft.expressions.TextExpressions.langId(c)
+
+  /** The pure-builtin composition (one regexp pass + interpreted array
+    * filter per language) — parity reference for the native form. */
+  def langIdComposed(c: Column): Column = {
+    val scores = stopwords.map { case (l, s) => l -> stopwordHitsComposed(c, s) }
     val total = scores.map(_._2).reduce(_ + _)
     val cases = scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
       case (((lang, score), i), elseCol) =>

@@ -129,8 +129,16 @@ object Dedup {
     }))
 
   /** Per-bit majority vote over all words (repeats counted); ties → 1.
-    * Returns array<int> of 64 bits. */
-  def simhashBits(c: Column): Column = {
+    * Returns array<int> of 64 bits. Native fused loop
+    * ([[graft.expressions.SimHashBits]]); the interpreted HOF chain it
+    * replaces is kept as [[simhashBitsComposed]] for parity testing. */
+  def simhashBits(c: Column): Column =
+    graft.expressions.TextExpressions.simhashBits(c)
+
+  /** The pure-builtin composition (slower: one interpreted
+    * aggregate+zip_with pass per word occurrence) — parity reference
+    * for the native expression. */
+  def simhashBitsComposed(c: Column): Column = {
     val ws = words(c)
     val zeros = transform(sequence(lit(1), lit(64)), _ => lit(0))
     val sums = aggregate(ws, zeros,
@@ -138,12 +146,15 @@ object Dedup {
     transform(sums, s => when(s * 2 >= size(ws), lit(1)).otherwise(lit(0)))
   }
 
-  /** SimHash as a 16-char lowercase hex string. Assembled via one
+  /** Bit array → 16-char lowercase hex. Assembled via one
     * conv(bitstring, 2, 16) — indexing the bit array from a transform
-    * lambda would recompute the whole signature per nibble (capture
+    * lambda would recompute the signature per nibble (capture
     * re-evaluation, see [[shingles]]). */
-  def simhash64(c: Column): Column =
-    lpad(lower(conv(array_join(simhashBits(c), ""), 2, 16)), 16, "0")
+  def simhashHex(bits: Column): Column =
+    lpad(lower(conv(array_join(bits, ""), 2, 16)), 16, "0")
+
+  /** SimHash as a 16-char lowercase hex string. */
+  def simhash64(c: Column): Column = simhashHex(simhashBits(c))
 
   /** Hamming distance between two bit arrays. */
   def hamming(a: Column, b: Column): Column =

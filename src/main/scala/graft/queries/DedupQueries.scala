@@ -64,13 +64,18 @@ object DedupQueries {
         k = K, numHashes = H, bands = B, threshold = Tau)),
 
     // SimHash signatures + hamming distance over the planted pairs.
+    // bits are computed in their own projection so sim derives from the
+    // same evaluation (CollapseProject keeps multiply-referenced
+    // non-cheap aliases separate); the self-join sides carry redundant
+    // pre-filters implied by the join condition, so only original/mutated
+    // rows (not the whole corpus twice) compute signatures.
     "q21_simhash" -> ((s, d) => {
       val sims = mutatedBatch(s, d)
         .filter(size(words(col("text"))) > 0)
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"),
-          Dedup.simhashBits(col("text")).as("bits"))
-      val a = sims.as("a")
-      val b = sims.as("b")
+        .select(col("doc_id"), Dedup.simhashBits(col("text")).as("bits"))
+        .select(col("doc_id"), Dedup.simhashHex(col("bits")).as("sim"), col("bits"))
+      val a = sims.filter(col("doc_id") % MutMod === 0 && col("doc_id") < MutOff).as("a")
+      val b = sims.filter(col("doc_id") >= MutOff).as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + MutOff)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("a.sim").as("sim_a"), col("b.sim").as("sim_b"),

@@ -52,6 +52,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("native simhash_bits matches the composed builtin form on real docs") {
+    val diff = Tables(spark, sf001, "documents")
+      .select(Dedup.simhashBits(col("text")).as("fast"),
+        Dedup.simhashBitsComposed(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() === 0)
+    // edges: blank → all ones (empty majority, ties → 1); repeats weighted
+    val edge = Seq("", "  ", "a a a b", "AÇÃO é!").toDF("text")
+    val d2 = edge.select(Dedup.simhashBits(col("text")).as("fast"),
+      Dedup.simhashBitsComposed(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(d2.count() === 0)
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val df = Seq(
       "spark catalyst optimizer rewrites logical plans into physical plans",

@@ -22,6 +22,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.toSeq === Seq("en", "de", "es", "und"))
   }
 
+  test("native stop_hits matches the composed filter form on real docs") {
+    val en = stopwords.head._2
+    val diff = Tables(spark, sf001, "documents")
+      .select(stopwordHits(col("text"), en).as("fast"),
+        stopwordHitsComposed(col("text"), en).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() === 0)
+    val edge = Seq("", "  ", "the THE The, the.", "xthex").toDF("text")
+    val d2 = edge.select(stopwordHits(col("text"), en).as("fast"),
+      stopwordHitsComposed(col("text"), en).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(d2.count() === 0)
+  }
+
+  test("native lang_id matches the composed CASE/greatest form on real docs") {
+    val diff = Tables(spark, sf001, "documents")
+      .select(langId(col("text")).as("fast"),
+        langIdComposed(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() === 0)
+    // tie-break edges: 'de' is a stopword of es/fr/pt; 'la' of es/fr —
+    // first language in list order must win on equal scores, both forms.
+    val edge = Seq("de", "la", "un", "de la", "e o", "the der el le o")
+      .toDF("text")
+    val d2 = edge.select(langId(col("text")).as("fast"),
+      langIdComposed(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(d2.count() === 0)
+  }
+
   test("fingerprint is whitespace/case-insensitive but content-sensitive") {
     val fps = Seq("Hello   World", "hello world", " HELLO WORLD ", "hello worlds")
       .toDF("t").select(fingerprint(col("t"))).as[String].collect()
