@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{DotProductFloat, LangId, SimHashBits, StopHits, WordShingles}
+import graft.expressions.{DotProductFloat, LangId, MinHashSigs, SimHashBits, StopHits, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimHashBits.registration)
     ext.injectFunction(LangId.registration)
     ext.injectFunction(StopHits.registration)
+    ext.injectFunction(MinHashSigs.registration)
   }
 }

@@ -186,6 +186,109 @@ object SimHashBits {
     })
 }
 
+/** Native MinHash signature: for each h in 1..numHashes, the
+  * lexicographic minimum of `md5('<h>:' || shingle)` hex over the
+  * shingle array — EXACTLY the relational
+  * `explode(sh) → groupBy(id).agg(min(md5(concat('h:', s))) …)`
+  * formulation, but per-row: no explode, no shuffle, O(numHashes)
+  * state. Digests are compared as raw bytes (unsigned) — hex encoding
+  * is order-preserving per byte — and only the winners are hex-encoded.
+  * Null/empty shingle arrays yield an empty result array (the
+  * relational form simply drops such ids; callers inner-join anyway).
+  */
+case class MinHashSigs(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = MinHashSigs.name
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!(left.dataType.isInstanceOf[ArrayType] &&
+        left.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+        right.dataType == IntegerType && right.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        s"${MinHashSigs.name} expects (array<string>, foldable int)")
+    else right.eval(null) match {
+      case h: Int if h > 0 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"${MinHashSigs.name} expects numHashes to be a non-null int > 0, got $other")
+    }
+
+  @transient private lazy val numHashes: Int =
+    right.eval(null).asInstanceOf[Int]
+
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(h =>
+      s"${h + 1}:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = (a(i) & 0xff) - (b(i) & 0xff)
+      if (x != 0) return x
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private val hexTab = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexTab((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexTab(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override def nullSafeEval(shAny: Any, nAny: Any): Any = {
+    val sh = shAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](numHashes)
+    // shingle-outer: the UTF8String → bytes copy happens once per
+    // shingle, not once per (shingle, h); digests land in a reused
+    // scratch buffer, allocating only when a new minimum is kept.
+    val tmp = new Array[Byte](16)
+    var i = 0
+    while (i < n) {
+      val bytes = sh.getUTF8String(i).getBytes
+      var h = 0
+      while (h < numHashes) {
+        md.reset()
+        md.update(prefixes(h))
+        md.update(bytes)
+        md.digest(tmp, 0, 16)
+        if (mins(h) == null || cmpBytes(tmp, mins(h)) < 0)
+          mins(h) = java.util.Arrays.copyOf(tmp, 16)
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(d => hex(d): Any))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigs =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSigs {
+  val name = "minhash_sigs"
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[MinHashSigs].getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"$name takes 2 arguments, got ${exprs.length}")
+      MinHashSigs(exprs.head, exprs(1))
+    })
+}
+
 /** Native stopword-hit count: occurrences (repeats counted) of words
   * from a foldable list in the [a-z]-run tokenization of the text —
   * EXACTLY `size(filter(regexp_extract_all(lower(text), '[a-z]+'),
@@ -331,6 +434,11 @@ object TextExpressions {
   /** Stopword-argmax language ID, fused native loop. */
   def langId(text: Column): Column =
     call_function(LangId.name, text)
+
+  /** MinHash signature array (numHashes min-md5 hex strings), per row. */
+  def minhashSigs(shingles: Column, numHashes: Int): Column =
+    call_function(MinHashSigs.name, shingles,
+      org.apache.spark.sql.functions.lit(numHashes))
 
   /** Stopword occurrence count, fused native loop. */
   def stopHits(text: Column, stops: Seq[String]): Column =

@@ -65,43 +65,55 @@ object Dedup {
     * bucket self-join → exact-Jaccard verify. Returns
     * (a_id, b_id, jaccard) with a_id < b_id and jaccard >= threshold.
     *
-    * Minhash signatures are computed RELATIONALLY — explode shingles,
-    * then 12 min(md5) aggregates with map-side partial combine — instead
-    * of nested array expressions: Catalyst's projection collapse would
-    * re-evaluate the shingle array once per minhash column (12×), and at
-    * 100 TB the exploded+combined form also spills gracefully where a
-    * giant per-row expression cannot. Band keys and the bucket join only
-    * move (id, band_key); shingle sets are re-joined just for the
-    * candidate pairs that need Jaccard verification.
+    * Minhash signatures are PER-ROW (native [[graft.expressions
+    * .MinHashSigs]]: one pass over the shingle array, O(numHashes)
+    * state) — the signature stage is completely shuffle-free, so the
+    * only exchange in the whole pipeline is the band-key bucket join.
+    * The equivalent relational formulation (explode shingles → 12
+    * min(md5) aggregates) computes identical values but shuffles the
+    * exploded shingles; it survives as the DuckDB oracle's replay and
+    * in DedupSpec's parity test. Band keys and the bucket join only
+    * move (id, band_key); verification joins the (tiny, broadcast)
+    * candidate set back to the RAW text and shingles only the matched
+    * rows — the full corpus is shingled exactly once, for signatures.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, numHashes: Int = 12, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val raw = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val sig = raw.select(col("id"), shingles(col("txt"), k).as("sh"))
 
-    val minCols = (1 to numHashes).map(h =>
-      min(md5(concat(lit(s"$h:"), col("s")))).as(s"m$h"))
-    val mins = sig.select(col("id"), explode(col("sh")).as("s"))
-      .groupBy(col("id"))
-      .agg(minCols.head, minCols.tail: _*)
+    // empty shingle arrays have no minhash (the relational form drops
+    // them via the inner explode+groupBy)
+    val mins = sig.filter(size(col("sh")) > 0).select(col("id"),
+      graft.expressions.TextExpressions.minhashSigs(col("sh"), numHashes).as("ms"))
 
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|",
-        lit(b.toString) +: (1 to numHashes).slice(b * rows, (b + 1) * rows)
-          .map(h => col(s"m$h")): _*))
+        lit(b.toString) +: (b * rows until (b + 1) * rows)
+          .map(h => element_at(col("ms"), h + 1)): _*))
     }
+    // repartition on bk + shuffle_hash hint so the self-join's two sides
+    // are the SAME shuffle exchange, computed ONCE (exchange/stage
+    // reuse). Left to itself the planner broadcasts one side — a
+    // BroadcastExchange is not reusable against the shuffle, so the full
+    // corpus would be shingled+minhashed twice.
     val exploded = mins.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .repartition(col("bk"))
 
-    val candidates = exploded.as("a")
-      .join(exploded.as("b"),
+    val candidates = exploded.as("a").hint("shuffle_hash")
+      .join(exploded.as("b").hint("shuffle_hash"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
 
-    val sa = sig.select(col("id").as("a_id"), col("sh").as("sh_a"))
-    val sb = sig.select(col("id").as("b_id"), col("sh").as("sh_b"))
-    candidates.join(sa, "a_id").join(sb, "b_id")
+    val sa = raw.select(col("id").as("a_id"), col("txt").as("txt_a"))
+    val sb = raw.select(col("id").as("b_id"), col("txt").as("txt_b"))
+    val withA = sa.join(broadcast(candidates), "a_id")
+    sb.join(broadcast(withA), "b_id")
+      .select(col("a_id"), col("b_id"),
+        shingles(col("txt_a"), k).as("sh_a"), shingles(col("txt_b"), k).as("sh_b"))
       .select(col("a_id"), col("b_id"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

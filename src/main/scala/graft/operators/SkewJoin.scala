@@ -28,8 +28,12 @@ object SkewJoin {
       s"unsupported join type: $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(buckets)).cast("int"))
+    // shuffle_hash, not sort-merge: salting targets hash-join skew, and a
+    // per-bucket hash build needs no sort of either side (the replicated
+    // side is deliberately past the broadcast threshold — that's the
+    // scenario salting exists for).
     val replicated = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
+      explode(sequence(lit(0), lit(buckets - 1)))).hint("shuffle_hash")
     saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 }

@@ -14,7 +14,7 @@ import graft.operators.SkewJoin
   */
 object OlapQueries {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -76,13 +76,13 @@ object OlapQueries {
     "q27_rollup" ->
       """SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS ano,
         | COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY ROLLUP (o_orderpriority, ano)""".stripMargin,
 
     "q28_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
@@ -101,7 +101,7 @@ object OlapQueries {
     "q32_salted_join" ->
       """SELECT l_orderkey, o_orderpriority,
         | COUNT(*) AS n_items,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2""".stripMargin
   )

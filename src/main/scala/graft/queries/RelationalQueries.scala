@@ -13,7 +13,7 @@ import graft.Tables
   */
 object RelationalQueries {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -68,9 +68,9 @@ object RelationalQueries {
 
     "q36_pivot" ->
       """SELECT o_orderpriority,
-        | CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS y1995,
-        | CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS y1996,
-        | CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS y1997
+        | CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS y1995,
+        | CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS y1996,
+        | CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS y1997
         |FROM orders GROUP BY 1""".stripMargin,
 
     "q37_intersect" ->
@@ -82,7 +82,7 @@ object RelationalQueries {
       """WITH bands(band, lo, hi) AS (
         |  VALUES ('low', 0.0, 930.0), ('mid', 930.0, 970.0), ('high', 970.0, 99999.0))
         |SELECT band, COUNT(*) AS n_parts,
-        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY 1""".stripMargin,
 
@@ -92,7 +92,7 @@ object RelationalQueries {
         | CAST(dense_rank() OVER w AS INT) AS drnk,
         | lag(o_orderkey) OVER w AS prev_order,
         | lead(o_orderkey) OVER w AS next_order,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
         |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM orders WHERE o_custkey < 200

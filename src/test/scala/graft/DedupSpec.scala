@@ -52,6 +52,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("native minhash_sigs matches the relational explode+min(md5) form") {
+    val sig = Tables(spark, sf001, "documents")
+      .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val native = sig.filter(size(col("sh")) > 0).select(col("id"),
+      graft.expressions.TextExpressions.minhashSigs(col("sh"), 12).as("ms"))
+    val minCols = (1 to 12).map(h =>
+      min(md5(concat(lit(s"$h:"), col("s")))).as(s"m$h"))
+    val relational = sig.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((1 to 12).map(h => col(s"m$h")): _*).as("ms"))
+    val joined = native.as("n").join(relational.as("r"), "id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("n.ms") =!= col("r.ms")).count() === 0)
+  }
+
   test("native simhash_bits matches the composed builtin form on real docs") {
     val diff = Tables(spark, sf001, "documents")
       .select(Dedup.simhashBits(col("text")).as("fast"),
