@@ -19,19 +19,29 @@ object OlapQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ROLLUP (priority, year) — Metabase-style drill-down totals.
-    "q27_rollup" -> ((s, d) =>
-      Tables(s, d, "orders")
-        .rollup(col("o_orderpriority"),
+    // Pre-aggregate to the base (priority, year) grid first, then roll
+    // up the tiny grid re-aggregating the partials: rollup/cube EXPAND
+    // multiplies input rows by the number of grouping sets BEFORE the
+    // aggregate, so at 100 TB the expand must see |grid| rows, not |fact|.
+    "q27_rollup" -> ((s, d) => {
+      val grid = Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"),
           year(col("o_orderdate")).cast("int").as("ano"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast("double").as("total"))),
+        .agg(count(lit(1)).as("__n"), sum(dec(col("o_totalprice"))).as("__t"))
+      grid.rollup(col("o_orderpriority"), col("ano"))
+        .agg(sum(col("__n")).as("n_orders"),
+          sum(col("__t")).cast("double").as("total"))
+    }),
 
-    // CUBE (returnflag, linestatus).
-    "q28_cube" -> ((s, d) =>
-      Tables(s, d, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n_items"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))),
+    // CUBE (returnflag, linestatus) — same pre-aggregated shape.
+    "q28_cube" -> ((s, d) => {
+      val grid = Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"), sum(dec(col("l_quantity"))).as("__q"))
+      grid.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("__n")).as("n_items"),
+          sum(col("__q")).cast("double").as("sum_qty"))
+    }),
 
     // GROUPING SETS via the SQL surface.
     "q29_grouping_sets" -> ((s, d) => {
