@@ -13,7 +13,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.OlapQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.RelationalQueries.queries
+      graft.queries.RelationalQueries.queries ++
+      graft.queries.BreadthQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,7 +24,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.OlapQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
-      graft.queries.RelationalQueries.oracleSql
+      graft.queries.RelationalQueries.oracleSql ++
+      graft.queries.BreadthQueries.oracleSql
   /** Queries intentionally without oracle SQL (non-SQL-expressible in
     * DuckDB; driver records a weaker rows-only check). Keep tight. */
   def rowsOnlyQueries: Set[String] = Set(

@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational/analytic breadth beyond SURVEY §2's literal inventory —
+  * the operator families an analyst using the warehouse through the SQL
+  * surface (SURVEY §3.3) reaches next: outer joins, bag set-ops,
+  * value-range window frames, distribution functions, generators,
+  * ordered string aggregation, scalar subqueries, exact moment
+  * statistics, histograms, arg-max, date/string/regexp scalar packs,
+  * and cross joins.
+  *
+  * Oracle-determinism rules (see CoreQueries): exact DECIMAL/BIGINT
+  * arithmetic inside, single double conversions/divisions at the end,
+  * unique-key ORDER BY tie-breaks in every window, counts cast BIGINT
+  * on the DuckDB side, no DECIMAL in result schemas.
+  */
+object BreadthQueries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables(s, d, name)
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // FULL OUTER join of two aggregates; the supplier side is filtered
+    // so some nations appear on one side only (real null rows).
+    "q40_full_outer" -> ((s, d) => {
+      val cn = t(s, d, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, d, "supplier").filter(col("s_suppkey") % 3 === 0)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, Seq("nationkey"), "full_outer")
+    }),
+
+    // UNION ALL (bag semantics) + re-aggregation.
+    "q41_union_all" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .unionAll(t(s, d, "supplier").select(col("s_nationkey")))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n"))),
+
+    // EXCEPT ALL (multiset difference — keeps surplus duplicates).
+    "q42_except_all" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      c.select(col("c_mktsegment"))
+        .exceptAll(c.filter(col("c_acctbal") > 5000.0).select(col("c_mktsegment")))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // value-RANGE window frame: per customer, total of orders in the
+    // 30 days up to each order (inclusive), keyed on day numbers.
+    "q43_range_frame" -> ((s, d) => {
+      val days = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+        .rangeBetween(-30, Window.currentRow)
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 300)
+        .withColumn("d", days.cast("int"))
+        .select(col("o_custkey"), col("o_orderkey"), col("d"),
+          count(lit(1)).over(w).as("n_30d"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("total_30d"))
+    }),
+
+    // distribution window functions: quartile, percent_rank, cume_dist.
+    // percent_rank/cume_dist order by value (ties share a value —
+    // deterministic); ntile orders by the unique key.
+    "q44_distribution" -> ((s, d) => {
+      val byKey = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      val byPrice = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 300)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(byKey).cast("int").as("quartile"),
+          percent_rank().over(byPrice).as("pr"),
+          cume_dist().over(byPrice).as("cd"))
+    }),
+
+    // positional window values over an explicit full frame.
+    "q45_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 300)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+    }),
+
+    // generator: explode a split array (UNNEST).
+    "q46_explode" -> ((s, d) =>
+      t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("word"))),
+
+    // ordered string aggregation (LISTAGG shape) over a distinct set.
+    "q47_listagg" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(
+          sort_array(collect_set(col("c_nationkey").cast("int"))).cast("array<string>"),
+          ",").as("nations"))),
+
+    // scalar subquery through the SQL surface (SURVEY §3.3): orders
+    // beating 2× the exact global mean price.
+    "q48_scalar_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("bq_orders")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM bq_orders
+          |WHERE o_totalprice > 2 * (
+          |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+          |  FROM bq_orders)""".stripMargin)
+    }),
+
+    // exact moment statistics: mean/variance/stddev from integer sums
+    // (l_quantity is whole-valued), one double conversion per output —
+    // the order-independent formulation of VAR_SAMP/STDDEV_SAMP.
+    "q49_exact_stats" -> ((s, d) => {
+      val q = col("l_quantity").cast("bigint")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).as("q_sum"),
+          sum(q * q).as("q2_sum"))
+        .select(col("l_returnflag"), col("n"), col("q_sum"),
+          (col("q_sum").cast("double") / col("n").cast("double")).as("mean_qty"),
+          ((col("n") * col("q2_sum") - col("q_sum") * col("q_sum")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")).as("var_qty"))
+        .withColumn("stddev_qty", sqrt(col("var_qty")))
+    }),
+
+    // fixed-width histogram (width_bucket shape).
+    "q50_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // arg-max/arg-min keyed on the unique customer key.
+    "q51_argmax" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          max_by(col("c_name"), col("c_custkey")).as("newest_name"),
+          min_by(col("c_name"), col("c_custkey")).as("oldest_name"),
+          max(col("c_custkey")).as("max_key"))),
+
+    // date arithmetic pack: offsets, month adds (with clamping),
+    // quarters, day diffs, month ends.
+    "q52_date_arith" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          quarter(col("o_orderdate")).cast("int").as("q"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("int").as("d_from95"),
+          last_day(col("o_orderdate")).as("month_end"))),
+
+    // string scalar pack.
+    "q53_string_funcs" -> ((s, d) =>
+      t(s, d, "part").filter(col("p_partkey") <= 500)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          length(col("p_name")).cast("int").as("len"),
+          instr(col("p_name"), "a").cast("int").as("first_a"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          reverse(col("p_name")).as("rname"))),
+
+    // regexp extraction + predicate.
+    "q54_regexp" -> ((s, d) =>
+      t(s, d, "part").filter(col("p_partkey") <= 500)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_word"),
+          col("p_name").rlike("red").as("has_red"))),
+
+    // cross join of two small sets.
+    "q55_cross_join" -> ((s, d) =>
+      t(s, d, "region").select(col("r_name"))
+        .crossJoin(t(s, d, "customer").select(col("c_mktsegment")).distinct()))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q40_full_outer" ->
+      """WITH cn AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        |            FROM customer GROUP BY 1),
+        |     sn AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+        |            FROM supplier WHERE s_suppkey % 3 = 0 GROUP BY 1)
+        |SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey, n_cust, n_supp
+        |FROM cn FULL JOIN sn ON cn.nationkey = sn.nationkey""".stripMargin,
+
+    "q41_union_all" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY 1""".stripMargin,
+
+    "q42_except_all" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM (
+        |  SELECT c_mktsegment FROM customer
+        |  EXCEPT ALL
+        |  SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000.0)
+        |GROUP BY 1""".stripMargin,
+
+    "q43_range_frame" ->
+      """SELECT o_custkey, o_orderkey, d,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS n_30d,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS total_30d
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS INT) AS d
+        |      FROM orders WHERE o_custkey < 300)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q44_distribution" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS INT) AS quartile,
+        | percent_rank() OVER wp AS pr,
+        | cume_dist() OVER wp AS cd
+        |FROM orders WHERE o_custkey < 300
+        |WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)""".stripMargin,
+
+    "q45_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_ok,
+        | last_value(o_orderkey) OVER w AS last_ok,
+        | nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders WHERE o_custkey < 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q46_explode" ->
+      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+        |FROM part WHERE p_partkey <= 200""".stripMargin,
+
+    "q47_listagg" ->
+      """SELECT c_mktsegment,
+        | string_agg(CAST(c_nationkey AS VARCHAR), ',' ORDER BY c_nationkey) AS nations
+        |FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)
+        |GROUP BY 1""".stripMargin,
+
+    "q48_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)""".stripMargin,
+
+    "q49_exact_stats" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_sum,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS q2_sum
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, q_sum,
+        |       CAST(q_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        |       CAST(n * q2_sum - q_sum * q_sum AS DOUBLE) /
+        |         CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+        |       sqrt(CAST(n * q2_sum - q_sum * q_sum AS DOUBLE) /
+        |         CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty
+        |FROM g""".stripMargin,
+
+    "q50_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q51_argmax" ->
+      """SELECT c_mktsegment,
+        | arg_max(c_name, c_custkey) AS newest_name,
+        | arg_min(c_name, c_custkey) AS oldest_name,
+        | MAX(c_custkey) AS max_key
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "q52_date_arith" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS d_from95,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
+
+    "q53_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS uname,
+        | substring(p_name, 1, 5) AS prefix,
+        | CAST(length(p_name) AS INT) AS len,
+        | CAST(strpos(p_name, 'a') AS INT) AS first_a,
+        | lpad(p_brand, 12, '*') AS padded,
+        | reverse(p_name) AS rname
+        |FROM part WHERE p_partkey <= 500""".stripMargin,
+
+    "q54_regexp" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+        | regexp_matches(p_name, 'red') AS has_red
+        |FROM part WHERE p_partkey <= 500""".stripMargin,
+
+    "q55_cross_join" ->
+      """SELECT r_name, c_mktsegment
+        |FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)""".stripMargin
+  )
+}
