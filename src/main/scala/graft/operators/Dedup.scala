@@ -119,6 +119,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs: each doc gets the
+    * minimum doc id reachable through the pair graph (its cluster
+    * representative — the canonical-document selection step that
+    * follows LSH in a dedup pipeline).
+    *
+    * Min-label propagation: labels start as the node's own id; each
+    * round takes the min of a node's label and its neighbors' labels;
+    * fixpoint in O(component diameter) rounds. Each round is one
+    * shuffle-bounded join + min-aggregate — the scalable shape (this is
+    * how large-graph CC runs at 100 TB; for deep graphs swap persist for
+    * checkpoint to truncate lineage). Convergence is detected by the
+    * label sum, which strictly decreases until the fixpoint —
+    * deterministic, order-independent.
+    *
+    * Returns (id, rep). Only nodes appearing in at least one pair are
+    * labeled (singletons are not clusters).
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+                  maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .unionAll(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .persist()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")).persist()
+    var prevSum = labels.agg(sum(col("rep"))).head().getLong(0)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neigh = edges.join(labels, edges("y") === labels("id"))
+        .groupBy(col("x")).agg(min(col("rep")).as("nrep"))
+      val next = labels.as("l").join(neigh.as("p"), col("l.id") === col("p.x"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.rep"), coalesce(col("p.nrep"), col("l.rep"))).as("rep"))
+        .persist()
+      val s = next.agg(sum(col("rep"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      done = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ------------------------------------------------------------- SimHash
 
   private val hexTab = "0123456789abcdef"

@@ -94,6 +94,17 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // connected components over the LSH pairs: cluster representative +
+    // cluster size per near-duplicate document (canonical selection).
+    "q56_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.nearDupPairs(mutatedBatch(s, d), "doc_id", "text",
+        k = K, numHashes = H, bands = B, threshold = Tau)
+      val labels = Dedup.dupClusters(pairs.select("a_id", "b_id"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))
+      labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+    }),
+
     // brute-force cosine top-k (ANN baseline): 20 queries × corpus.
     "q23_ann_topk" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
@@ -167,6 +178,43 @@ object DedupQueries {
          |JOIN sh sa ON sa.doc_id = c.a_id
          |JOIN sh sb ON sb.doc_id = c.b_id
          |WHERE $duckJaccard >= $Tau""".stripMargin
+    },
+
+    "q56_dup_clusters" -> {
+      // the FULL q20 pipeline as a CTE, then transitive closure by
+      // recursive CTE: rep(x) = min id reachable in the pair graph.
+      val pairsSql = {
+        val mins = (1 to H).map(h =>
+          s"list_aggregate(list_transform(sh, s -> md5('$h:' || s)), 'min')")
+        val bandExprs = (0 until B).map { bi =>
+          val r = H / B
+          val parts = mins.slice(bi * r, (bi + 1) * r).mkString(" || '|' || ")
+          s"md5('$bi' || '|' || $parts)"
+        }
+        s"""SELECT c.a_id, c.b_id
+           |FROM (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bd a JOIN bd b ON a.bk = b.bk AND a.doc_id < b.doc_id) c
+           |JOIN sh sa ON sa.doc_id = c.a_id
+           |JOIN sh sb ON sb.doc_id = c.b_id
+           |WHERE $duckJaccard >= $Tau""".stripMargin ->
+          s"""w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM batch),
+             |sh AS (SELECT doc_id, ${duckShingles(K)} AS sh FROM w),
+             |bd AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS bk FROM sh)""".stripMargin
+      }
+      s"""WITH RECURSIVE $duckTextBatch,
+         |${pairsSql._2},
+         |pairs AS (${pairsSql._1}),
+         |e AS (SELECT a_id AS x, b_id AS y FROM pairs
+         |      UNION SELECT b_id, a_id FROM pairs),
+         |walk(a, b) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM e)
+         |  UNION
+         |  SELECT walk.a, e.y FROM walk JOIN e ON walk.b = e.x),
+         |rep AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM walk GROUP BY 1)
+         |SELECT doc_id, cluster_rep,
+         |       CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+         |FROM rep""".stripMargin
     },
 
     "q21_simhash" -> {

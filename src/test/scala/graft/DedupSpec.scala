@@ -67,6 +67,13 @@ class DedupSpec extends SparkSpec {
     assert(joined.filter(col("n.ms") =!= col("r.ms")).count() === 0)
   }
 
+  test("dupClusters: multi-hop chains converge to the min id") {
+    // chain 1-2-3-4 (diameter 3 → several propagation rounds) + isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("native simhash_bits matches the composed builtin form on real docs") {
     val diff = Tables(spark, sf001, "documents")
       .select(Dedup.simhashBits(col("text")).as("fast"),
