@@ -49,13 +49,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
     else None
   }
 
+  /** Commit dirs (absolute paths) recorded in manifest version `v`. */
+  private def commitsAt(t: String, v: Int): Seq[String] =
+    Files.readAllLines(manifestDir(t).resolve(s"v$v"), StandardCharsets.UTF_8)
+      .asScala.toSeq.filter(_.nonEmpty)
+
   /** Live commit dirs (absolute paths) at the latest version. */
   private def liveCommits(t: String): Seq[String] =
     latestVersion(t) match {
       case None => Seq.empty
-      case Some(v) =>
-        Files.readAllLines(manifestDir(t).resolve(s"v$v"), StandardCharsets.UTF_8)
-          .asScala.toSeq.filter(_.nonEmpty)
+      case Some(v) => commitsAt(t, v)
     }
 
   /** Publish `dirs` as the new table state: write v{N+1}, then flip
@@ -78,6 +81,34 @@ final class Catalog(val spark: SparkSession, val root: String) {
   }
 
   def exists(table: String): Boolean = latestVersion(table).isDefined
+
+  /** Committed manifest versions, ascending (1 = first commit). Every
+    * write (replace / appendDelta / compact) publishes a new version;
+    * old manifests stay on disk until [[vacuum]]. */
+  def versions(table: String): Seq[Int] = {
+    val md = manifestDir(table)
+    if (!Files.exists(md)) Seq.empty
+    else Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt).toSeq.sorted
+  }
+
+  /** Time travel: the table exactly as published at manifest `version`
+    * (Delta-style `versionAsOf`). Valid as long as the version's commit
+    * dirs survive — [[vacuum]] keeps only the LATEST version's files,
+    * so pin or copy historical versions before vacuuming. */
+  def tableAt(table: String, version: Int): DataFrame = {
+    require(versions(table).contains(version),
+      s"$table has no version $version (have: ${versions(table).mkString(",")})")
+    val schema = Schemas.schemaOf(table)
+    commitsAt(table, version).map { c =>
+      spark.read.schema(schema).option("basePath", c).parquet(c)
+        .select(schema.fieldNames.map(col): _*)
+    }.reduceOption(_.unionAll(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
 
   /** Read a table (union of live commits), or an empty frame with the
     * declared schema. Partition columns (fact: ano/mes) come back via

@@ -59,6 +59,29 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream inner join with watermarks and an event-time range
+    * bound: each right event joins left events of the same user that
+    * happened in the `within` interval before it (the
+    * impression→click attribution shape). The time bound + watermarks
+    * let the engine evict both sides' join state — without them a
+    * stream-stream join buffers forever. */
+  def attributedPairs(left: DataFrame, right: DataFrame,
+                      within: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+      col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("l_user").as("user_id"), col("l_ts"), col("r_ts"),
+        col("l_type"), col("r_type"))
+  }
+
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class UserCount(user_id: Long, n_events: Long, last_type: String)
 

@@ -37,6 +37,23 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("dim_tipo").select("nome_tipo").as[String].collect().toSeq === Seq("z"))
   }
 
+  test("time travel: tableAt reads any committed version unchanged") {
+    val dir = Files.createTempDirectory("cat_tt").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.replace("dim_tipo", tipoDf("a"))                       // v1
+    cat.appendDelta("dim_tipo", tipoDf("b").withColumn("id_tipo",
+      org.apache.spark.sql.functions.lit(2)))                  // v2
+    cat.replace("dim_tipo", tipoDf("z"))                       // v3
+    assert(cat.versions("dim_tipo") === Seq(1, 2, 3))
+    def names(v: Int) =
+      cat.tableAt("dim_tipo", v).select("nome_tipo").as[String].collect().sorted.toSeq
+    assert(names(1) === Seq("a"))
+    assert(names(2) === Seq("a", "b"))
+    assert(names(3) === Seq("z"))
+    assert(cat.table("dim_tipo").count() === 1) // latest unaffected
+    intercept[IllegalArgumentException](cat.tableAt("dim_tipo", 9))
+  }
+
   test("compact folds commits into one, preserving content and partitions") {
     val dir = Files.createTempDirectory("cat_compact").toString
     val cat = new Catalog(spark, s"$dir/wh")

@@ -73,6 +73,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributedPairs: stream-stream join within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    imps.addData(Event(ts(0), 1L, "imp", 0.0), Event(ts(0), 2L, "imp", 0.0))
+    clicks.addData(
+      Event(ts(30), 1L, "click", 0.0),  // within 1h of user 1's impression
+      Event(Timestamp.valueOf("2026-01-01 12:30:00"), 2L, "click", 0.0)) // 2.5h later: out of bound
+    val q = Streams.attributedPairs(imps.toDF(), clicks.toDF(), within = "1 hour")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attrib").select("user_id", "l_type", "r_type")
+        .as[(Long, String, String)].collect()
+      assert(rows.toSeq === Seq((1L, "imp", "click")))
+    } finally q.stop()
+  }
+
   test("dedupedByIds: duplicate ids across micro-batches emit once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
