@@ -52,6 +52,41 @@ class PropertySpec extends SparkSpec {
       valor <- moneyGen
     } yield (desc, tipo, grupo, cat, cls, f"$mes%02d/2025", toBrl(valor))
 
+  test("property: as-of join equals the naive latest-at-or-before scan, nulls included") {
+    import graft.operators.AsOfJoin
+    val rightGen = Gen.listOfN(30, for {
+      k <- Gen.oneOf("A", "B", "C")
+      t <- Gen.chooseNum(0L, 50L)
+      price <- Gen.option(Gen.chooseNum(1, 999).map(_.toDouble))
+      aux <- Gen.option(Gen.chooseNum(1, 9))
+    } yield (k, t, price, aux))
+    val leftGen = Gen.listOfN(40, for {
+      k <- Gen.oneOf("A", "B", "C")
+      t <- Gen.chooseNum(0L, 60L)
+    } yield (k, t))
+    for (seed <- 1L to 5L) {
+      // contract: right unique per (key, time)
+      val rights = sample(rightGen, seed)
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val lefts = sample(leftGen, seed + 100).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val out = AsOfJoin.lastAtOrBefore(
+        lefts.toDF("lid", "k", "t"),
+        rights.toDF("k", "rt", "price", "aux"),
+        Seq("k"), leftTime = "t", rightTime = "rt",
+        payload = Seq("price", "aux"))
+        .select("lid", "price", "aux")
+        .as[(Long, Option[Double], Option[Int])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val expected = lefts.map { case (lid, k, t) =>
+        val m = rights.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption
+        lid -> (m.flatMap(_._3), m.flatMap(_._4))
+      }.toMap
+      assert(out === expected, s"seed=$seed")
+    }
+  }
+
   test("property: warehouse build is idempotent and FK-complete for any batch") {
     for (seed <- 1L to 3L) {
       val rows = sample(Gen.listOfN(20, rowGen), seed)
