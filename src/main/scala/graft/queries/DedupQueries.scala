@@ -105,6 +105,16 @@ object DedupQueries {
         .withColumn("cluster_size", count(lit(1)).over(wc))
     }),
 
+    // embedding prep: L2 norm (via the native fused dot product) and
+    // max-abs — the scalars a normalize + int8-quantize stage needs.
+    "q59_vector_norm" -> ((s, d) =>
+      Tables(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        sqrt(graft.expressions.VectorExpressions.dotF(col("embedding"), col("embedding")))
+          .as("norm"),
+        array_max(transform(col("embedding"), abs(_))).cast("double").as("max_abs"))),
+
     // brute-force cosine top-k (ANN baseline): 20 queries × corpus.
     "q23_ann_topk" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
@@ -216,6 +226,17 @@ object DedupQueries {
          |       CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
          |FROM rep""".stripMargin
     },
+
+    "q59_vector_norm" ->
+      """WITH s AS (
+        |  SELECT a.vec_id,
+        |         SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)) AS ss
+        |  FROM embeddings a, generate_series(1, 64) i(i) GROUP BY 1)
+        |SELECT e.vec_id,
+        |       CAST(len(e.embedding) AS INT) AS n_dims,
+        |       sqrt(s.ss) AS norm,
+        |       CAST(list_aggregate(list_transform(e.embedding, x -> abs(x)), 'max') AS DOUBLE) AS max_abs
+        |FROM embeddings e JOIN s ON s.vec_id = e.vec_id""".stripMargin,
 
     "q21_simhash" -> {
       val nib = "CASE WHEN ascii(substr(md5(w), 1 + (i.i // 4), 1)) <= 57 " +

@@ -40,7 +40,34 @@ object TextQueries {
     "q18_fingerprint" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
-        fingerprint(col("text")).as("fp")))
+        fingerprint(col("text")).as("fp"))),
+
+    // repeated-3-gram fraction — the C4/Gopher repetition quality
+    // signal: share of 3-gram slots occupied by a shingle already seen
+    // in the document. (n3 - distinct3) / n3, one int/int division.
+    "q57_repetition" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          greatest(size(words(col("text"))) - 2, lit(0)).as("n3"),
+          size(graft.operators.Dedup.shingles(col("text"), 3)).as("d3"))
+        .select(col("doc_id"), col("n3"), col("d3"),
+          when(col("n3") > 0,
+            (col("n3") - col("d3")).cast("double") / col("n3").cast("double"))
+            .otherwise(0.0).as("rep_frac"))),
+
+    // PII scrub: plant a deterministic email + id digits, then mask
+    // emails and digit runs (email pass first — the digit pass would
+    // otherwise rewrite the address before it matches).
+    "q58_pii_mask" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com ref 12345")).as("t2"))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("t2"), "[a-z0-9._]+@[a-z0-9.]+", "<email>"),
+            "[0-9]+", "#").as("masked"),
+          col("t2").rlike("@example\\.com").as("had_email")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -92,6 +119,30 @@ object TextQueries {
     "q18_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q57_repetition" ->
+      """SELECT doc_id, n3, d3,
+        | CASE WHEN n3 > 0 THEN CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+        |      ELSE 0.0 END AS rep_frac
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(ws) - 2, 0) AS INT) AS n3,
+        |    CAST(CASE WHEN len(ws) >= 3 THEN len(list_distinct(
+        |      list_transform(range(0, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))))
+        |      ELSE 0 END AS INT) AS d3
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |        FROM documents))""".stripMargin,
+
+    "q58_pii_mask" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com ref 12345',
+        |                  '[a-z0-9._]+@[a-z0-9.]+', '<email>', 'g'),
+        |   '[0-9]+', '#', 'g') AS masked,
+        | regexp_matches(text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com ref 12345',
+        |                '@example\.com') AS had_email
         |FROM documents""".stripMargin
   )
 }
