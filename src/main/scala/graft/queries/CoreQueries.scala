@@ -41,21 +41,34 @@ object CoreQueries {
     * and the DuckDB oracle casts identically, so values are unchanged. */
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
+  /** Money as integer cents: round(x*100) as BIGINT. Exact for 2-dp
+    * money; round-half-away on positive doubles is identical in Spark
+    * (HALF_UP) and DuckDB, and x*100 is the same IEEE product on both. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("bigint")
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A7/A1: grouped aggregation with filter pushdown (TPC-H Q1 shape —
     // the canonical "Metabase slice" over the fact table, SURVEY §3.3).
+    // Money aggregates run in integer CENTS (round(x*100) as BIGINT):
+    // exact like decimal, but the per-row product and the sum are plain
+    // long arithmetic — the Tungsten-friendly money representation (the
+    // narrow-decimal product was still the aggregate's hot spot). One
+    // double conversion + one division by the scale at the end; both
+    // engines compute round(double*100) and (double)sum/scale
+    // identically (sums < 2^53 ⇒ the conversion is exact).
     "q1_pricing_summary" -> ((s, d) => {
       t(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
-            .cast("double").as("sum_disc_price"),
+          sum(col("l_quantity").cast("bigint")).cast("double").as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast("double") / 10000.0).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -73,8 +86,9 @@ object CoreQueries {
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
-            .cast("double").as("revenue"),
+          // integer-cents revenue (see q1): exact, pure long arithmetic
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast("double") / 10000.0).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -225,9 +239,9 @@ object CoreQueries {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -235,7 +249,7 @@ object CoreQueries {
 
     "q2_star_revenue" ->
       """SELECT r_name, n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
