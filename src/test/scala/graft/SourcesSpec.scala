@@ -40,6 +40,31 @@ class SourcesSpec extends SparkSpec {
     assert(back.toSeq === Seq((1L, "a"), (2L, "b")))
   }
 
+  test("orc: round-trips the documents table with schema intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    val docs = Tables(spark, sf0001, "documents").limit(100)
+    docs.write.mode("overwrite").orc(s"$dir/docs")
+    val back = spark.read.orc(s"$dir/docs")
+    assert(back.schema === docs.schema)
+    assert(back.count() === 100)
+    // pushdown reaches the ORC scan too
+    val plan = back.filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("pushedFilters"),
+      s"no pushdown in:\n$plan")
+  }
+
+  test("csv sink/source: header round-trip with declared schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("csv_rt").toString
+    val df = Seq((1L, "a,b", "x\"y"), (2L, null, "z")).toDF("id", "s1", "s2")
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/t")
+    val back = spark.read.option("header", "true").schema(df.schema).csv(s"$dir/t")
+    val rows = back.as[(Long, Option[String], String)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, Some("a,b"), "x\"y"), (2L, None, "z")))
+  }
+
   test("bucketed tables co-locate joins: no shuffle exchange in the plan") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
