@@ -19,14 +19,16 @@ object Bench {
     // Two timed runs per query, min reported: single-shot times in a
     // shared JVM swing ±50% with JIT/GC phase (measured on identical
     // code); the min is the reproducible steady-state figure.
+    // a failing query reports -1, never its fast-fail elapsed time
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
       }
-      name -> times.min
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

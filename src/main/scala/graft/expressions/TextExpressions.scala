@@ -256,16 +256,20 @@ case class MinHashSigs(left: Expression, right: Expression)
     val tmp = new Array[Byte](16)
     var i = 0
     while (i < n) {
-      val bytes = sh.getUTF8String(i).getBytes
-      var h = 0
-      while (h < numHashes) {
-        md.reset()
-        md.update(prefixes(h))
-        md.update(bytes)
-        md.digest(tmp, 0, 16)
-        if (mins(h) == null || cmpBytes(tmp, mins(h)) < 0)
-          mins(h) = java.util.Arrays.copyOf(tmp, 16)
-        h += 1
+      // null elements are skipped, exactly like the relational form
+      // (md5(null) is null and min ignores nulls)
+      if (!sh.isNullAt(i)) {
+        val bytes = sh.getUTF8String(i).getBytes
+        var h = 0
+        while (h < numHashes) {
+          md.reset()
+          md.update(prefixes(h))
+          md.update(bytes)
+          md.digest(tmp, 0, 16)
+          if (mins(h) == null || cmpBytes(tmp, mins(h)) < 0)
+            mins(h) = java.util.Arrays.copyOf(tmp, 16)
+          h += 1
+        }
       }
       i += 1
     }

@@ -84,15 +84,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   /** Committed manifest versions, ascending (1 = first commit). Every
     * write (replace / appendDelta / compact) publishes a new version;
-    * old manifests stay on disk until [[vacuum]]. */
-  def versions(table: String): Seq[Int] = {
-    val md = manifestDir(table)
-    if (!Files.exists(md)) Seq.empty
-    else Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.matches("v\\d+"))
-      .map(_.drop(1).toInt).toSeq.sorted
-  }
+    * old manifests stay on disk until [[vacuum]]. Derived from LATEST,
+    * never from a directory listing: a crashed writer leaves v{N+1} on
+    * disk with LATEST still at N, and that half-commit must stay as
+    * invisible to time travel as it is to [[table]]. */
+  def versions(table: String): Seq[Int] =
+    latestVersion(table).fold(Seq.empty[Int])(v => (1 to v).toSeq)
 
   /** Time travel: the table exactly as published at manifest `version`
     * (Delta-style `versionAsOf`). Valid as long as the version's commit
@@ -191,18 +188,24 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val live = liveCommits(table).map(p => Paths.get(p).getFileName.toString).toSet
     val td = Paths.get(tableDir(table))
     if (!Files.exists(td)) return 0
-    val doomed = Files.list(td).iterator().asScala.toSeq
+    val listing = Files.list(td) // close the stream: it holds a directory fd
+    val doomed =
+      try listing.iterator().asScala.toSeq
+      finally listing.close()
+    val dead = doomed
       .filter(p => Files.isDirectory(p))
       .filter(p => p.getFileName.toString != "_manifests")
       .filterNot(p => live.contains(p.getFileName.toString))
-    doomed.foreach(deleteRecursively)
-    doomed.size
+    dead.foreach(deleteRecursively)
+    dead.size
   }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
   }
 }

@@ -143,9 +143,12 @@ object Dedup {
       .persist()
     var labels = edges.select(col("x").as("id")).distinct()
       .select(col("id"), col("id").as("rep")).persist()
-    var prevSum = labels.agg(sum(col("rep"))).head().getLong(0)
+    // sum is null on an empty graph — no pairs means no clusters
+    def labelSum(df: DataFrame): Option[Long] =
+      Option(df.agg(sum(col("rep"))).head().get(0)).map(_.asInstanceOf[Long])
+    var prevSum = labelSum(labels)
     var iter = 0
-    var done = false
+    var done = prevSum.isEmpty
     while (!done && iter < maxIter) {
       val neigh = edges.join(labels, edges("y") === labels("id"))
         .groupBy(col("x")).agg(min(col("rep")).as("nrep"))
@@ -153,15 +156,19 @@ object Dedup {
         .select(col("l.id").as("id"),
           least(col("l.rep"), coalesce(col("p.nrep"), col("l.rep"))).as("rep"))
         .persist()
-      val s = next.agg(sum(col("rep"))).head().getLong(0)
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
       done = s == prevSum
       prevSum = s
       iter += 1
     }
+    // pin the fixpoint, then release the iteration caches — callers get a
+    // stable result without this operator pinning executor storage forever
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    result
   }
 
   // ------------------------------------------------------------- SimHash

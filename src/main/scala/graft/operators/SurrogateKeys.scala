@@ -29,17 +29,20 @@ object SurrogateKeys {
     * then per-partition row_number + exclusive prefix-sum of partition
     * sizes. Two passes, no single-task window, no 32-bit overflow.
     *
-    * The sorted input is persisted before the counting pass:
-    * `repartitionByRange` samples boundaries per materialization, so
-    * without the pin the count job and the assignment job could see
-    * different partitionings and the prefix sums would be wrong.
+    * The sorted input is pinned (eager localCheckpoint) before the
+    * counting pass: `repartitionByRange` samples boundaries per
+    * materialization, so without the pin the count job and the
+    * assignment job could see different partitionings and the prefix
+    * sums would be wrong. localCheckpoint rather than persist: the
+    * blocks are freed by the context cleaner once the result is
+    * unreferenced, instead of pinning executor storage until an
+    * explicit unpersist nobody is positioned to call.
     * Partition starts join in via a broadcast map-join (a `when` chain
     * over thousands of partitions would blow up codegen). */
   def assignScalable(df: DataFrame, idCol: String, orderBy: Seq[String], offset: Long = 0L): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val sorted = df.repartitionByRange(orderBy.map(col): _*)
       .sortWithinPartitions(orderBy.map(col): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val withPid = sorted.withColumn("__pid", spark_partition_id())
     val counts = withPid.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -227,16 +227,19 @@ object DedupQueries {
          |FROM rep""".stripMargin
     },
 
+    // ss via list_reduce in list order — a GROUP-BY SUM's accumulation
+    // order is an engine accident (reversing it flips the last ulp of
+    // half the norms); the left fold matches Spark dotF's 0..n-1 loop
+    // exactly.
     "q59_vector_norm" ->
-      """WITH s AS (
-        |  SELECT a.vec_id,
-        |         SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)) AS ss
-        |  FROM embeddings a, generate_series(1, 64) i(i) GROUP BY 1)
-        |SELECT e.vec_id,
-        |       CAST(len(e.embedding) AS INT) AS n_dims,
-        |       sqrt(s.ss) AS norm,
-        |       CAST(list_aggregate(list_transform(e.embedding, x -> abs(x)), 'max') AS DOUBLE) AS max_abs
-        |FROM embeddings e JOIN s ON s.vec_id = e.vec_id""".stripMargin,
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INT) AS n_dims,
+        |       sqrt(list_reduce(
+        |         list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |         (acc, v) -> acc + v)) AS norm,
+        |       CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE) AS max_abs
+        |FROM embeddings""".stripMargin,
 
     "q21_simhash" -> {
       val nib = "CASE WHEN ascii(substr(md5(w), 1 + (i.i // 4), 1)) <= 57 " +

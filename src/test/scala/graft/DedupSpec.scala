@@ -67,6 +67,11 @@ class DedupSpec extends SparkSpec {
     assert(joined.filter(col("n.ms") =!= col("r.ms")).count() === 0)
   }
 
+  test("dupClusters: empty pair set yields an empty labeling, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.dupClusters(empty).count() === 0)
+  }
+
   test("dupClusters: multi-hop chains converge to the min id") {
     // chain 1-2-3-4 (diameter 3 → several propagation rounds) + isolated pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
