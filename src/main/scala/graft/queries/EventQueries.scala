@@ -52,6 +52,42 @@ object EventQueries {
           sum(col("k")).cast("bigint").as("sum_k"),
           max(col("k")).as("max_k"))),
 
+    // ordered funnel view → click → purchase: per user, each stage's
+    // first event must follow the previous stage's first event; count
+    // users per deepest stage reached. All comparisons on epoch-µs ints.
+    "q60_funnel" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_type"), col("tus"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("v_t"))
+      val c = e.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("tus") > col("v_t"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("c_t"))
+      val p = e.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("tus") > col("c_t"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("p_t"))
+      e.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("p_t").isNotNull, 3)
+            .when(col("c_t").isNotNull, 2)
+            .when(col("v_t").isNotNull, 1)
+            .otherwise(0).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    // retention cohorts: users bucketed by first-seen month × months in
+    // which they were active, distinct-user counts.
+    "q61_cohorts" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"),
+        to_date(date_trunc("month", timestamp_micros(col("tus")))).as("m"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("m")).as("cohort_month"))
+      e.join(cohort, "user_id")
+        .groupBy(col("cohort_month"), col("m").as("active_month"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // as-of join: for every event, the user's latest purchase at or
     // before that moment (null if none yet).
     "q35_asof_join" -> ((s, d) => {
@@ -89,6 +125,30 @@ object EventQueries {
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         | MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q60_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |v AS (SELECT user_id, MIN(tus) AS v_t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(tus) AS c_t FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND tus > v_t GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(tus) AS p_t FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND tus > c_t GROUP BY 1)
+        |SELECT CAST(CASE WHEN p_t IS NOT NULL THEN 3
+        |                 WHEN c_t IS NOT NULL THEN 2
+        |                 WHEN v_t IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+        |       COUNT(*) AS n_users
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |GROUP BY 1""".stripMargin,
+
+    "q61_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS m FROM events),
+        |ch AS (SELECT user_id, MIN(m) AS cohort_month FROM e GROUP BY 1)
+        |SELECT cohort_month, m AS active_month, COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN ch USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q35_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events),
