@@ -193,13 +193,16 @@ object SimHashBits {
   * formulation, but per-row: no explode, no shuffle, O(numHashes)
   * state. Digests are compared as raw bytes (unsigned) — hex encoding
   * is order-preserving per byte — and only the winners are hex-encoded.
-  * Null/empty shingle arrays yield an empty result array (the
-  * relational form simply drops such ids; callers inner-join anyway).
+  * An empty shingle array yields an empty result array and an array
+  * with no non-null elements yields NULL (the relational form's min
+  * over all-null inputs); a NULL array yields NULL. Null elements are
+  * skipped, exactly like md5(null) vanishing under min.
   */
 case class MinHashSigs(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // all-null-element arrays yield NULL
   override def prettyName: String = MinHashSigs.name
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -273,6 +276,7 @@ case class MinHashSigs(left: Expression, right: Expression)
       }
       i += 1
     }
+    if (mins(0) == null) return null // no non-null element contributed
     new GenericArrayData(mins.map(d => hex(d): Any))
   }
 

@@ -73,9 +73,9 @@ object Dedup {
     * min(md5) aggregates) computes identical values but shuffles the
     * exploded shingles; it survives as the DuckDB oracle's replay and
     * in DedupSpec's parity test. Band keys and the bucket join only
-    * move (id, band_key); verification joins the (tiny, broadcast)
-    * candidate set back to the RAW text and shingles only the matched
-    * rows — the full corpus is shingled exactly once, for signatures.
+    * move (id, band_key); verification joins the candidate set back to
+    * the RAW text and shingles only the matched rows — the full corpus
+    * is shingled exactly once, for signatures.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, numHashes: Int = 12, bands: Int = 4,
@@ -108,10 +108,14 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
 
+    // No forced broadcast here: candidate volume grows with duplicate
+    // density, so AQE picks broadcast from runtime sizes when the set is
+    // small and keeps a shuffle join when it isn't — no driver-OOM cliff
+    // at high-dup corpora.
     val sa = raw.select(col("id").as("a_id"), col("txt").as("txt_a"))
     val sb = raw.select(col("id").as("b_id"), col("txt").as("txt_b"))
-    val withA = sa.join(broadcast(candidates), "a_id")
-    sb.join(broadcast(withA), "b_id")
+    val withA = sa.join(candidates, "a_id")
+    sb.join(withA, "b_id")
       .select(col("a_id"), col("b_id"),
         shingles(col("txt_a"), k).as("sh_a"), shingles(col("txt_b"), k).as("sh_b"))
       .select(col("a_id"), col("b_id"),
@@ -143,10 +147,17 @@ object Dedup {
       .persist()
     var labels = edges.select(col("x").as("id")).distinct()
       .select(col("id"), col("id").as("rep")).persist()
-    // sum is null on an empty graph — no pairs means no clusters
-    def labelSum(df: DataFrame): Option[Long] =
-      Option(df.agg(sum(col("rep"))).head().get(0)).map(_.asInstanceOf[Long])
-    var prevSum = labelSum(labels)
+    // Convergence fingerprint: order-independent XOR of per-row hashes
+    // of the labeling, valid for ANY id type (a sum over the rep column
+    // would assume numeric ids) and overflow-free under ANSI mode (ids
+    // are unique per row, so XOR cancellation can't hide a change).
+    // Labels move monotonically toward the fixpoint, so fingerprint
+    // equality means no label changed (up to a vanishing 64-bit
+    // collision chance). Null on an empty graph.
+    def fingerprint(df: DataFrame): Option[Long] =
+      Option(df.agg(bit_xor(xxhash64(col("id").cast("string"),
+        col("rep").cast("string")))).head().get(0)).map(_.asInstanceOf[Long])
+    var prevSum = fingerprint(labels)
     var iter = 0
     var done = prevSum.isEmpty
     while (!done && iter < maxIter) {
@@ -156,13 +167,18 @@ object Dedup {
         .select(col("l.id").as("id"),
           least(col("l.rep"), coalesce(col("p.nrep"), col("l.rep"))).as("rep"))
         .persist()
-      val s = labelSum(next)
+      val s = fingerprint(next)
       labels.unpersist()
       labels = next
       done = s == prevSum
       prevSum = s
       iter += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds — a component's " +
+          "diameter exceeds maxIter; raise it (wrong, silently split " +
+          "clusters would be worse)")
     // pin the fixpoint, then release the iteration caches — callers get a
     // stable result without this operator pinning executor storage forever
     val result = labels.localCheckpoint(true)

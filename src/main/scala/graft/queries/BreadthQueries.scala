@@ -135,7 +135,12 @@ object BreadthQueries {
           sum(q * q).as("q2_sum"))
         .select(col("l_returnflag"), col("n"), col("q_sum"),
           (col("q_sum").cast("double") / col("n").cast("double")).as("mean_qty"),
-          ((col("n") * col("q2_sum") - col("q_sum") * col("q_sum")).cast("double") /
+          // moment products in DECIMAL(38,0) (HUGEINT on the DuckDB
+          // side): q_sum² overflows BIGINT once a group passes ~1e9
+          // rows × qty 25 — silent wraparound at fact scale otherwise
+          ((col("n").cast(DecimalType(38, 0)) * col("q2_sum").cast(DecimalType(38, 0)) -
+            col("q_sum").cast(DecimalType(38, 0)) * col("q_sum").cast(DecimalType(38, 0)))
+            .cast("double") /
             (col("n") * (col("n") - 1)).cast("double")).as("var_qty"))
         .withColumn("stddev_qty", sqrt(col("var_qty")))
     }),
@@ -272,9 +277,9 @@ object BreadthQueries {
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n, q_sum,
         |       CAST(q_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
-        |       CAST(n * q2_sum - q_sum * q_sum AS DOUBLE) /
+        |       CAST(CAST(n AS HUGEINT) * q2_sum - CAST(q_sum AS HUGEINT) * q_sum AS DOUBLE) /
         |         CAST(n * (n - 1) AS DOUBLE) AS var_qty,
-        |       sqrt(CAST(n * q2_sum - q_sum * q_sum AS DOUBLE) /
+        |       sqrt(CAST(CAST(n AS HUGEINT) * q2_sum - CAST(q_sum AS HUGEINT) * q_sum AS DOUBLE) /
         |         CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty
         |FROM g""".stripMargin,
 
