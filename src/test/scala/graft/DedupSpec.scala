@@ -72,6 +72,15 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dupClusters(empty).count() === 0)
   }
 
+  test("dupClusters: deep chain converges; exceeding maxIter throws, never splits silently") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(chain).as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L) && out.length == 12)
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxIter = 2).collect()
+    }
+  }
+
   test("dupClusters: multi-hop chains converge to the min id") {
     // chain 1-2-3-4 (diameter 3 → several propagation rounds) + isolated pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
