@@ -132,10 +132,11 @@ object Dedup {
     * round takes the min of a node's label and its neighbors' labels;
     * fixpoint in O(component diameter) rounds. Each round is one
     * shuffle-bounded join + min-aggregate — the scalable shape (this is
-    * how large-graph CC runs at 100 TB; for deep graphs swap persist for
-    * checkpoint to truncate lineage). Convergence is detected by the
-    * label sum, which strictly decreases until the fixpoint —
-    * deterministic, order-independent.
+    * how large-graph CC runs at 100 TB). Every round's labels are
+    * eagerly localCheckpoint'ed: the round plan references the previous
+    * labels twice, so without lineage truncation the logical plan
+    * DOUBLES per round (2^rounds nodes — planner OOM on deep chains
+    * long before data size matters).
     *
     * Returns (id, rep). Only nodes appearing in at least one pair are
     * labeled (singletons are not clusters).
@@ -146,7 +147,7 @@ object Dedup {
       .unionAll(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
       .persist()
     var labels = edges.select(col("x").as("id")).distinct()
-      .select(col("id"), col("id").as("rep")).persist()
+      .select(col("id"), col("id").as("rep")).localCheckpoint(true)
     // Convergence fingerprint: order-independent XOR of per-row hashes
     // of the labeling, valid for ANY id type (a sum over the rep column
     // would assume numeric ids) and overflow-free under ANSI mode (ids
@@ -166,9 +167,8 @@ object Dedup {
       val next = labels.as("l").join(neigh.as("p"), col("l.id") === col("p.x"), "left")
         .select(col("l.id").as("id"),
           least(col("l.rep"), coalesce(col("p.nrep"), col("l.rep"))).as("rep"))
-        .persist()
+        .localCheckpoint(true) // truncate lineage; blocks freed by the cleaner
       val s = fingerprint(next)
-      labels.unpersist()
       labels = next
       done = s == prevSum
       prevSum = s
@@ -179,12 +179,8 @@ object Dedup {
         s"dupClusters did not converge in $maxIter rounds — a component's " +
           "diameter exceeds maxIter; raise it (wrong, silently split " +
           "clusters would be worse)")
-    // pin the fixpoint, then release the iteration caches — callers get a
-    // stable result without this operator pinning executor storage forever
-    val result = labels.localCheckpoint(true)
-    labels.unpersist()
     edges.unpersist()
-    result
+    labels
   }
 
   // ------------------------------------------------------------- SimHash

@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -67,7 +69,46 @@ object TextQueries {
           regexp_replace(
             regexp_replace(col("t2"), "[a-z0-9._]+@[a-z0-9.]+", "<email>"),
             "[0-9]+", "#").as("masked"),
-          col("t2").rlike("@example\\.com").as("had_email")))
+          col("t2").rlike("@example\\.com").as("had_email"))),
+
+    // vocabulary build: corpus word frequencies, top 100 with a
+    // deterministic (count desc, word) tie-break — the vocab step of a
+    // tokenizer-training pipeline. The global window runs on the
+    // aggregated vocab (bounded), never on the corpus.
+    "q62_vocab" -> ((s, d) => {
+      val counts = docs(s, d)
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      counts.withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("w"))).cast("int"))
+        .filter(col("rnk") <= 100)
+    }),
+
+    // bigram collocation mining: PMI as an exact-count RATIO
+    // (cab·N)/(ca·cb) — log() is libm-dependent across engines, the
+    // ratio is one double division of exact integer products
+    // (DECIMAL(38,0)/HUGEINT — bigint would overflow at fact scale).
+    "q63_bigram_pmi" -> ((s, d) => {
+      val ws = docs(s, d).select(words(col("text")).as("ws"))
+      val bg = ws.select(explode(array_compact(zip_with(
+        col("ws"),
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))).as("bg"))
+      val bgc = bg.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      val uni = docs(s, d).select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = bg.agg(count(lit(1)).as("nn"))
+      def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      bgc.crossJoin(tot)
+        .withColumn("w1", element_at(split(col("bg"), " "), 1))
+        .withColumn("w2", element_at(split(col("bg"), " "), 2))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .select(col("bg").as("bigram"), col("cab"),
+          ((d38(col("cab")) * d38(col("nn"))).cast("double") /
+            (d38(col("c1")) * d38(col("c2"))).cast("double")).as("pmi_ratio"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -134,6 +175,33 @@ object TextQueries {
         |      ELSE 0 END AS INT) AS d3
         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
         |        FROM documents))""".stripMargin,
+
+    "q62_vocab" ->
+      """SELECT w, n, rnk FROM (
+        |  SELECT w, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, w) AS INT) AS rnk
+        |  FROM (SELECT w, COUNT(*) AS n
+        |        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |              FROM documents)
+        |        GROUP BY 1))
+        |WHERE rnk <= 100""".stripMargin,
+
+    "q63_bigram_pmi" ->
+      """WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+        |                     i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+        |       FROM w),
+        |bgc AS (SELECT bg, COUNT(*) AS cab FROM bg GROUP BY 1 HAVING COUNT(*) >= 5),
+        |uni AS (SELECT w, COUNT(*) AS c
+        |        FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nn FROM bg)
+        |SELECT b.bg AS bigram, b.cab,
+        |       CAST(CAST(b.cab AS HUGEINT) * t.nn AS DOUBLE) /
+        |       CAST(CAST(u1.c AS HUGEINT) * u2.c AS DOUBLE) AS pmi_ratio
+        |FROM bgc b
+        |CROSS JOIN tot t
+        |JOIN uni u1 ON u1.w = string_split(b.bg, ' ')[1]
+        |JOIN uni u2 ON u2.w = string_split(b.bg, ' ')[2]""".stripMargin,
 
     "q58_pii_mask" ->
       """SELECT doc_id,
