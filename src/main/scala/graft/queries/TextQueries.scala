@@ -71,6 +71,26 @@ object TextQueries {
             "[0-9]+", "#").as("masked"),
           col("t2").rlike("@example\\.com").as("had_email"))),
 
+    // deterministic per-stratum sampling: the k docs with the smallest
+    // md5(id) per language — hash ordering is THE reproducible sampler
+    // at pipeline scale (no RNG, no partition-order dependence, stable
+    // under re-runs and engine changes; md5 is the cross-engine hash).
+    "q64_hash_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 5)
+    }),
+
+    // reproducible train/val split: assignment by md5 prefix range
+    // (~90/10) — membership is a pure function of the id.
+    "q65_train_split" -> ((s, d) =>
+      docs(s, d).select(
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "e6", "train")
+          .otherwise("val").as("split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),
+
     // vocabulary build: corpus word frequencies, top 100 with a
     // deterministic (count desc, word) tie-break — the vocab step of a
     // tokenizer-training pipeline. The global window runs on the
@@ -175,6 +195,21 @@ object TextQueries {
         |      ELSE 0 END AS INT) AS d3
         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
         |        FROM documents))""".stripMargin,
+
+    "q64_hash_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q65_train_split" ->
+      """SELECT split, COUNT(*) AS n_docs FROM (
+        |  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |              THEN 'train' ELSE 'val' END AS split
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
 
     "q62_vocab" ->
       """SELECT w, n, rnk FROM (
