@@ -1,5 +1,44 @@
 package graft
 
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Scd2
+
+  private def dim(rows: (Int, String, String, Int, Option[Int])*) =
+    rows.toDF("id", "nome", "grupo", "valid_from", "valid_to")
+
+  test("SCD-2 merge: new keys open, changed keys version, unchanged/absent untouched") {
+    val v1 = dim((1, "a", "g1", 1, None), (2, "b", "g1", 1, None))
+    // batch at v2: key 1 changes grupo, key 2 unchanged, key 3 new
+    val batch = Seq((1, "a", "g2"), (2, "b", "g1"), (3, "c", "g1"))
+      .toDF("id", "nome", "grupo")
+    val v2 = Scd2.merge(v1, batch, keys = Seq("id"),
+      attrs = Seq("nome", "grupo"), version = 2)
+    val rows = v2.as[(Int, String, String, Int, Option[Int])]
+      .collect().sortBy(r => (r._1, r._4))
+    assert(rows.toSeq === Seq(
+      (1, "a", "g1", 1, Some(2)), // closed at v2
+      (1, "a", "g2", 2, None),    // reopened with new attrs
+      (2, "b", "g1", 1, None),    // unchanged
+      (3, "c", "g1", 2, None)))   // new key
+    // time travel: as-of v1 sees the original attributes only
+    val asOf1 = Scd2.asOf(v2, 1).select("id", "grupo")
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(asOf1.toSeq === Seq((1, "g1"), (2, "g1")))
+    // idempotency: merging the same batch again changes nothing
+    val v3 = Scd2.merge(v2, batch, Seq("id"), Seq("nome", "grupo"), version = 3)
+    assert(v3.exceptAll(v2).count() === 0 && v2.exceptAll(v3).count() === 0)
+  }
+
+  test("SCD-2 merge: null attributes compare null-safely") {
+    val v1 = dim((1, "a", "g1", 1, None))
+      .withColumn("grupo", org.apache.spark.sql.functions.lit(null).cast("string"))
+    val batch = Seq((1, "a", Option.empty[String])).toDF("id", "nome", "grupo")
+    val v2 = Scd2.merge(v1, batch, Seq("id"), Seq("nome", "grupo"), version = 2)
+    assert(v2.count() === 1) // null == null under <=>, no spurious version
+  }
+}
+
 import org.apache.spark.sql.functions._
 import graft.operators.{MergeIgnore, SurrogateKeys}
 
