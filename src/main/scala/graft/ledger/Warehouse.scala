@@ -118,7 +118,12 @@ final class Warehouse(catalog: Catalog) {
     // native long — the int-cast assign is reserved for dimension tables).
     val keyed = SurrogateKeys.assignScalable(delta, "id_lancamento", Seq("id_hash"), offset)
       .select(Schemas.fatoLancamento.fieldNames.map(col): _*)
-    catalog.appendDelta("fato_lancamento", keyed, partitionBy = Seq("ano", "mes"))
+    // Cluster rows by the dimension hierarchy inside each written file
+    // (no extra shuffle — ids are already assigned): parquet row-group
+    // min/max stats then prune category-filtered BI scans, on top of
+    // the (ano, mes) directory pruning.
+    val clustered = keyed.sortWithinPartitions("id_tipo", "id_grupo", "id_categoria")
+    catalog.appendDelta("fato_lancamento", clustered, partitionBy = Seq("ano", "mes"))
   }
 
   /** Shared dim-merge: dedup batch keys, anti-join existing, assign
