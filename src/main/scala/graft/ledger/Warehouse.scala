@@ -121,8 +121,12 @@ final class Warehouse(catalog: Catalog) {
     // Cluster rows by the dimension hierarchy inside each written file
     // (no extra shuffle — ids are already assigned): parquet row-group
     // min/max stats then prune category-filtered BI scans, on top of
-    // the (ano, mes) directory pruning.
-    val clustered = keyed.sortWithinPartitions("id_tipo", "id_grupo", "id_categoria")
+    // the (ano, mes) directory pruning. The sort MUST lead with the
+    // write-partition columns: the partitioned writer requires an
+    // (ano, mes) ordering and would otherwise insert its own sort on
+    // top, destroying the clustering it sits above.
+    val clustered = keyed.sortWithinPartitions(
+      "ano", "mes", "id_tipo", "id_grupo", "id_categoria")
     catalog.appendDelta("fato_lancamento", clustered, partitionBy = Seq("ano", "mes"))
   }
 

@@ -161,26 +161,27 @@ object Dedup {
     var prevSum = fingerprint(labels)
     var iter = 0
     var done = prevSum.isEmpty
-    while (!done && iter < maxIter) {
+    try {
+      while (!done && iter < maxIter) {
       val neigh = edges.join(labels, edges("y") === labels("id"))
         .groupBy(col("x")).agg(min(col("rep")).as("nrep"))
       val next = labels.as("l").join(neigh.as("p"), col("l.id") === col("p.x"), "left")
         .select(col("l.id").as("id"),
           least(col("l.rep"), coalesce(col("p.nrep"), col("l.rep"))).as("rep"))
         .localCheckpoint(true) // truncate lineage; blocks freed by the cleaner
-      val s = fingerprint(next)
-      labels = next
-      done = s == prevSum
-      prevSum = s
-      iter += 1
-    }
-    if (!done)
-      throw new IllegalStateException(
-        s"dupClusters did not converge in $maxIter rounds — a component's " +
-          "diameter exceeds maxIter; raise it (wrong, silently split " +
-          "clusters would be worse)")
-    edges.unpersist()
-    labels
+        val s = fingerprint(next)
+        labels = next
+        done = s == prevSum
+        prevSum = s
+        iter += 1
+      }
+      if (!done)
+        throw new IllegalStateException(
+          s"dupClusters did not converge in $maxIter rounds — a component's " +
+            "diameter exceeds maxIter; raise it (wrong, silently split " +
+            "clusters would be worse)")
+      labels
+    } finally edges.unpersist() // also on the non-convergence throw path
   }
 
   // ------------------------------------------------------------- SimHash

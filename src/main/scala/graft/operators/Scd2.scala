@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   *     (valid_to = version) and a new open row appears.
   * Keys absent from the batch are untouched (dimension batches are
   * partial by nature; deletions are out of scope like the reference's).
+  * A key repeated within one batch is reduced to a single deterministic
+  * winner (max over the attribute struct) before merging.
   *
   * Scale shape: one shuffle on the natural key (current ⋈ batch);
   * history rows pass through untouched — with the fact table's
@@ -34,13 +36,25 @@ object Scd2 {
     val cols = keys ++ attrs
     val history = existing.filter(col("valid_to").isNotNull)
     val current = existing.filter(col("valid_to").isNull)
+      .withColumn("__in_cur", lit(true))
 
-    val b = batch.select(cols.map(c => col(c).as(s"__b_$c")): _*)
+    // one row per natural key: deterministic winner on key conflicts
+    // (max over the attribute struct — lexicographic by field order);
+    // without this a repeated key would multiply the current row
+    // through the join and open several simultaneous versions
+    val bUnique = batch
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(attrs.map(col): _*)).as("__s"))
+      .select(keys.map(col) ++ attrs.map(a => col("__s").getField(a).as(a)): _*)
+    val b = bUnique.select(cols.map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__in_b", lit(true))
     val joined = current.join(b,
       keys.map(k => col(k) <=> col(s"__b_$k")).reduce(_ && _), "full_outer")
 
-    val inBatch = col(s"__b_${keys.head}").isNotNull
-    val inCurrent = col(keys.head).isNotNull
+    // presence via non-nullable markers, NOT key-column nullness —
+    // a NULL natural-key value is a legal key under the null-safe join
+    val inBatch = col("__in_b").isNotNull
+    val inCurrent = col("__in_cur").isNotNull
     val changed = attrs.map(a => !(col(a) <=> col(s"__b_$a"))).reduce(_ || _)
 
     // open rows that survive: untouched keys, and unchanged matches

@@ -2,6 +2,7 @@ package graft
 
 class Scd2Spec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.functions.{col, lit, when}
   import graft.operators.Scd2
 
   private def dim(rows: (Int, String, String, Int, Option[Int])*) =
@@ -28,6 +29,28 @@ class Scd2Spec extends SparkSpec {
     // idempotency: merging the same batch again changes nothing
     val v3 = Scd2.merge(v2, batch, Seq("id"), Seq("nome", "grupo"), version = 3)
     assert(v3.exceptAll(v2).count() === 0 && v2.exceptAll(v3).count() === 0)
+  }
+
+  test("SCD-2 merge: NULL natural-key values are legal keys, not dropped rows") {
+    val v1 = dim((1, "a", "g1", 1, None))
+      .withColumn("id", when(col("id") === 1, lit(null)).otherwise(col("id")).cast("int"))
+    val batch = Seq((Option.empty[Int], "a", "g2")).toDF("id", "nome", "grupo")
+    val v2 = Scd2.merge(v1, batch, Seq("id"), Seq("nome", "grupo"), version = 2)
+    // the null-keyed row versions normally: one closed + one open
+    assert(v2.count() === 2)
+    assert(v2.filter(col("valid_to").isNull).select("grupo")
+      .as[String].head() === "g2")
+  }
+
+  test("SCD-2 merge: a key repeated in one batch reduces to one deterministic winner") {
+    val v1 = dim((1, "a", "g1", 1, None))
+    val batch = Seq((1, "a", "g3"), (1, "a", "g2")).toDF("id", "nome", "grupo")
+    val v2 = Scd2.merge(v1, batch, Seq("id"), Seq("nome", "grupo"), version = 2)
+    val open = v2.filter(col("valid_to").isNull)
+      .as[(Int, String, String, Int, Option[Int])].collect()
+    assert(open.length === 1)           // exactly one open row per key
+    assert(open.head._3 === "g3")       // max over (nome, grupo) struct
+    assert(v2.count() === 2)            // closed v1 row + one new open row
   }
 
   test("SCD-2 merge: null attributes compare null-safely") {
