@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{DotProductFloat, LangId, MinHashSigs, SimHashBits, StopHits, WordShingles}
+import graft.expressions.{DotProductFloat, LangId, MinHashSigs, NfcNormalize, SimHashBits, StopHits, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(LangId.registration)
     ext.injectFunction(StopHits.registration)
     ext.injectFunction(MinHashSigs.registration)
+    ext.injectFunction(NfcNormalize.registration)
   }
 }

@@ -430,6 +430,48 @@ object LangId {
     })
 }
 
+/** Unicode NFC normalization (canonical composition) — the standard
+  * pre-dedup canonicalization step: visually identical strings with
+  * different codepoint sequences ("e"+U+0301 vs precomposed "é") get
+  * one byte representation, so fingerprints and shingles agree. Wraps
+  * `java.text.Normalizer` (the JDK implements the Unicode standard
+  * algorithm; DuckDB's ICU `nfc_normalize` produces identical output,
+  * which the q66 oracle verifies).
+  */
+case class NfcNormalize(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = NfcNormalize.name
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"${NfcNormalize.name} expects a string")
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    // fast path: most corpus text is already NFC
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  val name = "nfc_normalize"
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[NfcNormalize].getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, s"$name takes 1 argument, got ${exprs.length}")
+      NfcNormalize(exprs.head)
+    })
+}
+
 object TextExpressions {
   /** Distinct k-shingles of [a-z] word runs, fused native loop. */
   def wordShingles(text: Column, k: Int): Column =
@@ -442,6 +484,10 @@ object TextExpressions {
   /** Stopword-argmax language ID, fused native loop. */
   def langId(text: Column): Column =
     call_function(LangId.name, text)
+
+  /** Unicode NFC canonical composition. */
+  def nfcNormalize(text: Column): Column =
+    call_function(NfcNormalize.name, text)
 
   /** MinHash signature array (numHashes min-md5 hex strings), per row. */
   def minhashSigs(shingles: Column, numHashes: Int): Column =

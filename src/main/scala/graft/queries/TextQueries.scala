@@ -91,6 +91,21 @@ object TextQueries {
           .otherwise("val").as("split"))
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),
 
+    // Unicode NFC canonicalization before fingerprinting: the planted
+    // literal is DECOMPOSED-first (e + combining acute U+0301) then
+    // precomposed — both must collapse to one byte form so
+    // visually-equal text dedups equal. was_denormalized asserts the
+    // normalize path actually fired. The oracle runs ICU's
+    // nfc_normalize against the JDK implementation.
+    "q66_nfc_dedup" -> ((s, d) => {
+      val t2 = concat(col("text"), lit(" café café"))
+      val nfc = graft.expressions.TextExpressions.nfcNormalize(t2)
+      docs(s, d).select(
+        col("doc_id"),
+        (t2 =!= nfc).as("was_denormalized"),
+        fingerprint(nfc).as("fp_nfc"))
+    }),
+
     // vocabulary build: corpus word frequencies, top 100 with a
     // deterministic (count desc, word) tie-break — the vocab step of a
     // tokenizer-training pipeline. The global window runs on the
@@ -210,6 +225,13 @@ object TextQueries {
         |              THEN 'train' ELSE 'val' END AS split
         |  FROM documents)
         |GROUP BY 1""".stripMargin,
+
+    "q66_nfc_dedup" ->
+      """SELECT doc_id,
+        | (text || ' cafe' || chr(769) || ' caf' || chr(233))
+        |   <> nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233)) AS was_denormalized,
+        | md5(regexp_replace(lower(trim(nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233)))), '\s+', ' ', 'g')) AS fp_nfc
+        |FROM documents""".stripMargin,
 
     "q62_vocab" ->
       """SELECT w, n, rnk FROM (

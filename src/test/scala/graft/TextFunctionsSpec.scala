@@ -52,6 +52,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(d2.count() === 0)
   }
 
+  test("nfc_normalize composes decomposed sequences, identity on NFC text") {
+    val out = Seq("café", "café", "plain ascii")
+      .toDF("t")
+      .select(graft.expressions.TextExpressions.nfcNormalize(col("t")))
+      .as[String].collect()
+    assert(out(0) === "café") // e + U+0301 → precomposed é
+    assert(out(1) === "café")
+    assert(out(2) === "plain ascii")
+    assert(out(0) === out(1)) // visually-equal strings now dedup equal
+  }
+
   test("fingerprint is whitespace/case-insensitive but content-sensitive") {
     val fps = Seq("Hello   World", "hello world", " HELLO WORLD ", "hello worlds")
       .toDF("t").select(fingerprint(col("t"))).as[String].collect()
