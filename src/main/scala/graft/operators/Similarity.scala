@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   *   (BroadcastNestedLoopJoin), then a per-query window ranks. Scales
   *   linearly in corpus size × query count; right for small query sets
   *   or as the verify stage after an ANN prefilter.
-  * - [[signBucketPairs]]: random-hyperplane LSH — bucket by the 16-bit
-  *   sign pattern of fixed ±1 hyperplane projections, join within
-  *   buckets, verify with exact cosine. The scale path for all-pairs
-  *   near-dup at 100 TB: the only shuffle is on the bucket key, and
-  *   verification touches only bucket collisions.
+  * - [[signBucketPairs]]: random-hyperplane LSH — bucket by the sign
+  *   pattern of fixed ±1 hyperplane projections (multi-probe: `tables`
+  *   independent bucketings unioned, hot buckets sub-split), join
+  *   within buckets, verify with exact cosine. The scale path for
+  *   all-pairs near-dup at 100 TB: the only shuffle is on the bucket
+  *   key, and verification touches only bucket collisions.
   *
   * Hyperplanes are md5-parity ±1 constants — deterministic across JVMs,
   * engines, and cluster layouts (no RNG state).
@@ -66,32 +67,72 @@ object Similarity {
       if ((md(0) & 1) == 0) 1.0 else -1.0
     }
 
-  /** 16-bit sign-pattern bucket key ("0110..." string). Scaling a vector
-    * by a positive constant cannot change its bucket. */
-  def signBucket(vecCol: Column, dims: Int, planes: Int = 16): Column = {
+  /** Sign-pattern bucket key ("0110..." string) over `planes` hyperplanes
+    * starting at index `planeOffset` (distinct offsets → independent
+    * bucketings). Scaling a vector by a positive constant cannot change
+    * its bucket. */
+  def signBucket(vecCol: Column, dims: Int, planes: Int = 16,
+                 planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val h = array(hyperplane(p, dims).map(x => lit(x.toFloat)): _*)
+      val h = array(hyperplane(planeOffset + p, dims).map(x => lit(x.toFloat)): _*)
       val dot = graft.expressions.VectorExpressions.dotF(vecCol, h)
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
 
-  /** All pairs with cosine > threshold, found via sign-bucket join +
-    * exact verify. Recall note: a pair lands in the same bucket only if
-    * all plane signs agree — certain for (anti)parallel vectors (the
-    * planted-duplicate case), probabilistic otherwise; raise recall by
-    * unioning several bucketings with distinct plane sets. */
+  /** All pairs with cosine > threshold, found via multi-probe sign-bucket
+    * LSH + exact verify.
+    *
+    * Recall: a pair is a candidate if its sign pattern agrees on ALL
+    * `planes` hyperplanes of AT LEAST ONE of the `tables` bucketings
+    * (each bucketing uses a disjoint plane set). One bucketing is
+    * certain only for (anti)parallel vectors; for a noised near-dup at
+    * cosine c the per-bucketing collision probability is
+    * (1 - arccos(c)/π)^planes, so unioning L bucketings drives the miss
+    * rate to (1-p)^L. False positives never survive: every candidate is
+    * re-checked with exact cosine.
+    *
+    * Hot-bucket guard: a degenerate corpus (e.g. many near-zero or
+    * near-identical vectors sharing one sign pattern) would make a
+    * single bucket quadratic. Buckets larger than `maxBucketSize` are
+    * sub-split by a deterministic salt (xxhash64 of the id), bounding
+    * per-bucket join work at ~maxBucketSize² while keeping partial
+    * recall inside the hot bucket — the job degrades gracefully instead
+    * of dying. The counts pass shuffles only (bucket_key, count) thanks
+    * to map-side partial aggregation; the hot set is not force-broadcast
+    * (its size scales with pathology — AQE broadcasts it when small).
+    *
+    * Scale shape (100 TB): bucket keys are per-row native expressions
+    * (no shuffle); the only data shuffles are the (id, bucket, vec)
+    * self-join exchange — shared by both sides via repartition +
+    * shuffle_hash (exchange reuse) — and the tiny candidate dedup.
+    */
   def signBucketPairs(df: DataFrame, idCol: String, vecCol: String,
-                      dims: Int, threshold: Double): DataFrame = {
+                      dims: Int, threshold: Double, planes: Int = 16,
+                      tables: Int = 1, maxBucketSize: Int = 10000): DataFrame = {
+    require(tables >= 1 && planes >= 1 && maxBucketSize >= 2,
+      s"need tables>=1, planes>=1, maxBucketSize>=2 (got $tables, $planes, $maxBucketSize)")
+    val keys = (0 until tables).map { l =>
+      concat(lit(s"$l:"), signBucket(col("v"), dims, planes, planeOffset = l * planes))
+    }
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bk", signBucket(col("v"), dims))
-    val a = withB.as("a")
-    val b = withB.as("b")
-    a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .withColumn("bk", explode(array(keys: _*)))
+    val hot = withB.groupBy("bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+    val keyed = withB.join(hot, Seq("bk"), "left")
+      .withColumn("bk2", when(col("__n").isNull, col("bk")).otherwise(
+        concat(col("bk"), lit("#"), pmod(xxhash64(col("id")),
+          ceil(col("__n").cast("double") / maxBucketSize).cast("long")))))
+      .select(col("id"), col("v"), col("bk2"))
+      .repartition(col("bk2"))
+    val a = keyed.as("a").hint("shuffle_hash")
+    val b = keyed.as("b").hint("shuffle_hash")
+    a.join(b, col("a.bk2") === col("b.bk2") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         cosine(col("a.v"), col("b.v")).as("__cos"))
       .filter(col("__cos") > threshold)
       .select("a_id", "b_id")
+      .distinct()
   }
 }

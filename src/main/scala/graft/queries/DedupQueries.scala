@@ -132,8 +132,37 @@ object DedupQueries {
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
       Similarity.signBucketPairs(batch, "vec_id", "embedding",
         dims = 64, threshold = 0.999)
+    }),
+
+    // embedding near-dup where the planted copies are NOISED, not
+    // parallel (cos ≈ 0.992-0.994): a single 16-plane bucketing misses
+    // several planted pairs (signs flip on a few planes), so this query
+    // exercises the multi-probe path — 8 independent bucketings unioned.
+    // The oracle is brute-force all-pairs cosine, so the query passes
+    // only if LSH recall on pairs above the threshold is EXACTLY 100%
+    // (verified: zero misses at sf 0.001/0.01/0.1 with these params;
+    // margin is wide — max unplanted pair cosine ≈ 0.51 vs 0.99).
+    "q67_multiprobe_neardup" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val batch = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(col("vec_id") % MutMod === 0).select(
+          (col("vec_id") + MutOff).as("vec_id"),
+          zip_with(col("embedding"), noiseLit, (x, p) => x + p).as("embedding")))
+      Similarity.signBucketPairs(batch, "vec_id", "embedding",
+        dims = 64, threshold = NoiseTau, planes = 16, tables = 8)
     })
   )
+
+  /** q67 noise: a fixed ±ε pattern (ε = 2⁻⁶ — exactly representable in
+    * float AND double, so Spark's float add and DuckDB's double-add-
+    * then-cast-REAL round identically). Plane id 9999 is outside the
+    * 0..127 range the 8 bucketings use. */
+  private val NoiseEps = 0.015625 // 2^-6
+  private val NoiseTau = 0.99
+  private def noisePattern: Seq[Double] =
+    Similarity.hyperplane(9999, 64).map(_ * NoiseEps)
+  private def noiseLit: org.apache.spark.sql.Column =
+    array(noisePattern.map(x => lit(x.toFloat)): _*)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -300,6 +329,26 @@ object DedupQueries {
          |  FROM eb a, eb b, generate_series(1, 64) i(i)
          |  WHERE a.vec_id < b.vec_id
          |  GROUP BY 1, 2)
-         |SELECT a_id, b_id FROM p WHERE cos > 0.999""".stripMargin
+         |SELECT a_id, b_id FROM p WHERE cos > 0.999""".stripMargin,
+
+    // brute-force all-pairs ground truth: the Spark side must achieve
+    // exact recall with its 8-bucketing LSH for the hashes to match.
+    "q67_multiprobe_neardup" -> {
+      val noise = noisePattern
+        .map(x => if (x > 0) NoiseEps.toString else s"-$NoiseEps")
+        .mkString("[", ", ", "]")
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $MutOff,
+         |         list_transform(range(1, 65), i -> CAST(embedding[i] + ($noise)[i] AS REAL))
+         |  FROM embeddings WHERE vec_id % $MutMod = 0),
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $duckCos AS cos
+         |  FROM eb a, eb b, generate_series(1, 64) i(i)
+         |  WHERE a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id FROM p WHERE cos > $NoiseTau""".stripMargin
+    }
   )
 }

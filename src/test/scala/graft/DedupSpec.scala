@@ -134,6 +134,54 @@ class DedupSpec extends SparkSpec {
     assert(r.getString(0).length === 16)
   }
 
+  test("multi-probe LSH: exact recall on noised near-dups where one bucketing misses") {
+    // the q67 construction: unit vectors + noised copies at cos ≈ 0.992
+    val eps = 0.015625f
+    val noise = array(Similarity.hyperplane(9999, 64).map(x => lit((x * eps).toFloat)): _*)
+    val emb = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val batch = emb.unionAll(
+      emb.filter(col("vec_id") % 29 === 0).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        zip_with(col("embedding"), noise, (x, p) => x + p).as("embedding")))
+
+    // ground truth via the exact baseline: each noised row's nearest
+    // neighbor is its origin (planted cos ≈ 0.992, best impostor ≈ 0.5)
+    val truth = Similarity.bruteForceTopK(
+      batch, batch.filter(col("vec_id") >= 1000000), "vec_id", "embedding", k = 1)
+      .select(col("neighbor_id").as("a_id"), col("query_id").as("b_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty && truth.forall { case (a, b) => b - a == 1000000 },
+      s"baseline should rank each origin first: $truth")
+
+    val multi = Similarity.signBucketPairs(batch, "vec_id", "embedding",
+      dims = 64, threshold = 0.99, planes = 16, tables = 8)
+      .as[(Long, Long)].collect().toSet
+    val single = Similarity.signBucketPairs(batch, "vec_id", "embedding",
+      dims = 64, threshold = 0.99, planes = 16, tables = 1)
+      .as[(Long, Long)].collect().toSet
+
+    assert(truth.subsetOf(multi), s"multi-probe missed: ${truth -- multi}")
+    assert((truth -- single).nonEmpty,
+      "expected single bucketing to miss at least one noised pair — " +
+        "if this starts passing, the q67 demonstration is vacuous")
+    assert(single.subsetOf(multi))
+  }
+
+  test("hot-bucket guard sub-splits a degenerate single-bucket corpus") {
+    // 100 positive-scaled copies of one vector: identical sign pattern in
+    // every bucketing → one quadratic bucket without the guard
+    val base = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val rows = (0L until 100L).map(i => (i, base.map(x => x * (1.0f + i / 1000.0f))))
+    val df = rows.toDF("vec_id", "embedding")
+    val full = Similarity.signBucketPairs(df, "vec_id", "embedding",
+      dims = 64, threshold = 0.999, tables = 2).count()
+    assert(full === 100L * 99 / 2) // no guard triggered at default cap
+    val capped = Similarity.signBucketPairs(df, "vec_id", "embedding",
+      dims = 64, threshold = 0.999, tables = 2, maxBucketSize = 10).count()
+    assert(capped > 0 && capped < full,
+      s"sub-split should bound pair count below the quadratic $full, got $capped")
+  }
+
   test("bruteForceTopK ranks the planted duplicate first") {
     val base = (0L to 30L).map(i =>
       (i, Seq.tabulate(8)(j => math.sin(i * 8.0 + j).toFloat)))
