@@ -99,6 +99,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
     require(versions(table).contains(version),
       s"$table has no version $version (have: ${versions(table).mkString(",")})")
     val schema = Schemas.schemaOf(table)
+    // fail here, naming the cause, rather than FileNotFound deep in the
+    // scan: vacuum() keeps only the LATEST version's commit dirs
+    val gone = commitsAt(table, version).filterNot(c => Files.exists(Paths.get(c)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"$table version $version was vacuumed: missing commit dirs " +
+          gone.mkString(", "))
     commitsAt(table, version).map { c =>
       spark.read.schema(schema).option("basePath", c).parquet(c)
         .select(schema.fieldNames.map(col): _*)

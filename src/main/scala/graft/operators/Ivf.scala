@@ -30,10 +30,23 @@ object Ivf {
     def nlist: Int = centroids.size
   }
 
-  /** Train the coarse quantizer. */
+  /** Train the coarse quantizer.
+    *
+    * `sampleFraction` is the scale contract: k-means over the full
+    * corpus is a multi-pass job that does NOT amortize at 100 TB — the
+    * quantizer only needs the coarse density shape, which a uniform
+    * sample of ~100·nlist vectors already captures. Callers at scale
+    * must pass a fraction that lands near that count; the default 1.0
+    * (full fit) is for small corpora and tests. Sampling is seeded, so
+    * fit stays deterministic for a given corpus + seed. */
   def fit(corpus: DataFrame, vecCol: String, nlist: Int,
-          seed: Long = 42L): Model = {
-    val feats = corpus.select(array_to_vector(col(vecCol)).as("features"))
+          seed: Long = 42L, sampleFraction: Double = 1.0): Model = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val src =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, seed)
+    val feats = src.select(array_to_vector(col(vecCol)).as("features"))
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features")
     val model = km.fit(feats)

@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   * Keys absent from the batch are untouched (dimension batches are
   * partial by nature; deletions are out of scope like the reference's).
   * A key repeated within one batch is reduced to a single deterministic
-  * winner (max over the attribute struct) before merging.
+  * winner before merging: by `max` of `orderCol` when given (ties broken
+  * by the attribute struct), else by `max` over the attribute struct —
+  * lexicographic by attribute order, i.e. the FIRST attr column
+  * dominates, which is arbitrary unless callers pass `orderCol` (an
+  * ingest timestamp / sequence number).
   *
   * Scale shape: one shuffle on the natural key (current ⋈ batch);
   * history rows pass through untouched — with the fact table's
@@ -32,19 +36,21 @@ import org.apache.spark.sql.functions._
 object Scd2 {
 
   def merge(existing: DataFrame, batch: DataFrame, keys: Seq[String],
-            attrs: Seq[String], version: Int): DataFrame = {
+            attrs: Seq[String], version: Int,
+            orderCol: Option[String] = None): DataFrame = {
     val cols = keys ++ attrs
     val history = existing.filter(col("valid_to").isNotNull)
     val current = existing.filter(col("valid_to").isNull)
       .withColumn("__in_cur", lit(true))
 
     // one row per natural key: deterministic winner on key conflicts
-    // (max over the attribute struct — lexicographic by field order);
+    // (orderCol leads the max-struct when supplied; see class doc);
     // without this a repeated key would multiply the current row
     // through the join and open several simultaneous versions
+    val winnerOrder = orderCol.map(col).toSeq ++ attrs.map(col)
     val bUnique = batch
       .groupBy(keys.map(col): _*)
-      .agg(max(struct(attrs.map(col): _*)).as("__s"))
+      .agg(max(struct(winnerOrder: _*)).as("__s"))
       .select(keys.map(col) ++ attrs.map(a => col("__s").getField(a).as(a)): _*)
     val b = bUnique.select(cols.map(c => col(c).as(s"__b_$c")): _*)
       .withColumn("__in_b", lit(true))

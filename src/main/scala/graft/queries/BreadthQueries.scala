@@ -138,10 +138,14 @@ object BreadthQueries {
           // moment products in DECIMAL(38,0) (HUGEINT on the DuckDB
           // side): q_sum² overflows BIGINT once a group passes ~1e9
           // rows × qty 25 — silent wraparound at fact scale otherwise
-          ((col("n").cast(DecimalType(38, 0)) * col("q2_sum").cast(DecimalType(38, 0)) -
-            col("q_sum").cast(DecimalType(38, 0)) * col("q_sum").cast(DecimalType(38, 0)))
-            .cast("double") /
-            (col("n") * (col("n") - 1)).cast("double")).as("var_qty"))
+          // n=1 group: sample variance is undefined — NULL, not the
+          // engine-dependent 0/0 (Spark NULL vs DuckDB NaN mismatch)
+          when(col("n") > 1,
+            (col("n").cast(DecimalType(38, 0)) * col("q2_sum").cast(DecimalType(38, 0)) -
+              col("q_sum").cast(DecimalType(38, 0)) * col("q_sum").cast(DecimalType(38, 0)))
+              .cast("double") /
+              (col("n") * (col("n") - 1)).cast("double"))
+            .otherwise(lit(null).cast("double")).as("var_qty"))
         .withColumn("stddev_qty", sqrt(col("var_qty")))
     }),
 
@@ -278,9 +282,9 @@ object BreadthQueries {
         |SELECT l_returnflag, n, q_sum,
         |       CAST(q_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
         |       CAST(CAST(n AS HUGEINT) * q2_sum - CAST(q_sum AS HUGEINT) * q_sum AS DOUBLE) /
-        |         CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+        |         CAST(NULLIF(n * (n - 1), 0) AS DOUBLE) AS var_qty,
         |       sqrt(CAST(CAST(n AS HUGEINT) * q2_sum - CAST(q_sum AS HUGEINT) * q_sum AS DOUBLE) /
-        |         CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty
+        |         CAST(NULLIF(n * (n - 1), 0) AS DOUBLE)) AS stddev_qty
         |FROM g""".stripMargin,
 
     "q50_histogram" ->

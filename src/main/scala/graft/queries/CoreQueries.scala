@@ -216,13 +216,11 @@ object CoreQueries {
     }),
 
     // time-windowed aggregation over the events table (batch analog of
-    // the M4 streaming query). The events parquet stores TIMESTAMP(NANOS),
-    // which Spark's vectorized reader rejects; read the raw int64 nanos
-    // (legacy conf) and convert with integer division — a double division
+    // the M4 streaming query). Raw int64 nanos (read boundary owned by
+    // Tables.events) converted with integer division — a double division
     // would lose precision above 2^53 ns.
     "q15_events_hourly" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, d, "events")
+      graft.Tables.events(s, d)
         .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
         .groupBy(
           date_trunc("hour", col("ts_utc")).as("hour_start"),

@@ -17,13 +17,10 @@ object EventQueries {
 
   private val SessionGapUs: Long = 2L * 3600 * 1000000 // 2 hours
 
-  /** events with ts as epoch micros (nanos parquet → long, legacy conf
-    * set by the caller-facing query fns). */
-  private def ev(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(s, d, "events")
-      .withColumn("tus", expr("ts div 1000"))
-  }
+  /** events with ts as epoch micros (nanos parquet → long via
+    * [[Tables.events]], which owns the legacy-conf read boundary). */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

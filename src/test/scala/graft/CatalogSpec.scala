@@ -54,6 +54,18 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.tableAt("dim_tipo", 9))
   }
 
+  test("tableAt on a vacuumed version fails fast naming the cause") {
+    val dir = Files.createTempDirectory("cat_vac").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.replace("dim_tipo", tipoDf("a")) // v1
+    cat.replace("dim_tipo", tipoDf("b")) // v2 (v1's commit now dead)
+    cat.vacuum("dim_tipo")
+    val e = intercept[IllegalStateException](cat.tableAt("dim_tipo", 1))
+    assert(e.getMessage.contains("vacuumed"))
+    // the surviving version still time-travels
+    assert(cat.tableAt("dim_tipo", 2).count() === 1)
+  }
+
   test("compact folds commits into one, preserving content and partitions") {
     val dir = Files.createTempDirectory("cat_compact").toString
     val cat = new Catalog(spark, s"$dir/wh")

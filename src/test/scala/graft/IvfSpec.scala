@@ -34,4 +34,21 @@ class IvfSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
     assert(approx === approx2)
   }
+
+  test("sampled fit (the 100 TB contract) matches full-fit recall") {
+    val queries = emb.filter(col("vec_id") < 15)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    def recallOf(frac: Double): Double = {
+      val m = Ivf.fit(emb, "embedding", nlist = 8, sampleFraction = frac)
+      val approx = Ivf.topK(emb, queries, m, "vec_id", "embedding", 5, nprobe = 3)
+        .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val full = recallOf(1.0)
+    val sampled = recallOf(0.5)
+    assert(sampled >= full - 0.15, s"sampled-fit recall $sampled vs full $full")
+    assertThrows[IllegalArgumentException](
+      Ivf.fit(emb, "embedding", nlist = 8, sampleFraction = 0.0))
+  }
 }

@@ -53,6 +53,20 @@ class Scd2Spec extends SparkSpec {
     assert(v2.count() === 2)            // closed v1 row + one new open row
   }
 
+  test("SCD-2 merge: orderCol overrides the attribute-struct tie-break") {
+    val v1 = dim((1, "a", "g1", 1, None))
+    // without orderCol the (nome, grupo) struct would pick g3; the
+    // sequence number says g2 is the later record
+    val batch = Seq((1, "a", "g3", 10L), (1, "a", "g2", 20L))
+      .toDF("id", "nome", "grupo", "seq")
+    val v2 = Scd2.merge(v1, batch, Seq("id"), Seq("nome", "grupo"),
+      version = 2, orderCol = Some("seq"))
+    val open = v2.filter(col("valid_to").isNull)
+      .as[(Int, String, String, Int, Option[Int])].collect()
+    assert(open.length === 1)
+    assert(open.head._3 === "g2") // max seq wins, not max attr struct
+  }
+
   test("SCD-2 merge: null attributes compare null-safely") {
     val v1 = dim((1, "a", "g1", 1, None))
       .withColumn("grupo", org.apache.spark.sql.functions.lit(null).cast("string"))

@@ -43,8 +43,6 @@ def spark_rows(path):
     tbl = tbl.select(cols)
     rows = [tuple(sval(v) for v in row)
             for row in zip(*[c.to_pylist() for c in tbl.columns])]
-    if not tbl.columns:  # zero-column result
-        rows = []
     types = {c: str(tbl.schema.field(c).type) for c in cols}
     return cols, sorted(rows), types
 
