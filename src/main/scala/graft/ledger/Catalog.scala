@@ -25,9 +25,29 @@ import graft.operators.MergeIgnore
   * Readers resolve `LATEST` → manifest → commit dirs, so a crash
   * mid-write leaves only invisible orphan data — the reference relied
   * on Postgres transactions for this (reference app/etl.py:53 et al.);
-  * plain parquet append would expose partial files. Single-writer
-  * discipline is still assumed (no CAS on LATEST); on HDFS/S3 the
+  * plain parquet append would expose partial files. On HDFS/S3 the
   * rename maps to the store's atomic-rename/commit primitive.
+  *
+  * '''Writer fencing''': a writer claims manifest version N by creating
+  * the `v{N}` file with CREATE_NEW (create-exclusive). Two concurrent
+  * writers race to the same next version; exactly one wins the create,
+  * the loser fails loudly with [[ConcurrentWriteException]] instead of
+  * silently overwriting the winner's manifest. A crashed winner leaves
+  * an orphan `v{N}` (LATEST never flipped) that blocks the next claim —
+  * [[recover]] clears it once no writer is live.
+  *
+  * '''Warehouse-level atomicity''': the six star-schema tables commit
+  * individually, so without more a crash mid-[[Warehouse.run]] would
+  * publish dims without the fact. [[transaction]] wraps a multi-table
+  * load: inside it, per-table LATEST advances as usual (the writer
+  * reads its own writes), but OTHER catalog instances resolve the
+  * snapshot-scoped tables through `<root>/_snapshots/LATEST`, a single
+  * pointer mapping every warehouse table to a manifest version, flipped
+  * once after the body succeeds. A crash anywhere inside the body
+  * leaves the published snapshot untouched — readers never observe a
+  * half-built load; the next successful run heals by idempotent merge.
+  * Non-transactional writes to snapshot-scoped tables bump the snapshot
+  * immediately after their table commit, keeping the pointer current.
   *
   * Every table is also registered as a temp view so the full
   * `spark.sql` surface works over the warehouse (SURVEY §3.3).
@@ -40,8 +60,19 @@ import graft.operators.MergeIgnore
   */
 final class Catalog(val spark: SparkSession, val root: String) {
 
+  /** Tables covered by the warehouse-level snapshot pointer: the star
+    * schema that [[Warehouse.run]] must publish atomically. Staging and
+    * rejects are batch scratch — per-table commits are the right
+    * granularity there. */
+  private val snapshotScoped: Set[String] = Set(
+    "dim_tempo", "dim_tipo", "dim_grupo", "dim_categoria",
+    "dim_classificacao", "fato_lancamento")
+
+  @volatile private var inTxn: Boolean = false
+
   private def tableDir(t: String): String = s"$root/$t"
   private def manifestDir(t: String): Path = Paths.get(tableDir(t), "_manifests")
+  private def snapDir: Path = Paths.get(root, "_snapshots")
 
   private def latestVersion(t: String): Option[Int] = {
     val p = manifestDir(t).resolve("LATEST")
@@ -49,30 +80,133 @@ final class Catalog(val spark: SparkSession, val root: String) {
     else None
   }
 
+  private def latestSnapshot: Option[Int] = {
+    val p = snapDir.resolve("LATEST")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
+    else None
+  }
+
+  /** table → manifest version map of the published snapshot (empty if
+    * none has been published yet). */
+  def snapshotVersions: Map[String, Int] = latestSnapshot match {
+    case None => Map.empty
+    case Some(n) =>
+      Files.readAllLines(snapDir.resolve(s"s$n"), StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).map { line =>
+          val Array(t, v) = line.split(' '); t -> v.toInt
+        }.toMap
+  }
+
+  /** The manifest version a READ of `t` resolves to: the writer inside
+    * a transaction (and any table outside snapshot scope, or before the
+    * first snapshot) reads per-table LATEST; everyone else reads the
+    * published snapshot for scoped tables. */
+  private def readVersion(t: String): Option[Int] =
+    if (inTxn || !snapshotScoped(t)) latestVersion(t)
+    else snapshotVersions.get(t).orElse(
+      if (latestSnapshot.isEmpty) latestVersion(t) else None)
+
   /** Commit dirs (absolute paths) recorded in manifest version `v`. */
   private def commitsAt(t: String, v: Int): Seq[String] =
     Files.readAllLines(manifestDir(t).resolve(s"v$v"), StandardCharsets.UTF_8)
       .asScala.toSeq.filter(_.nonEmpty)
 
-  /** Live commit dirs (absolute paths) at the latest version. */
+  /** Live commit dirs (absolute paths) at the read-resolved version. */
   private def liveCommits(t: String): Seq[String] =
-    latestVersion(t) match {
+    readVersion(t) match {
       case None => Seq.empty
       case Some(v) => commitsAt(t, v)
     }
 
-  /** Publish `dirs` as the new table state: write v{N+1}, then flip
-    * LATEST via write-temp + atomic rename. */
+  private def atomicWrite(dir: Path, name: String, body: String): Unit = {
+    val tmp = dir.resolve(s"$name.tmp${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Publish `dirs` as the new table state: claim v{N+1} with
+    * create-exclusive (the fence), then flip LATEST via write-temp +
+    * atomic rename. */
   private def commit(t: String, dirs: Seq[String]): Unit = {
     val md = manifestDir(t)
     Files.createDirectories(md)
     val next = latestVersion(t).getOrElse(0) + 1
-    Files.write(md.resolve(s"v$next"),
-      dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    val tmp = md.resolve(s"LATEST.tmp$next")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, md.resolve("LATEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    claimVersionFile(md, s"v$next", dirs.mkString("\n"),
+      s"table $t version $next")
+    atomicWrite(md, "LATEST", next.toString)
+    // keep the warehouse pointer current for direct (non-transactional)
+    // writes to scoped tables; inside a transaction the single flip
+    // happens once, at the end
+    if (!inTxn && snapshotScoped(t) && latestSnapshot.isDefined)
+      publishSnapshot()
+  }
+
+  /** Create-exclusive claim of a manifest/snapshot file: exactly one of
+    * any number of racing writers wins; losers get a loud
+    * [[ConcurrentWriteException]] instead of silently overwriting the
+    * winner's commit. */
+  private def claimVersionFile(dir: Path, name: String, body: String,
+                               what: String): Unit = {
+    try Files.write(dir.resolve(name), body.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new Catalog.ConcurrentWriteException(
+          s"lost the race claiming $what: another writer holds " +
+            s"${dir.resolve(name)} (or a crashed one left it behind — " +
+            "run recover() after confirming no writer is live)")
+    }
+  }
+
+  /** Record every scoped table's current manifest version under one
+    * snapshot pointer and flip it atomically. */
+  private def publishSnapshot(): Unit = {
+    Files.createDirectories(snapDir)
+    val body = snapshotScoped.toSeq.sorted
+      .flatMap(t => latestVersion(t).map(v => s"$t $v")).mkString("\n")
+    val next = latestSnapshot.getOrElse(0) + 1
+    claimVersionFile(snapDir, s"s$next", body, s"snapshot $next")
+    atomicWrite(snapDir, "LATEST", next.toString)
+  }
+
+  /** Run a multi-table load with warehouse-level atomicity: the body's
+    * per-table commits stay invisible to other catalog instances until
+    * the single snapshot flip after it returns. The writer itself reads
+    * its own in-progress writes (loaders are chained). Not reentrant;
+    * one transaction at a time per instance. */
+  def transaction[T](body: => T): T = {
+    require(!inTxn, "transaction is not reentrant")
+    inTxn = true
+    val out =
+      try body
+      finally inTxn = false
+    publishSnapshot()
+    out
+  }
+
+  /** Clear orphan claims left by crashed writers: manifest files above
+    * the table's LATEST (and snapshot files above the snapshot LATEST)
+    * that block the create-exclusive fence. Call only after confirming
+    * no writer is live — from a supervisor, not a racing writer. */
+  def recover(): Int = {
+    def clean(dir: Path, latest: Int, prefix: String): Int = {
+      if (!Files.exists(dir)) return 0
+      val listing = Files.list(dir)
+      val names =
+        try listing.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally listing.close()
+      val orphans = names.filter { n =>
+        (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) &&
+          n.drop(prefix.length).toInt > latest) || n.contains(".tmp")
+      }
+      orphans.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+      orphans.size
+    }
+    val tables = Schemas.tableNames.map(t =>
+      clean(manifestDir(t), latestVersion(t).getOrElse(0), "v")).sum
+    tables + clean(snapDir, latestSnapshot.getOrElse(0), "s")
   }
 
   private def newCommitDir(t: String): String = {
@@ -187,12 +321,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
     register(table)
   }
 
-  /** Delete commit dirs not referenced by the LATEST manifest (crashed
-    * writers, replaced/compacted history). Assumes no reader is pinned
-    * to an older version — run from the single writer, like compaction
-    * in any MVCC table format. */
+  /** Delete commit dirs referenced by neither the LATEST manifest nor
+    * the published snapshot (crashed writers, replaced/compacted
+    * history). Assumes no reader is pinned to an older version — run
+    * from the single writer, like compaction in any MVCC table format. */
   def vacuum(table: String): Int = {
-    val live = liveCommits(table).map(p => Paths.get(p).getFileName.toString).toSet
+    val snapRefs = snapshotVersions.get(table)
+      .map(v => commitsAt(table, v)).getOrElse(Seq.empty)
+    val live = (latestVersion(table).map(commitsAt(table, _)).getOrElse(Seq.empty) ++ snapRefs)
+      .map(p => Paths.get(p).getFileName.toString).toSet
     val td = Paths.get(tableDir(table))
     if (!Files.exists(td)) return 0
     val listing = Files.list(td) // close the stream: it holds a directory fd
@@ -215,4 +352,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
       finally walk.close()
     }
   }
+}
+
+object Catalog {
+  /** Thrown when a writer loses the create-exclusive race for a
+    * manifest or snapshot version file: the commit was NOT published
+    * and must be retried against the new table state. */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 }

@@ -1,6 +1,7 @@
 package graft.ledger
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.LedgerFunctions._
@@ -20,8 +21,16 @@ import graft.operators.{MergeIgnore, SurrogateKeys}
   * (ano, mes) instead of blind-appending, so re-uploading a month cannot
   * create duplicate time rows. The reference's behavior is an
   * unconstrained artifact; final fact content is identical either way.
+  *
+  * `strictQuirks = true` reproduces the reference bit-for-bit for
+  * byte-level migration testing: `dim_tempo` blind-appends (per-batch
+  * dedup only, reference app/etl.py:26-39 — re-uploads create duplicate
+  * (ano, mes) rows with fresh ids), and the fact load collapses the
+  * resulting join multiples to one row per `id_hash` exactly like
+  * `ON CONFLICT DO NOTHING` (app/etl.py:129; the reference winner is
+  * arbitrary — we pick min id_tempo so the state is reproducible).
   */
-final class Warehouse(catalog: Catalog) {
+final class Warehouse(catalog: Catalog, strictQuirks: Boolean = false) {
 
   private def staging: DataFrame = catalog.table("staging_lancamentos")
 
@@ -37,8 +46,16 @@ final class Warehouse(catalog: Catalog) {
         monthStart(col("d")).as("data_inicio"),
         monthEnd(col("d")).as("data_fim"))
       .dropDuplicates("ano", "mes")
-    mergeDim("dim_tempo", months, Seq("ano", "mes"), "id_tempo",
-      orderBy = Seq("ano", "mes"))
+    if (strictQuirks) {
+      // SURVEY §1.4-2 parity: pandas-append semantics — no merge on
+      // (ano, mes), so a re-uploaded month gets a second identical row
+      val offset = catalog.maxId("dim_tempo", "id_tempo")
+      val keyed = SurrogateKeys.assign(months, "id_tempo", Seq("ano", "mes"), offset)
+        .select(Schemas.dimTempo.fieldNames.map(col): _*)
+      catalog.appendDelta("dim_tempo", keyed)
+    } else
+      mergeDim("dim_tempo", months, Seq("ano", "mes"), "id_tempo",
+        orderBy = Seq("ano", "mes"))
   }
 
   /** dim_tipo (reference app/etl.py:43-55). */
@@ -97,7 +114,7 @@ final class Warehouse(catalog: Catalog) {
     val cs = broadcast(catalog.table("dim_classificacao"))
     val dtmp = broadcast(catalog.table("dim_tempo"))
 
-    val candidates = sl
+    val joined = sl
       .join(dt, sl("Tipo") === dt("nome_tipo"))
       .join(dg, dg("nome_grupo") === sl("Grupo") && dg("id_tipo") === dt("id_tipo"))
       .join(dc, dc("nome_categoria") === sl("Categoria") && dc("id_grupo") === dg("id_grupo"))
@@ -110,6 +127,16 @@ final class Warehouse(catalog: Catalog) {
         col("Valor").as("valor"),
         col("id_hash"),
         sl("ano"), sl("mes"))
+    // strict parity: duplicate (ano, mes) dim_tempo rows (quirk 2) fan a
+    // staging row into N candidates; keep one per id_hash like the
+    // reference's ON CONFLICT DO NOTHING, deterministically (min id_tempo)
+    val candidates =
+      if (!strictQuirks) joined
+      else {
+        val w = Window.partitionBy(col("id_hash")).orderBy(col("id_tempo"))
+        joined.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
 
     val offset = catalog.maxId("fato_lancamento", "id_lancamento")
     val existing = if (catalog.exists("fato_lancamento")) catalog.table("fato_lancamento") else null
@@ -149,8 +176,11 @@ final class Warehouse(catalog: Catalog) {
     * three independent dims run as parallel futures — concurrent Spark
     * jobs interleave their stages and hide scheduling latency; each
     * writes a different table, preserving single-writer-per-table
-    * discipline. Returns per-table appended row counts. */
-  def run(): Map[String, Long] = {
+    * discipline. The whole build runs inside [[Catalog.transaction]]:
+    * other catalog instances see either the previous warehouse state or
+    * the complete new one, never dims-without-fact. Returns per-table
+    * appended row counts. */
+  def run(): Map[String, Long] = catalog.transaction {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global

@@ -66,6 +66,82 @@ class CatalogSpec extends SparkSpec {
     assert(cat.tableAt("dim_tipo", 2).count() === 1)
   }
 
+  test("transaction: a crash mid-load never exposes a half-built warehouse to readers") {
+    val dir = Files.createTempDirectory("cat_txn").toString
+    val writer = new Catalog(spark, s"$dir/wh")
+    val reader = new Catalog(spark, s"$dir/wh")
+    // load 1 publishes a consistent (dim_tipo, dim_grupo) pair
+    writer.transaction {
+      writer.replace("dim_tipo", tipoDf("a"))
+      writer.replace("dim_grupo",
+        Seq((1, 1, "g1")).toDF("id_grupo", "id_tipo", "nome_grupo"))
+    }
+    assert(reader.table("dim_tipo").count() === 1)
+    assert(reader.table("dim_grupo").count() === 1)
+    // load 2 crashes after the dim_tipo table commit but before grupo
+    intercept[RuntimeException](writer.transaction {
+      writer.replace("dim_tipo", tipoDf("a", "b", "c"))
+      sys.error("executor lost") // kill-point: snapshot never flips
+    })
+    // the writer's per-table head moved, but readers still see load 1
+    assert(reader.table("dim_tipo").count() === 1)
+    assert(reader.table("dim_grupo").count() === 1)
+    // the next successful load heals and publishes everything at once
+    writer.transaction {
+      writer.replace("dim_tipo", tipoDf("a", "b"))
+      writer.replace("dim_grupo",
+        Seq((1, 1, "g1"), (2, 2, "g2")).toDF("id_grupo", "id_tipo", "nome_grupo"))
+    }
+    assert(reader.table("dim_tipo").count() === 2)
+    assert(reader.table("dim_grupo").count() === 2)
+  }
+
+  test("snapshot-scoped reads still see direct non-transactional writes") {
+    val dir = Files.createTempDirectory("cat_direct").toString
+    val writer = new Catalog(spark, s"$dir/wh")
+    val reader = new Catalog(spark, s"$dir/wh")
+    writer.transaction { writer.replace("dim_tipo", tipoDf("a")) }
+    // a later direct write must not be masked by the older snapshot
+    writer.replace("dim_tipo", tipoDf("a", "b"))
+    assert(reader.table("dim_tipo").count() === 2)
+    assert(reader.snapshotVersions("dim_tipo") === 2)
+  }
+
+  test("two concurrent writers: exactly one commit wins, the loser fails loudly") {
+    val dir = Files.createTempDirectory("cat_race").toString
+    val w1 = new Catalog(spark, s"$dir/wh")
+    val w2 = new Catalog(spark, s"$dir/wh")
+    w1.replace("dim_tipo", tipoDf("a"))
+    // simulate the race: w2 claims v2 first (its commit publishes), then
+    // w1 — which read LATEST=1 before w2's flip — tries to claim v2 too
+    val md = Paths.get(s"$dir/wh/dim_tipo/_manifests")
+    Files.write(md.resolve("v2"), "claimed-by-w2".getBytes)
+    val e = intercept[graft.ledger.Catalog.ConcurrentWriteException](
+      w1.replace("dim_tipo", tipoDf("z")))
+    assert(e.getMessage.contains("another writer"))
+    // the winner's manifest was NOT overwritten
+    assert(Files.readString(md.resolve("v2")) === "claimed-by-w2")
+    // recovery after the (simulated) competitor is confirmed dead
+    Files.delete(md.resolve("v2"))
+    w2.recover()
+    w1.replace("dim_tipo", tipoDf("z"))
+    assert(w1.table("dim_tipo").count() === 1)
+  }
+
+  test("recover clears orphan claims from crashed writers") {
+    val dir = Files.createTempDirectory("cat_recover").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.replace("dim_tipo", tipoDf("a"))
+    val md = Paths.get(s"$dir/wh/dim_tipo/_manifests")
+    // a crashed writer claimed v2 but never flipped LATEST
+    Files.write(md.resolve("v2"), "orphan".getBytes)
+    intercept[graft.ledger.Catalog.ConcurrentWriteException](
+      cat.replace("dim_tipo", tipoDf("b")))
+    assert(cat.recover() >= 1)
+    cat.replace("dim_tipo", tipoDf("b"))
+    assert(cat.table("dim_tipo").select("nome_tipo").as[String].collect().toSeq === Seq("b"))
+  }
+
   test("compact folds commits into one, preserving content and partitions") {
     val dir = Files.createTempDirectory("cat_compact").toString
     val cat = new Catalog(spark, s"$dir/wh")
