@@ -215,6 +215,36 @@ object CoreQueries {
         .select(col("ano"), col("mes"), col("order_total"), col("ship_total"))
     }),
 
+    // The reference's whole second entry point (staging → star schema,
+    // app/etl.py:136-149) as ONE oracle-checked query: a synthetic
+    // ledger batch derived from orders is ingested to staging, the
+    // Warehouse builds the star schema in a fresh temp catalog, runs a
+    // SECOND time to prove K3 idempotency (rerun_appended must be 0),
+    // and the published fact — surrogate keys included — must equal the
+    // DuckDB replay of the complete pipeline (hash, dim surrogate
+    // order, 5-way join).
+    "q68_warehouse_e2e" -> ((s, d) => {
+      val src = t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+      val csvish = src.select(
+        concat(lit("pedido "), col("o_orderkey")).as("Descrição"),
+        col("o_orderpriority").as("Tipo"),
+        col("o_orderstatus").as("Grupo"),
+        concat(lit("c"), col("o_custkey") % 10).as("Categoria"),
+        concat(lit("cl"), col("o_orderkey") % 4).as("Classificação"),
+        date_format(col("o_orderdate"), "MM/yyyy").as("Data"),
+        translate(col("o_totalprice").cast(DecimalType(15, 2)).cast("string"),
+          ".", ",").as("Valor"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q68").toString
+      val cat = new graft.ledger.Catalog(s, s"$root/wh")
+      cat.replace("staging_lancamentos", graft.ledger.Ingest.toStaging(csvish))
+      val wh = new graft.ledger.Warehouse(cat)
+      wh.run()
+      val rerun = wh.run().values.sum // merge-ignore everywhere ⇒ 0
+      cat.table("fato_lancamento")
+        .withColumn("valor", col("valor").cast("double"))
+        .withColumn("rerun_appended", lit(rerun))
+    }),
+
     // time-windowed aggregation over the events table (batch analog of
     // the M4 streaming query). Raw int64 nanos (read boundary owned by
     // Tables.events) converted with integer division — a double division
@@ -341,6 +371,60 @@ object CoreQueries {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Full pipeline replay: staging synthesis (hash on RAW values),
+    // surrogate assignment in the engine's documented key order, the
+    // 5-way star join, and dense fact ids by id_hash.
+    "q68_warehouse_e2e" ->
+      """WITH src AS (
+        |  SELECT 'pedido ' || CAST(o_orderkey AS VARCHAR) AS descricao,
+        |         o_orderpriority AS tipo,
+        |         o_orderstatus AS grupo,
+        |         'c' || CAST(o_custkey % 10 AS VARCHAR) AS categoria,
+        |         'cl' || CAST(o_orderkey % 4 AS VARCHAR) AS classificacao,
+        |         strftime(o_orderdate, '%m/%Y') AS data,
+        |         replace(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR), '.', ',') AS valor_raw
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |stg AS (
+        |  SELECT descricao, tipo, grupo, categoria, classificacao, data, valor_raw,
+        |         CAST(replace(replace(valor_raw, '.', ''), ',', '.') AS DECIMAL(15,2)) AS valor,
+        |         md5(lower(trim(tipo)) || '-' || lower(trim(grupo)) || '-' ||
+        |             lower(trim(categoria)) || '-' || trim(data) || '-' ||
+        |             lower(trim(descricao)) || '-' || valor_raw) AS id_hash,
+        |         CAST(year(strptime(data, '%m/%Y')) AS INT) AS ano,
+        |         CAST(month(strptime(data, '%m/%Y')) AS INT) AS mes
+        |  FROM src),
+        |d_tipo AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY nome_tipo) AS INT) AS id_tipo, nome_tipo
+        |  FROM (SELECT DISTINCT tipo AS nome_tipo FROM stg)),
+        |d_cls AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY nome_classificacao) AS INT) AS id_classificacao,
+        |         nome_classificacao
+        |  FROM (SELECT DISTINCT classificacao AS nome_classificacao FROM stg)),
+        |d_grupo AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY id_tipo, nome_grupo) AS INT) AS id_grupo,
+        |         id_tipo, nome_grupo
+        |  FROM (SELECT DISTINCT dt.id_tipo, s.grupo AS nome_grupo
+        |        FROM stg s JOIN d_tipo dt ON s.tipo = dt.nome_tipo)),
+        |d_cat AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY id_grupo, nome_categoria) AS INT) AS id_categoria,
+        |         id_grupo, nome_categoria
+        |  FROM (SELECT DISTINCT dg.id_grupo, s.categoria AS nome_categoria
+        |        FROM stg s JOIN d_tipo dt ON s.tipo = dt.nome_tipo
+        |        JOIN d_grupo dg ON dg.id_tipo = dt.id_tipo AND dg.nome_grupo = s.grupo)),
+        |d_tempo AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY ano, mes) AS INT) AS id_tempo, ano, mes
+        |  FROM (SELECT DISTINCT ano, mes FROM stg))
+        |SELECT row_number() OVER (ORDER BY s.id_hash) AS id_lancamento,
+        |       dt.id_tipo, dg.id_grupo, dc.id_categoria, dtm.id_tempo, dcl.id_classificacao,
+        |       s.descricao, CAST(s.valor AS DOUBLE) AS valor, s.id_hash,
+        |       s.ano, s.mes, CAST(0 AS BIGINT) AS rerun_appended
+        |FROM stg s
+        |JOIN d_tipo dt ON s.tipo = dt.nome_tipo
+        |JOIN d_grupo dg ON dg.id_tipo = dt.id_tipo AND dg.nome_grupo = s.grupo
+        |JOIN d_cat dc ON dc.id_grupo = dg.id_grupo AND dc.nome_categoria = s.categoria
+        |JOIN d_cls dcl ON dcl.nome_classificacao = s.classificacao
+        |JOIN d_tempo dtm ON dtm.ano = s.ano AND dtm.mes = s.mes""".stripMargin
   )
 }

@@ -120,6 +120,44 @@ class LedgerPipelineSpec extends SparkSpec {
     assert(rejects.toSeq === Seq("Descrição", "Tipo"))
   }
 
+  test("strictQuirks golden: dim_tempo blind append duplicates (ano, mes) like the reference") {
+    val dir = Files.createTempDirectory("ledger_strict").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val wh = new Warehouse(cat, strictQuirks = true)
+    val csv = writeCsv(dir, "b.csv", batch1)
+
+    Ingest.run(cat, csv)
+    val c1 = wh.run()
+    assert(c1("dim_tempo") === 1 && c1("fato_lancamento") === 4)
+
+    // the reference's pandas-append state: re-uploading the month adds a
+    // SECOND identical (ano, mes) row with a fresh id (SURVEY §1.4-2)
+    Ingest.run(cat, csv)
+    val c2 = wh.run()
+    assert(c2("dim_tempo") === 1, s"blind append must re-add the month: $c2")
+    val tempo = cat.table("dim_tempo")
+      .select("id_tempo", "ano", "mes")
+      .as[(Int, Int, Int)](spark.implicits.newProductEncoder)
+      .collect().sortBy(_._1)
+    assert(tempo.toSeq === Seq((1, 2024, 1), (2, 2024, 1)))
+
+    // ...but ON CONFLICT (id_hash) DO NOTHING still keeps exactly one
+    // fact row per hash, resolved to the deterministic min id_tempo
+    assert(c2("fato_lancamento") === 0)
+    val fact = cat.table("fato_lancamento")
+    assert(fact.count() === 4)
+    assert(fact.select("id_tempo").distinct()
+      .as[Int](spark.implicits.newIntEncoder).collect().toSeq === Seq(1))
+
+    // sane mode on the same batches never duplicates the month
+    val dir2 = Files.createTempDirectory("ledger_sane").toString
+    val cat2 = new Catalog(spark, s"$dir2/wh")
+    val wh2 = new Warehouse(cat2)
+    Ingest.run(cat2, csv); wh2.run()
+    Ingest.run(cat2, csv); wh2.run()
+    assert(cat2.table("dim_tempo").count() === 1)
+  }
+
   test("hash-before-normalize: staging id_hash is computed on raw Valor") {
     val dir = Files.createTempDirectory("ledger_hash").toString
     val cat = new Catalog(spark, s"$dir/wh")
