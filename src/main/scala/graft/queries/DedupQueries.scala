@@ -150,8 +150,32 @@ object DedupQueries {
           zip_with(col("embedding"), noiseLit, (x, p) => x + p).as("embedding")))
       Similarity.signBucketPairs(batch, "vec_id", "embedding",
         dims = 64, threshold = NoiseTau, planes = 16, tables = 8)
+    }),
+
+    // benchmark decontamination: flag training docs sharing any k-gram
+    // with the held-out eval set (doc_id % 17 — deterministic stand-in
+    // for a benchmark suite). The scale shape is the point: the eval
+    // side reduces to a DISTINCT n-gram set (benchmarks are tiny →
+    // broadcast), the corpus side streams once through an equi-join on
+    // the n-gram — never an all-pairs compare. k is a parameter; real
+    // pipelines use 8-13-gram overlap, k=4 here so the synthetic corpus
+    // yields a non-trivial flagged set.
+    "q69_decontaminate" -> ((s, d) => {
+      val base = docs(s, d)
+      val evalGrams = base.filter(col("doc_id") % DecontMod === 0)
+        .select(explode(Dedup.shingles(col("text"), DecontK)).as("g"))
+        .distinct()
+      base.filter(col("doc_id") % DecontMod =!= 0)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), DecontK)).as("g"))
+        .join(broadcast(evalGrams), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_contaminated_grams"))
     })
   )
+
+  // decontamination parameters (shared by Spark + oracle SQL)
+  private val DecontK = 4
+  private val DecontMod = 17
 
   /** q67 noise: a fixed ±ε pattern (ε = 2⁻⁶ — exactly representable in
     * float AND double, so Spark's float add and DuckDB's double-add-
@@ -349,6 +373,16 @@ object DedupQueries {
          |  WHERE a.vec_id < b.vec_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id FROM p WHERE cos > $NoiseTau""".stripMargin
-    }
+    },
+
+    "q69_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |           FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles(DecontK)} AS sh FROM w),
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % $DecontMod = 0),
+         |cp AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % $DecontMod <> 0)
+         |SELECT cp.doc_id, COUNT(DISTINCT cp.g) AS n_contaminated_grams
+         |FROM cp JOIN ev USING (g)
+         |GROUP BY 1""".stripMargin
   )
 }
