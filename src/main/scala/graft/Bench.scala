@@ -20,7 +20,12 @@ object Bench {
     // shared JVM swing ±50% with JIT/GC phase (measured on identical
     // code); the min is the reproducible steady-state figure.
     // a failing query reports -1, never its fast-fail elapsed time
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: bench only these queries (local iteration aid; the
+    // driver passes no args → full run)
+    val only = args.toSet
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {

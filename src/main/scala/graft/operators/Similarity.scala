@@ -70,7 +70,12 @@ object Similarity {
   /** Sign-pattern bucket key ("0110..." string) over `planes` hyperplanes
     * starting at index `planeOffset` (distinct offsets → independent
     * bucketings). Scaling a vector by a positive constant cannot change
-    * its bucket. */
+    * its bucket.
+    *
+    * COMPOSED parity reference for the fused native
+    * [[graft.expressions.SignBucketKeys]] (which computes all tables'
+    * keys in one pass — the composed per-plane tree is ~100× slower
+    * per row and survives only for the DedupSpec parity test). */
   def signBucket(vecCol: Column, dims: Int, planes: Int = 16,
                  planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
@@ -113,11 +118,11 @@ object Similarity {
                       tables: Int = 1, maxBucketSize: Int = 10000): DataFrame = {
     require(tables >= 1 && planes >= 1 && maxBucketSize >= 2,
       s"need tables>=1, planes>=1, maxBucketSize>=2 (got $tables, $planes, $maxBucketSize)")
-    val keys = (0 until tables).map { l =>
-      concat(lit(s"$l:"), signBucket(col("v"), dims, planes, planeOffset = l * planes))
-    }
+    // one fused native pass for all tables·planes sign bits (the
+    // composed signBucket tree is parity-tested but ~100× slower)
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bk", explode(array(keys: _*)))
+      .withColumn("bk", explode(
+        graft.expressions.VectorExpressions.signBucketKeysF(col("v"), tables, planes, dims)))
     val hot = withB.groupBy("bk").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
     val keyed = withB.join(hot, Seq("bk"), "left")

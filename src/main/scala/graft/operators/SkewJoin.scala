@@ -36,4 +36,47 @@ object SkewJoin {
       explode(sequence(lit(0), lit(buckets - 1)))).hint("shuffle_hash")
     saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Keys of `big` whose estimated row count exceeds `hotRowThreshold`,
+    * from a seeded uniform sample — the production way to find skew
+    * without a full-key aggregation pass. Deterministic for a given
+    * input + seed. A missed hot key only costs speed (it takes the
+    * plain path); a false positive only costs a little replication. */
+  def detectHotKeys(big: DataFrame, keys: Seq[String], hotRowThreshold: Long,
+                    sampleFraction: Double = 0.001, seed: Long = 42L): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0, s"bad fraction $sampleFraction")
+    val sampleThresh = math.max(1L, (hotRowThreshold * sampleFraction).toLong)
+    big.sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= sampleThresh)
+      .select(keys.map(col): _*)
+  }
+
+  /** Skew-aware join, production shape: [[saltedJoin]] replicates the
+    * ENTIRE small side `buckets`× — the right demo primitive, but at
+    * 100 TB that is buckets× shuffle volume to fix what is usually a
+    * handful of hot keys. Here only rows whose key is detected hot
+    * (sampled estimate > `hotRowThreshold`) take the salted path; the
+    * rest take an ordinary hash join. A uniform input degrades to
+    * exactly the plain join (empty hot set, empty salted branch).
+    *
+    * The hot-key set is small by construction (each key detected
+    * represents > hotRowThreshold rows, so there can be at most
+    * |big| / hotRowThreshold of them) — it broadcasts, so routing rows
+    * to branches adds NO shuffle. Results are identical to the plain
+    * join for any detection outcome; only the physical plan changes. */
+  def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                         buckets: Int, hotRowThreshold: Long,
+                         sampleFraction: Double = 0.001,
+                         joinType: String = "inner"): DataFrame = {
+    val hot = broadcast(
+      detectHotKeys(big, keys, hotRowThreshold, sampleFraction))
+    val cold = big.join(hot, keys, "left_anti")
+      .join(small.hint("shuffle_hash"), keys, joinType)
+    val salted = saltedJoin(
+      big.join(hot, keys, "left_semi"),
+      small.join(hot, keys, "left_semi"),
+      keys, buckets, joinType)
+    cold.unionByName(salted)
+  }
 }

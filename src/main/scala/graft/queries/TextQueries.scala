@@ -135,11 +135,17 @@ object TextQueries {
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       val tot = bg.agg(count(lit(1)).as("nn"))
       def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      // split once (not per referencing column), and hash-join the
+      // unigram sides: past the broadcast threshold Catalyst would pick
+      // sort-merge, whose two sorts of the bigram table dominated the
+      // 10×-scale bench (vocabulary grows with corpus, so the uni side
+      // stops broadcasting exactly when sorting hurts most)
       bgc.crossJoin(tot)
-        .withColumn("w1", element_at(split(col("bg"), " "), 1))
-        .withColumn("w2", element_at(split(col("bg"), " "), 2))
-        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
-        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .withColumn("__ws", split(col("bg"), " "))
+        .withColumn("w1", col("__ws").getItem(0))
+        .withColumn("w2", col("__ws").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")).hint("shuffle_hash"), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")).hint("shuffle_hash"), "w2")
         .select(col("bg").as("bigram"), col("cab"),
           ((d38(col("cab")) * d38(col("nn"))).cast("double") /
             (d38(col("c1")) * d38(col("c2"))).cast("double")).as("pmi_ratio"))

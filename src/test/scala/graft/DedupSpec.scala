@@ -134,6 +134,30 @@ class DedupSpec extends SparkSpec {
     assert(r.getString(0).length === 16)
   }
 
+  test("native sign_bucket_keys equals the composed per-plane form on real vectors") {
+    val tables = 8; val planes = 16; val dims = 64
+    val emb = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v")).limit(200)
+    val composed = (0 until tables).map { l =>
+      concat(lit(s"$l:"), Similarity.signBucket(col("v"), dims, planes, planeOffset = l * planes))
+    }
+    val cmp = emb.select(col("vec_id"),
+      graft.expressions.VectorExpressions.signBucketKeysF(col("v"), tables, planes, dims).as("nat"),
+      array(composed: _*).as("cmp"))
+    assert(cmp.filter(not(col("nat") === col("cmp"))).count() === 0)
+    // degenerate inputs: wrong length and null element → all-zero bits,
+    // matching the composed form's NULL-dot → '0' path
+    val weird = Seq(
+      (1L, Seq(1.0f, 2.0f)),                       // wrong length
+      (2L, null.asInstanceOf[Seq[Float]])          // null vector
+    ).toDF("vec_id", "v")
+    val out = weird.select(
+      graft.expressions.VectorExpressions.signBucketKeysF(col("v"), 2, 4, 64).as("k"))
+      .collect()
+    assert(out(0).getSeq[String](0) === Seq("0:0000", "1:0000"))
+    assert(out(1).isNullAt(0)) // null vector → null keys (row drops at explode)
+  }
+
   test("multi-probe LSH: exact recall on noised near-dups where one bucketing misses") {
     // the q67 construction: unit vectors + noised copies at cos ≈ 0.992
     val eps = 0.015625f

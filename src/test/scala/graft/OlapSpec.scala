@@ -36,4 +36,36 @@ class OlapSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(salts >= 6, s"expected hot key spread over ~8 salts, got $salts")
   }
+
+  test("adaptiveSaltedJoin: detects planted skew, equals the plain join either way") {
+    // key 42 is hot (5000 rows), keys 1-50 are cold; key 7 is missing
+    // from small (exercises the left-join null path through both branches)
+    val big = ((1 to 5000).map(i => (42, s"hot$i")) ++
+      (1 to 50).flatMap(k => (1 to 3).map(i => (k, s"cold$k-$i")))).toDF("k", "v")
+    val small = ((42 +: (1 to 50).filter(_ != 7)).map(k => (k, s"w$k"))).toDF("k", "w")
+
+    // detection: full-fraction sampling must find exactly the hot key
+    val hot = SkewJoin.detectHotKeys(big, Seq("k"),
+      hotRowThreshold = 1000, sampleFraction = 1.0)
+      .as[Int].collect().toSeq
+    assert(hot === Seq(42), s"hot keys: $hot")
+
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt).select("k", "v", "w")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val adaptive = SkewJoin.adaptiveSaltedJoin(big, small, Seq("k"),
+        buckets = 4, hotRowThreshold = 1000, sampleFraction = 1.0, joinType = jt)
+        .select("k", "v", "w")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(adaptive.toSeq === plain.toSeq, s"join type $jt")
+    }
+
+    // uniform input: empty hot set, still equal to the plain join
+    val uni = (1 to 200).map(i => (i, s"r$i")).toDF("k", "v")
+    assert(SkewJoin.detectHotKeys(uni, Seq("k"), 1000, 1.0).count() === 0)
+    val plainU = uni.join(small, Seq("k"), "inner").collect().map(_.toSeq).sortBy(_.toString)
+    val adaptU = SkewJoin.adaptiveSaltedJoin(uni, small, Seq("k"), 4, 1000, 1.0)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(adaptU.toSeq === plainU.toSeq)
+  }
 }
