@@ -295,15 +295,19 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** Append a pre-computed delta (already deduped/anti-joined) as a new
     * commit. The delta plan may read `table` itself; it materializes
     * into its own fresh directory, which becomes visible only at the
-    * manifest flip — the append can never scan files it is creating. */
+    * manifest flip — the append can never scan files it is creating.
+    *
+    * The appended-row count rides the write job as an observed metric —
+    * no second scan of what was just written (at fact scale the old
+    * read-back-and-count doubled every load's I/O). */
   def appendDelta(table: String, delta: DataFrame,
                   partitionBy: Seq[String] = Seq.empty): Long = {
     val dir = newCommitDir(table)
-    val w = delta.write.mode(SaveMode.Overwrite)
+    val obs = org.apache.spark.sql.Observation(s"append_$table")
+    val observed = delta.observe(obs, count(lit(1)).as("n"))
+    val w = observed.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
-    // declared schema: an empty delta writes no data files to infer from
-    val n = spark.read.schema(delta.schema).option("basePath", dir)
-      .parquet(dir).count()
+    val n = obs.get("n").asInstanceOf[Long]
     if (n > 0) commit(table, liveCommits(table) :+ dir)
     else deleteRecursively(Paths.get(dir))
     register(table)

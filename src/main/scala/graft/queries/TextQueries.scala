@@ -123,6 +123,38 @@ object TextQueries {
     // (cab·N)/(ca·cb) — log() is libm-dependent across engines, the
     // ratio is one double division of exact integer products
     // (DECIMAL(38,0)/HUGEINT — bigint would overflow at fact scale).
+    // training-sequence packing, concat-and-split shape: docs concatenate
+    // in id order within each lang shard and split at the context budget;
+    // a doc belongs to the sequence where it STARTS. Per-shard window
+    // (never a global single-partition sort); the output is the packing
+    // manifest a loader would consume.
+    "q70_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), wsTokenCount(col("text")).as("n_tok"))
+        .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("seq_id", floor(col("start_tok") / lit(512.0)).cast("int"))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("bigint").as("n_tokens"))
+    }),
+
+    // source mixture weights for training-data sampling: proportional
+    // weight plus the upsample factor against the largest source — all
+    // arithmetic is one exact-integer division per output value, so the
+    // doubles are engine-identical.
+    "q71_source_mixture" -> ((s, d) => {
+      val counts = docs(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(wsTokenCount(col("text")).cast("bigint")).as("n_tokens"))
+      val tot = counts.agg(sum(col("n_docs")).as("td"), max(col("n_docs")).as("md"))
+      counts.crossJoin(tot)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_docs").cast("double") / col("td").cast("double")).as("mix_weight"),
+          (col("md").cast("double") / col("n_docs").cast("double")).as("upsample_factor"))
+    }),
+
     "q63_bigram_pmi" -> ((s, d) => {
       val ws = docs(s, d).select(words(col("text")).as("ws"))
       val bg = ws.select(explode(array_compact(zip_with(
@@ -248,6 +280,26 @@ object TextQueries {
         |              FROM documents)
         |        GROUP BY 1))
         |WHERE rnk <= 100""".stripMargin,
+
+    "q70_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang, $duckWsTokens AS n_tok FROM documents),
+         |c AS (SELECT doc_id, lang, n_tok,
+         |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |                         ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+         |      FROM t)
+         |SELECT lang, CAST(floor(start_tok / 512.0) AS INT) AS seq_id,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q71_source_mixture" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs,
+         |             CAST(SUM($duckWsTokens) AS BIGINT) AS n_tokens
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT SUM(n_docs) AS td, MAX(n_docs) AS md FROM c)
+         |SELECT source, n_docs, n_tokens,
+         |       CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE) AS mix_weight,
+         |       CAST(md AS DOUBLE) / CAST(n_docs AS DOUBLE) AS upsample_factor
+         |FROM c, t""".stripMargin,
 
     "q63_bigram_pmi" ->
       """WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
