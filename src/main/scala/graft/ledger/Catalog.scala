@@ -125,13 +125,21 @@ final class Catalog(val spark: SparkSession, val root: String) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Publish `dirs` as the new table state: claim v{N+1} with
+  /** Publish `dirs` as the new table state: claim v{base+1} with
     * create-exclusive (the fence), then flip LATEST via write-temp +
-    * atomic rename. */
-  private def commit(t: String, dirs: Seq[String]): Unit = {
+    * atomic rename.
+    *
+    * `base` is the LATEST version the CALLER observed when it computed
+    * `dirs` — the claim is tied to that read, never to a re-read of
+    * LATEST here. Otherwise a concurrent writer flipping LATEST between
+    * the caller's read and the claim would let this commit claim
+    * base+2 "successfully" while silently dropping the other writer's
+    * commit dirs from its list; with the base threaded through, the
+    * stale writer collides on v{base+1} and fails loudly instead. */
+  private def commit(t: String, dirs: Seq[String], base: Int): Unit = {
     val md = manifestDir(t)
     Files.createDirectories(md)
-    val next = latestVersion(t).getOrElse(0) + 1
+    val next = base + 1
     claimVersionFile(md, s"v$next", dirs.mkString("\n"),
       s"table $t version $next")
     atomicWrite(md, "LATEST", next.toString)
@@ -139,7 +147,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // writes to scoped tables; inside a transaction the single flip
     // happens once, at the end
     if (!inTxn && snapshotScoped(t) && latestSnapshot.isDefined)
-      publishSnapshot()
+      publishSnapshot(single = Some(t -> next))
   }
 
   /** Create-exclusive claim of a manifest/snapshot file: exactly one of
@@ -160,12 +168,22 @@ final class Catalog(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Record every scoped table's current manifest version under one
-    * snapshot pointer and flip it atomically. */
-  private def publishSnapshot(): Unit = {
+  /** Flip the snapshot pointer atomically. At a transaction end
+    * (`single = None`) every scoped table's current LATEST is recorded
+    * — correct there, because the transaction body owns all of them.
+    * For a direct single-table commit, ONLY that table advances over
+    * the previously published map: rebuilding from per-table LATEST
+    * would republish commits left behind by an aborted transaction on
+    * OTHER tables, exposing exactly the half-built state the snapshot
+    * exists to hide. */
+  private def publishSnapshot(single: Option[(String, Int)] = None): Unit = {
     Files.createDirectories(snapDir)
-    val body = snapshotScoped.toSeq.sorted
-      .flatMap(t => latestVersion(t).map(v => s"$t $v")).mkString("\n")
+    val versions = single match {
+      case Some((t, v)) => snapshotVersions + (t -> v)
+      case None =>
+        snapshotScoped.toSeq.flatMap(t => latestVersion(t).map(t -> _)).toMap
+    }
+    val body = versions.toSeq.sorted.map { case (t, v) => s"$t $v" }.mkString("\n")
     val next = latestSnapshot.getOrElse(0) + 1
     claimVersionFile(snapDir, s"s$next", body, s"snapshot $next")
     atomicWrite(snapDir, "LATEST", next.toString)
@@ -175,16 +193,63 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * per-table commits stay invisible to other catalog instances until
     * the single snapshot flip after it returns. The writer itself reads
     * its own in-progress writes (loaders are chained). Not reentrant;
-    * one transaction at a time per instance. */
+    * one transaction at a time per instance.
+    *
+    * BEGIN semantics: the per-table head versions are recorded in an
+    * INFLIGHT marker before the body runs; if a previous transaction
+    * crashed (marker still present), every scoped head is first rolled
+    * back to the versions that marker recorded. Without this, the new
+    * body would read and build on never-published rows: merge-based
+    * loaders would merely skip work, but a non-merging path
+    * (strictQuirks dim_tempo blind append) would append the aborted
+    * batch a SECOND time — a state the reference's Postgres
+    * transactions could never produce. Rolling back to the recorded
+    * begin-state (not to the snapshot) keeps legitimate
+    * pre-first-snapshot direct writes intact. Crash-recovery runs at
+    * the next transaction begin; direct appendDelta calls between a
+    * crash and that begin build on the unpublished head — route loads
+    * through transactions (Warehouse.run does). */
   def transaction[T](body: => T): T = {
     require(!inTxn, "transaction is not reentrant")
+    Files.createDirectories(snapDir)
+    val inflight = snapDir.resolve("INFLIGHT")
+    if (Files.exists(inflight)) {
+      val recorded = Files.readAllLines(inflight, StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).map { line =>
+          val Array(t, v) = line.split(' '); t -> v.toInt
+        }.toMap
+      rollbackScopedHeads(recorded)
+    }
+    val beginState = snapshotScoped.toSeq.sorted
+      .flatMap(t => latestVersion(t).map(v => s"$t $v")).mkString("\n")
+    Files.write(inflight, beginState.getBytes(StandardCharsets.UTF_8))
     inTxn = true
     val out =
       try body
       finally inTxn = false
     publishSnapshot()
+    // crash between publish and this delete is benign: the next begin
+    // rolls "back" to versions that equal the published heads (no-op)
+    Files.deleteIfExists(inflight)
     out
   }
+
+  /** Roll every scoped table's LATEST back to `target` (absent table →
+    * no version at all), deleting the now-orphaned manifest claims so
+    * the next commit can re-claim those versions. Orphan DATA dirs stay
+    * until [[vacuum]]. */
+  private def rollbackScopedHeads(target: Map[String, Int]): Unit =
+    snapshotScoped.foreach { t =>
+      latestVersion(t).foreach { head =>
+        val tv = target.getOrElse(t, 0)
+        if (head > tv) {
+          val md = manifestDir(t)
+          if (tv > 0) atomicWrite(md, "LATEST", tv.toString)
+          else Files.deleteIfExists(md.resolve("LATEST"))
+          (tv + 1 to head).foreach(v => Files.deleteIfExists(md.resolve(s"v$v")))
+        }
+      }
+    }
 
   /** Clear orphan claims left by crashed writers: manifest files above
     * the table's LATEST (and snapshot files above the snapshot LATEST)
@@ -271,9 +336,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   /** K1: full-replace write (staging semantics, reference app/app.py:79). */
   def replace(table: String, df: DataFrame): Unit = {
+    val base = latestVersion(table).getOrElse(0)
     val dir = newCommitDir(table)
     df.write.mode(SaveMode.Overwrite).parquet(dir)
-    commit(table, Seq(dir))
+    commit(table, Seq(dir), base)
     register(table)
   }
 
@@ -302,26 +368,40 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * read-back-and-count doubled every load's I/O). */
   def appendDelta(table: String, delta: DataFrame,
                   partitionBy: Seq[String] = Seq.empty): Long = {
+    // the commit claim is tied to THIS read of LATEST (see commit):
+    // the new manifest's dir list and its claimed version come from the
+    // same observation, so a concurrent commit makes us fail loudly
+    // instead of silently dropping it from the list
+    val base = latestVersion(table).getOrElse(0)
+    val baseDirs = if (base == 0) Seq.empty else commitsAt(table, base)
     val dir = newCommitDir(table)
     val obs = org.apache.spark.sql.Observation(s"append_$table")
     val observed = delta.observe(obs, count(lit(1)).as("n"))
     val w = observed.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
     val n = obs.get("n").asInstanceOf[Long]
-    if (n > 0) commit(table, liveCommits(table) :+ dir)
+    if (n > 0) commit(table, baseDirs :+ dir, base)
     else deleteRecursively(Paths.get(dir))
     register(table)
     n
   }
 
   /** Fold all commits into one (scan-overhead maintenance). Atomic:
-    * readers see either the old commit set or the compacted one. */
+    * readers see either the old commit set or the compacted one. Reads
+    * the same LATEST the commit claims against — a concurrent append
+    * between the read and the claim fails the claim loudly rather than
+    * being silently folded away. */
   def compact(table: String, partitionBy: Seq[String] = Seq.empty): Unit = {
-    if (!exists(table)) return
+    val base = latestVersion(table).getOrElse(return)
+    val schema = Schemas.schemaOf(table)
+    val df = commitsAt(table, base).map { c =>
+      spark.read.schema(schema).option("basePath", c).parquet(c)
+        .select(schema.fieldNames.map(col): _*)
+    }.reduce(_.unionAll(_))
     val dir = newCommitDir(table)
-    val w = this.table(table).write.mode(SaveMode.Overwrite)
+    val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
-    commit(table, Seq(dir))
+    commit(table, Seq(dir), base)
     register(table)
   }
 

@@ -46,12 +46,18 @@ object Scd2 {
     // one row per natural key: deterministic winner on key conflicts
     // (orderCol leads the max-struct when supplied; see class doc);
     // without this a repeated key would multiply the current row
-    // through the join and open several simultaneous versions
-    val winnerOrder = orderCol.map(col).toSeq ++ attrs.map(col)
+    // through the join and open several simultaneous versions.
+    // Struct fields get positional aliases: an orderCol that is ALSO a
+    // tracked attribute (ingest timestamps usually are) would otherwise
+    // produce duplicate field names and an ambiguous getField.
+    val winnerOrder = orderCol.map(c => col(c).as("__ord")).toSeq ++
+      attrs.zipWithIndex.map { case (a, i) => col(a).as(s"__a$i") }
     val bUnique = batch
       .groupBy(keys.map(col): _*)
       .agg(max(struct(winnerOrder: _*)).as("__s"))
-      .select(keys.map(col) ++ attrs.map(a => col("__s").getField(a).as(a)): _*)
+      .select(keys.map(col) ++ attrs.zipWithIndex.map { case (a, i) =>
+        col("__s").getField(s"__a$i").as(a)
+      }: _*)
     val b = bUnique.select(cols.map(c => col(c).as(s"__b_$c")): _*)
       .withColumn("__in_b", lit(true))
     val joined = current.join(b,

@@ -115,16 +115,32 @@ object Similarity {
     */
   def signBucketPairs(df: DataFrame, idCol: String, vecCol: String,
                       dims: Int, threshold: Double, planes: Int = 16,
-                      tables: Int = 1, maxBucketSize: Int = 10000): DataFrame = {
+                      tables: Int = 1, maxBucketSize: Int = 10000,
+                      hotSampleFraction: Double = 1.0): DataFrame = {
     require(tables >= 1 && planes >= 1 && maxBucketSize >= 2,
       s"need tables>=1, planes>=1, maxBucketSize>=2 (got $tables, $planes, $maxBucketSize)")
+    require(hotSampleFraction > 0.0 && hotSampleFraction <= 1.0,
+      s"hotSampleFraction must be in (0, 1], got $hotSampleFraction")
     // one fused native pass for all tables·planes sign bits (the
     // composed signBucket tree is parity-tested but ~100× slower)
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bk", explode(
         graft.expressions.VectorExpressions.signBucketKeysF(col("v"), tables, planes, dims)))
-    val hot = withB.groupBy("bk").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucketSize)
+    // Hot-bucket detection is a SECOND scan of the corpus (keys must be
+    // recomputed — they derive from the vectors). The default exact
+    // pass is right up to bench scale; at 100 TB pass a small
+    // hotSampleFraction: a bucket at the cap is sampled ~cap·f times,
+    // so f = 100/cap still detects reliably while the detection scan
+    // reads ~f of the corpus. A missed borderline-hot bucket only
+    // costs graceful degradation, never correctness — every candidate
+    // is exact-verified either way.
+    val sampled =
+      if (hotSampleFraction >= 1.0) withB
+      else withB.sample(withReplacement = false, hotSampleFraction, 42L)
+    val hot = sampled.groupBy("bk").agg(count(lit(1)).as("__n0"))
+      .filter(col("__n0") > maxBucketSize * hotSampleFraction)
+      .withColumn("__n", (col("__n0") / hotSampleFraction).cast("long"))
+      .drop("__n0")
     val keyed = withB.join(hot, Seq("bk"), "left")
       .withColumn("bk2", when(col("__n").isNull, col("bk")).otherwise(
         concat(col("bk"), lit("#"), pmod(xxhash64(col("id")),

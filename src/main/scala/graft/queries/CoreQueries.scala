@@ -234,7 +234,16 @@ object CoreQueries {
         date_format(col("o_orderdate"), "MM/yyyy").as("Data"),
         translate(col("o_totalprice").cast(DecimalType(15, 2)).cast("string"),
           ".", ",").as("Valor"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q68").toString
+      val root = java.nio.file.Files.createTempDirectory("graft_q68")
+      // the returned frame reads this warehouse lazily, so the dir must
+      // outlive the query call — clean it at JVM exit instead of leaking
+      // one warehouse per invocation into /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
       val cat = new graft.ledger.Catalog(s, s"$root/wh")
       cat.replace("staging_lancamentos", graft.ledger.Ingest.toStaging(csvish))
       val wh = new graft.ledger.Warehouse(cat)

@@ -107,6 +107,48 @@ class CatalogSpec extends SparkSpec {
     assert(reader.snapshotVersions("dim_tipo") === 2)
   }
 
+  test("direct write after an aborted transaction does not republish the aborted heads") {
+    val dir = Files.createTempDirectory("cat_leak").toString
+    val writer = new Catalog(spark, s"$dir/wh")
+    val reader = new Catalog(spark, s"$dir/wh")
+    writer.transaction {
+      writer.replace("dim_tipo", tipoDf("a"))
+      writer.replace("dim_classificacao",
+        Seq((1, "c1")).toDF("id_classificacao", "nome_classificacao"))
+    }
+    // crash mid-transaction leaves dim_tipo's per-table head ahead
+    intercept[RuntimeException](writer.transaction {
+      writer.replace("dim_tipo", tipoDf("a", "b", "c"))
+      sys.error("crash")
+    })
+    // a later DIRECT write to a DIFFERENT scoped table must advance only
+    // that table in the snapshot — not drag the aborted dim_tipo head in
+    writer.replace("dim_classificacao",
+      Seq((1, "c1"), (2, "c2")).toDF("id_classificacao", "nome_classificacao"))
+    assert(reader.table("dim_classificacao").count() === 2)
+    assert(reader.table("dim_tipo").count() === 1,
+      "aborted dim_tipo head leaked into the republished snapshot")
+  }
+
+  test("transaction begin rolls back heads left by a crashed transaction") {
+    val dir = Files.createTempDirectory("cat_rb").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.transaction { cat.replace("dim_tipo", tipoDf("a")) }
+    intercept[RuntimeException](cat.transaction {
+      cat.replace("dim_tipo", tipoDf("x", "y", "z"))
+      sys.error("crash")
+    })
+    // the next transaction must start from the PUBLISHED state, not the
+    // aborted head — its own reads see 1 row, and the version it claims
+    // re-uses the rolled-back number
+    cat.transaction {
+      assert(cat.table("dim_tipo").count() === 1)
+      cat.replace("dim_tipo", tipoDf("a", "b"))
+    }
+    assert(cat.table("dim_tipo").count() === 2)
+    assert(cat.versions("dim_tipo") === Seq(1, 2))
+  }
+
   test("two concurrent writers: exactly one commit wins, the loser fails loudly") {
     val dir = Files.createTempDirectory("cat_race").toString
     val w1 = new Catalog(spark, s"$dir/wh")

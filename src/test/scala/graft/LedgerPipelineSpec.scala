@@ -158,6 +158,25 @@ class LedgerPipelineSpec extends SparkSpec {
     assert(cat2.table("dim_tempo").count() === 1)
   }
 
+  test("strictQuirks: a crashed run does not double-append months on the healing rerun") {
+    // the reference's pandas-append runs inside a Postgres transaction —
+    // an aborted upload leaves NO month rows. Our transaction-begin
+    // rollback must give the same story: crash after loadDimTempo, and
+    // the healing rerun appends each month exactly once.
+    val dir = Files.createTempDirectory("ledger_strict_crash").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val wh = new Warehouse(cat, strictQuirks = true)
+    Ingest.run(cat, writeCsv(dir, "b.csv", batch1))
+    intercept[RuntimeException](cat.transaction {
+      wh.loadDimTempo()
+      sys.error("executor lost")
+    })
+    val counts = wh.run()
+    assert(counts("dim_tempo") === 1 && counts("fato_lancamento") === 4)
+    assert(cat.table("dim_tempo").count() === 1,
+      "aborted blind-append rows must roll back, not double up")
+  }
+
   test("hash-before-normalize: staging id_hash is computed on raw Valor") {
     val dir = Files.createTempDirectory("ledger_hash").toString
     val cat = new Catalog(spark, s"$dir/wh")

@@ -67,6 +67,20 @@ class Scd2Spec extends SparkSpec {
     assert(open.head._3 === "g2") // max seq wins, not max attr struct
   }
 
+  test("SCD-2 merge: orderCol may also be a tracked attribute") {
+    // ingest timestamps are usually tracked AND used for ordering; the
+    // winner struct must not produce duplicate field names
+    val v1 = Seq((1, "a", 5L, 1, Option.empty[Int]))
+      .toDF("id", "nome", "updated_at", "valid_from", "valid_to")
+    val batch = Seq((1, "b", 10L), (1, "c", 20L)).toDF("id", "nome", "updated_at")
+    val v2 = Scd2.merge(v1, batch, Seq("id"), Seq("nome", "updated_at"),
+      version = 2, orderCol = Some("updated_at"))
+    val open = v2.filter(col("valid_to").isNull)
+      .as[(Int, String, Long, Int, Option[Int])].collect()
+    assert(open.length === 1)
+    assert(open.head._2 === "c" && open.head._3 === 20L)
+  }
+
   test("SCD-2 merge: null attributes compare null-safely") {
     val v1 = dim((1, "a", "g1", 1, None))
       .withColumn("grupo", org.apache.spark.sql.functions.lit(null).cast("string"))
