@@ -88,14 +88,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   /** table → manifest version map of the published snapshot (empty if
     * none has been published yet). */
-  def snapshotVersions: Map[String, Int] = latestSnapshot match {
-    case None => Map.empty
-    case Some(n) =>
-      Files.readAllLines(snapDir.resolve(s"s$n"), StandardCharsets.UTF_8)
-        .asScala.filter(_.nonEmpty).map { line =>
-          val Array(t, v) = line.split(' '); t -> v.toInt
-        }.toMap
-  }
+  def snapshotVersions: Map[String, Int] =
+    latestSnapshot.map(snapshotVersionsAt).getOrElse(Map.empty)
+
+  private def snapshotVersionsAt(n: Int): Map[String, Int] =
+    Files.readAllLines(snapDir.resolve(s"s$n"), StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty).map { line =>
+        val Array(t, v) = line.split(' '); t -> v.toInt
+      }.toMap
 
   /** The manifest version a READ of `t` resolves to: the writer inside
     * a transaction (and any table outside snapshot scope, or before the
@@ -105,6 +105,19 @@ final class Catalog(val spark: SparkSession, val root: String) {
     if (inTxn || !snapshotScoped(t)) latestVersion(t)
     else snapshotVersions.get(t).orElse(
       if (latestSnapshot.isEmpty) latestVersion(t) else None)
+
+  /** The base version a WRITE builds on and claims over. Inside a
+    * transaction (and for unscoped tables, and before the first
+    * snapshot) that is the per-table head. A DIRECT write to a scoped
+    * table bases on the PUBLISHED snapshot instead: if a crashed or
+    * live transaction has advanced the head beyond the snapshot, the
+    * direct write's claim collides with that head's version file and
+    * fails loudly — it must never silently build on (and then publish)
+    * rows no transaction ever committed. */
+  private def writeBase(t: String): Int =
+    if (inTxn || !snapshotScoped(t) || latestSnapshot.isEmpty)
+      latestVersion(t).getOrElse(0)
+    else snapshotVersions.getOrElse(t, 0)
 
   /** Commit dirs (absolute paths) recorded in manifest version `v`. */
   private def commitsAt(t: String, v: Int): Seq[String] =
@@ -175,18 +188,38 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * the previously published map: rebuilding from per-table LATEST
     * would republish commits left behind by an aborted transaction on
     * OTHER tables, exposing exactly the half-built state the snapshot
-    * exists to hide. */
+    * exists to hide.
+    *
+    * The s{N+1} claim is tied to the SAME observed base N the map was
+    * built from (the commit() fence pattern); losing the claim race
+    * means another writer published meanwhile, so the map is rebuilt
+    * over THEIR snapshot and the claim retried — a concurrent bump to a
+    * different table merges instead of silently vanishing. */
   private def publishSnapshot(single: Option[(String, Int)] = None): Unit = {
     Files.createDirectories(snapDir)
-    val versions = single match {
-      case Some((t, v)) => snapshotVersions + (t -> v)
-      case None =>
-        snapshotScoped.toSeq.flatMap(t => latestVersion(t).map(t -> _)).toMap
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val base = latestSnapshot.getOrElse(0)
+      val versions = single match {
+        case Some((t, v)) =>
+          (if (base == 0) Map.empty[String, Int] else snapshotVersionsAt(base)) + (t -> v)
+        case None =>
+          snapshotScoped.toSeq.flatMap(t => latestVersion(t).map(t -> _)).toMap
+      }
+      val body = versions.toSeq.sorted.map { case (t, v) => s"$t $v" }.mkString("\n")
+      try {
+        claimVersionFile(snapDir, s"s${base + 1}", body, s"snapshot ${base + 1}")
+        atomicWrite(snapDir, "LATEST", (base + 1).toString)
+        done = true
+      } catch {
+        case e: Catalog.ConcurrentWriteException =>
+          attempts += 1
+          if (attempts > 5) throw new IllegalStateException(
+            "table commit IS published, but the snapshot bump kept losing " +
+              "the claim race — snapshot pointer is stale for this table", e)
+      }
     }
-    val body = versions.toSeq.sorted.map { case (t, v) => s"$t $v" }.mkString("\n")
-    val next = latestSnapshot.getOrElse(0) + 1
-    claimVersionFile(snapDir, s"s$next", body, s"snapshot $next")
-    atomicWrite(snapDir, "LATEST", next.toString)
   }
 
   /** Run a multi-table load with warehouse-level atomicity: the body's
@@ -214,15 +247,25 @@ final class Catalog(val spark: SparkSession, val root: String) {
     Files.createDirectories(snapDir)
     val inflight = snapDir.resolve("INFLIGHT")
     if (Files.exists(inflight)) {
-      val recorded = Files.readAllLines(inflight, StandardCharsets.UTF_8)
-        .asScala.filter(_.nonEmpty).map { line =>
-          val Array(t, v) = line.split(' '); t -> v.toInt
-        }.toMap
-      rollbackScopedHeads(recorded)
+      // whose marker? Our own instance's ⇒ our previous transaction
+      // crashed mid-body: heal automatically. Anyone else's ⇒ either a
+      // LIVE writer (rolling it back would corrupt both transactions
+      // silently) or a dead one — we cannot tell from here, so fail
+      // loudly and let the operator call recoverTransaction() once the
+      // other writer is confirmed dead.
+      val (owner, _) = readInflight(inflight)
+      if (owner != instanceId)
+        throw new Catalog.ConcurrentWriteException(
+          s"another writer's transaction is in flight at $inflight " +
+            "(or a crashed one left it behind — run recoverTransaction() " +
+            "after confirming no writer is live)")
+      rollbackToInflight(inflight)
     }
-    val beginState = snapshotScoped.toSeq.sorted
-      .flatMap(t => latestVersion(t).map(v => s"$t $v")).mkString("\n")
-    Files.write(inflight, beginState.getBytes(StandardCharsets.UTF_8))
+    val beginState = (s"owner $instanceId" +: snapshotScoped.toSeq.sorted
+      .flatMap(t => latestVersion(t).map(v => s"$t $v"))).mkString("\n")
+    // atomic write: a crash mid-write must never leave a truncated
+    // marker (a half-recorded state would roll tables back too far)
+    atomicWrite(snapDir, "INFLIGHT", beginState)
     inTxn = true
     val out =
       try body
@@ -234,14 +277,46 @@ final class Catalog(val spark: SparkSession, val root: String) {
     out
   }
 
+  /** Explicit crash recovery for a transaction started by ANOTHER
+    * catalog instance: rolls scoped heads back to the marker's recorded
+    * begin-state and clears the marker. Call only after confirming no
+    * writer is live. Returns true if a marker was cleared. */
+  def recoverTransaction(): Boolean = {
+    val inflight = snapDir.resolve("INFLIGHT")
+    if (!Files.exists(inflight)) false
+    else { rollbackToInflight(inflight); true }
+  }
+
+  private def readInflight(p: Path): (String, Map[String, Int]) = {
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty)
+    val owner = lines.headOption match {
+      case Some(l) if l.startsWith("owner ") => l.drop("owner ".length)
+      case _ => ""
+    }
+    val state = lines.drop(1).map { line =>
+      val Array(t, v) = line.split(' '); t -> v.toInt
+    }.toMap
+    (owner, state)
+  }
+
+  private def rollbackToInflight(inflight: Path): Unit = {
+    val (_, recorded) = readInflight(inflight)
+    rollbackScopedHeads(recorded)
+    Files.deleteIfExists(inflight)
+  }
+
   /** Roll every scoped table's LATEST back to `target` (absent table →
     * no version at all), deleting the now-orphaned manifest claims so
     * the next commit can re-claim those versions. Orphan DATA dirs stay
-    * until [[vacuum]]. */
-  private def rollbackScopedHeads(target: Map[String, Int]): Unit =
+    * until [[vacuum]]. The published snapshot is a floor: a table
+    * legitimately committed-and-published AFTER the marker was written
+    * (a direct write between the crash and this recovery) must never be
+    * rolled below what readers already resolve. */
+  private def rollbackScopedHeads(target: Map[String, Int]): Unit = {
+    val published = snapshotVersions
     snapshotScoped.foreach { t =>
       latestVersion(t).foreach { head =>
-        val tv = target.getOrElse(t, 0)
+        val tv = math.max(target.getOrElse(t, 0), published.getOrElse(t, 0))
         if (head > tv) {
           val md = manifestDir(t)
           if (tv > 0) atomicWrite(md, "LATEST", tv.toString)
@@ -250,6 +325,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
         }
       }
     }
+  }
+
+  /** Stable identity of this catalog instance, recorded in INFLIGHT so
+    * a begin can tell its own crashed transaction (auto-heal) from
+    * another writer's (fail loudly). */
+  private val instanceId: String = java.util.UUID.randomUUID().toString
 
   /** Clear orphan claims left by crashed writers: manifest files above
     * the table's LATEST (and snapshot files above the snapshot LATEST)
@@ -336,7 +417,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   /** K1: full-replace write (staging semantics, reference app/app.py:79). */
   def replace(table: String, df: DataFrame): Unit = {
-    val base = latestVersion(table).getOrElse(0)
+    val base = writeBase(table)
     val dir = newCommitDir(table)
     df.write.mode(SaveMode.Overwrite).parquet(dir)
     commit(table, Seq(dir), base)
@@ -372,7 +453,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // the new manifest's dir list and its claimed version come from the
     // same observation, so a concurrent commit makes us fail loudly
     // instead of silently dropping it from the list
-    val base = latestVersion(table).getOrElse(0)
+    val base = writeBase(table)
     val baseDirs = if (base == 0) Seq.empty else commitsAt(table, base)
     val dir = newCommitDir(table)
     val obs = org.apache.spark.sql.Observation(s"append_$table")
@@ -392,7 +473,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * between the read and the claim fails the claim loudly rather than
     * being silently folded away. */
   def compact(table: String, partitionBy: Seq[String] = Seq.empty): Unit = {
-    val base = latestVersion(table).getOrElse(return)
+    val base = writeBase(table)
+    if (base == 0) return
     val schema = Schemas.schemaOf(table)
     val df = commitsAt(table, base).map { c =>
       spark.read.schema(schema).option("basePath", c).parquet(c)

@@ -121,6 +121,12 @@ object Similarity {
       s"need tables>=1, planes>=1, maxBucketSize>=2 (got $tables, $planes, $maxBucketSize)")
     require(hotSampleFraction > 0.0 && hotSampleFraction <= 1.0,
       s"hotSampleFraction must be in (0, 1], got $hotSampleFraction")
+    // below ~10 expected samples per at-cap bucket the estimator flips:
+    // every bucket with one sampled row reads as 'hot' and gets split,
+    // silently shredding recall across perfectly cold buckets
+    require(hotSampleFraction >= 1.0 || maxBucketSize * hotSampleFraction >= 10.0,
+      s"hotSampleFraction too small to detect hot buckets reliably: " +
+        s"maxBucketSize*fraction = ${maxBucketSize * hotSampleFraction} < 10")
     // one fused native pass for all tables·planes sign bits (the
     // composed signBucket tree is parity-tested but ~100× slower)
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -47,6 +47,27 @@ object CoreQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("bigint")
 
+  /** Temp roots queued for ONE shared shutdown hook (q68 creates a
+    * warehouse per invocation that the returned frame reads lazily). */
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var root = tempRoots.poll()
+      while (root != null) {
+        try {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: java.io.IOException => () }
+        root = tempRoots.poll()
+      }
+    }))
+  private def cleanupAtExit(root: java.nio.file.Path): Unit = {
+    cleanupHook
+    tempRoots.add(root)
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -236,14 +257,10 @@ object CoreQueries {
           ".", ",").as("Valor"))
       val root = java.nio.file.Files.createTempDirectory("graft_q68")
       // the returned frame reads this warehouse lazily, so the dir must
-      // outlive the query call — clean it at JVM exit instead of leaking
-      // one warehouse per invocation into /tmp
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        val walk = java.nio.file.Files.walk(root)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }))
+      // outlive the query call — queue it for one shared exit-time
+      // cleanup instead of leaking a warehouse (or a hook thread) per
+      // invocation
+      cleanupAtExit(root)
       val cat = new graft.ledger.Catalog(s, s"$root/wh")
       cat.replace("staging_lancamentos", graft.ledger.Ingest.toStaging(csvish))
       val wh = new graft.ledger.Warehouse(cat)

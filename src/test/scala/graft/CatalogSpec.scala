@@ -149,6 +149,42 @@ class CatalogSpec extends SparkSpec {
     assert(cat.versions("dim_tipo") === Seq(1, 2))
   }
 
+  test("direct write to a table with an unpublished transactional head fails loudly") {
+    val dir = Files.createTempDirectory("cat_headclash").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.transaction { cat.replace("dim_tipo", tipoDf("a")) } // snapshot: tipo→1
+    intercept[RuntimeException](cat.transaction {
+      cat.replace("dim_tipo", tipoDf("x", "y")) // head v2, never published
+      sys.error("crash")
+    })
+    // a direct write bases on the PUBLISHED v1 and claims v2 — colliding
+    // with the aborted head instead of silently building on its rows
+    intercept[graft.ledger.Catalog.ConcurrentWriteException](
+      cat.replace("dim_tipo", tipoDf("z")))
+    // the next transaction heals (same owner) and the write goes through
+    cat.transaction { cat.replace("dim_tipo", tipoDf("z")) }
+    assert(cat.table("dim_tipo").select("nome_tipo").as[String].collect().toSeq === Seq("z"))
+  }
+
+  test("a foreign writer's INFLIGHT marker blocks transactions until recoverTransaction") {
+    val dir = Files.createTempDirectory("cat_foreign").toString
+    val w1 = new Catalog(spark, s"$dir/wh")
+    val w2 = new Catalog(spark, s"$dir/wh")
+    w1.transaction { w1.replace("dim_tipo", tipoDf("a")) }
+    intercept[RuntimeException](w1.transaction {
+      w1.replace("dim_tipo", tipoDf("x", "y"))
+      sys.error("w1 dies")
+    })
+    // w2 cannot tell w1's marker from a live transaction: loud stop
+    val e = intercept[graft.ledger.Catalog.ConcurrentWriteException](
+      w2.transaction { w2.replace("dim_tipo", tipoDf("b")) })
+    assert(e.getMessage.contains("recoverTransaction"))
+    // operator confirms w1 is dead, recovers, and w2 proceeds cleanly
+    assert(w2.recoverTransaction())
+    w2.transaction { w2.replace("dim_tipo", tipoDf("a", "b")) }
+    assert(w2.table("dim_tipo").count() === 2)
+  }
+
   test("two concurrent writers: exactly one commit wins, the loser fails loudly") {
     val dir = Files.createTempDirectory("cat_race").toString
     val w1 = new Catalog(spark, s"$dir/wh")
