@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
 
-import graft.sources.Jsonl
+import graft.sources.{Jsonl, Orc}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -53,6 +53,21 @@ class SourcesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") || plan.contains("pushedFilters"),
       s"no pushdown in:\n$plan")
+  }
+
+  test("Orc module: declared-schema read, partitioned write, parquet conversion") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orc_mod").toString
+    val df = Seq((1L, "a", 2024), (2L, "b", 2024), (3L, "c", 2025))
+      .toDF("id", "v", "ano")
+    Orc.write(df, s"$dir/t", partitionBy = Seq("ano"))
+    // partition dirs exist (pruning layout)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t/ano=2025")))
+    val back = Orc.read(spark, s"$dir/t", df.schema)
+    assert(back.count() === 3)
+    Orc.toParquet(spark, s"$dir/t", df.schema, s"$dir/p")
+    val p = spark.read.parquet(s"$dir/p").as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(p.toSeq === Seq((1L, "a", 2024), (2L, "b", 2024), (3L, "c", 2025)))
   }
 
   test("csv sink/source: header round-trip with declared schema") {
