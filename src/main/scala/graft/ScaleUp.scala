@@ -37,6 +37,12 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/root/repo/target/sf1ish"
     val n = if (args.length > 2) args(2).toInt else 10
+    // independence breaks past the permutation/rotation period: replica
+    // 10 would reuse replica 0's identity text mapping (and rotation
+    // wraps at the embedding dim), planting exactly the cross-replica
+    // duplicates this tool exists to avoid
+    require(n >= 1 && n <= Alphabet.length,
+      s"replica independence holds only for 1..${Alphabet.length} replicas, got $n")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

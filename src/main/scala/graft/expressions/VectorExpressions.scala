@@ -146,7 +146,8 @@ case class SignBucketKeys(vec: Expression, tables: Expression,
       t <- lit(tables, "tables")
       p <- lit(planes, "planes")
       _ <- lit(dims, "dims")
-      _ <- if (t * p <= 4096) Right(()) else Left(s"tables*planes too large: ${t * p}")
+      _ <- if (t.toLong * p <= 4096L) Right(())
+           else Left(s"tables*planes too large: ${t.toLong * p}")
     } yield ()) match {
       case Right(_) => TypeCheckResult.TypeCheckSuccess
       case Left(msg) => TypeCheckResult.TypeCheckFailure(s"${SignBucketKeys.name}: $msg")
@@ -157,16 +158,12 @@ case class SignBucketKeys(vec: Expression, tables: Expression,
   @transient private lazy val nPlanes: Int = planes.eval(null).asInstanceOf[Int]
   @transient private lazy val nDims: Int = dims.eval(null).asInstanceOf[Int]
 
-  /** ±1 hyperplane matrix, md5-parity per (global plane, dim) — value-
-    * identical to Similarity.hyperplane(plane, dims). */
+  /** ±1 hyperplane matrix, from the ONE canonical derivation
+    * ([[SignBucketKeys.hyperplane]] — `Similarity.hyperplane`
+    * delegates to the same function). */
   @transient private lazy val matrix: Array[Array[Float]] =
-    Array.tabulate(nTables * nPlanes) { plane =>
-      Array.tabulate(nDims) { i =>
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$plane:$i".getBytes("UTF-8"))
-        if ((digest(0) & 1) == 0) 1.0f else -1.0f
-      }
-    }
+    Array.tabulate(nTables * nPlanes)(plane =>
+      SignBucketKeys.hyperplane(plane, nDims).map(_.toFloat).toArray)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = vec.eval(input)
@@ -213,6 +210,17 @@ case class SignBucketKeys(vec: Expression, tables: Expression,
 
 object SignBucketKeys {
   val name = "sign_bucket_keys"
+
+  /** Canonical fixed ±1 hyperplane: sign from md5 parity of
+    * "plane:dim". THE single source of the constant recipe — the
+    * operator layer (`Similarity.hyperplane`) and this expression's
+    * matrix must agree bit-for-bit for the LSH oracles to hold. */
+  def hyperplane(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$plane:$i".getBytes("UTF-8"))
+      if ((md(0) & 1) == 0) 1.0 else -1.0
+    }
 
   val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier(name),

@@ -261,6 +261,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
             "after confirming no writer is live)")
       rollbackToInflight(inflight)
     }
+    // the snapshot must exist BEFORE the body commits anything: without
+    // one, scoped reads fall back to per-table LATEST and a crash
+    // mid-FIRST-load would expose the half-built schema — the only
+    // window where the atomicity promise used to be void. The initial
+    // snapshot freezes whatever bootstrap state exists (usually empty).
+    if (latestSnapshot.isEmpty) publishSnapshot()
     val beginState = (s"owner $instanceId" +: snapshotScoped.toSeq.sorted
       .flatMap(t => latestVersion(t).map(v => s"$t $v"))).mkString("\n")
     // atomic write: a crash mid-write must never leave a truncated
@@ -364,12 +370,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   /** Committed manifest versions, ascending (1 = first commit). Every
     * write (replace / appendDelta / compact) publishes a new version;
-    * old manifests stay on disk until [[vacuum]]. Derived from LATEST,
-    * never from a directory listing: a crashed writer leaves v{N+1} on
-    * disk with LATEST still at N, and that half-commit must stay as
-    * invisible to time travel as it is to [[table]]. */
+    * old manifests stay on disk until [[vacuum]]. Derived from the
+    * READ-resolved head — never from per-table LATEST alone, and never
+    * from a directory listing: a crashed writer's claimed-but-
+    * unpublished versions (orphan v-file, or a scoped head an aborted
+    * transaction advanced past the snapshot) must stay as invisible to
+    * time travel as they are to [[table]]. */
   def versions(table: String): Seq[Int] =
-    latestVersion(table).fold(Seq.empty[Int])(v => (1 to v).toSeq)
+    readVersion(table).fold(Seq.empty[Int])(v => (1 to v).toSeq)
 
   /** Time travel: the table exactly as published at manifest `version`
     * (Delta-style `versionAsOf`). Valid as long as the version's commit
@@ -456,14 +464,38 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val base = writeBase(table)
     val baseDirs = if (base == 0) Seq.empty else commitsAt(table, base)
     val dir = newCommitDir(table)
-    val obs = org.apache.spark.sql.Observation(s"append_$table")
-    val observed = delta.observe(obs, count(lit(1)).as("n"))
-    val w = observed.write.mode(SaveMode.Overwrite)
+    val w = delta.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
-    val n = obs.get("n").asInstanceOf[Long]
+    // exact appended count from the written files' parquet FOOTERS:
+    // metadata-only, no second data scan and no extra Spark job (an
+    // observed write metric can over-count under stage retries or
+    // speculative execution; a read-back count re-scans the data)
+    val n = footerRowCount(dir)
     if (n > 0) commit(table, baseDirs :+ dir, base)
     else deleteRecursively(Paths.get(dir))
     register(table)
+    n
+  }
+
+  /** Sum of row counts from the parquet footers under `dir` — what a
+    * table format records at commit time. Driver-side metadata reads
+    * only (one footer per data file). */
+  private def footerRowCount(dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    val files = fs.listFiles(p, true)
+    var n = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try n += reader.getRecordCount
+        finally reader.close()
+      }
+    }
     n
   }
 

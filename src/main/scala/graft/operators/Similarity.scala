@@ -59,13 +59,11 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Fixed ±1 hyperplanes: sign from md5 parity of "plane:dim". */
+  /** Fixed ±1 hyperplanes: sign from md5 parity of "plane:dim"
+    * (delegates to the canonical derivation next to the fused native
+    * expression, so the two can never diverge). */
   def hyperplane(plane: Int, dims: Int): Seq[Double] =
-    (0 until dims).map { i =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$plane:$i".getBytes("UTF-8"))
-      if ((md(0) & 1) == 0) 1.0 else -1.0
-    }
+    graft.expressions.SignBucketKeys.hyperplane(plane, dims)
 
   /** Sign-pattern bucket key ("0110..." string) over `planes` hyperplanes
     * starting at index `planeOffset` (distinct offsets → independent

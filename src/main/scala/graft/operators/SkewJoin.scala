@@ -45,6 +45,12 @@ object SkewJoin {
   def detectHotKeys(big: DataFrame, keys: Seq[String], hotRowThreshold: Long,
                     sampleFraction: Double = 0.001, seed: Long = 42L): DataFrame = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0, s"bad fraction $sampleFraction")
+    // below ~10 expected samples per at-threshold key the Poisson
+    // estimator is noise: at < 1 every sampled key reads as hot, the
+    // "hot set is small" bound collapses, and the broadcast blows up
+    require(sampleFraction >= 1.0 || hotRowThreshold * sampleFraction >= 10.0,
+      s"sampleFraction too small to estimate the threshold: " +
+        s"hotRowThreshold*fraction = ${hotRowThreshold * sampleFraction} < 10")
     val sampleThresh = math.max(1L, (hotRowThreshold * sampleFraction).toLong)
     big.sample(withReplacement = false, sampleFraction, seed)
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))

@@ -96,6 +96,42 @@ class CatalogSpec extends SparkSpec {
     assert(reader.table("dim_grupo").count() === 2)
   }
 
+  test("the FIRST transaction is atomic too: crash mid-load exposes nothing") {
+    val dir = Files.createTempDirectory("cat_first").toString
+    val writer = new Catalog(spark, s"$dir/wh")
+    val reader = new Catalog(spark, s"$dir/wh")
+    // fresh warehouse, no snapshot yet — the bootstrap window
+    intercept[RuntimeException](writer.transaction {
+      writer.replace("dim_tipo", tipoDf("a", "b"))
+      sys.error("crash during the very first load")
+    })
+    assert(reader.table("dim_tipo").count() === 0,
+      "first-load crash leaked a half-built schema to readers")
+    assert(reader.versions("dim_tipo").isEmpty,
+      "aborted first-load head visible to time travel")
+    // healing run publishes the complete state
+    writer.transaction { writer.replace("dim_tipo", tipoDf("a", "b")) }
+    assert(reader.table("dim_tipo").count() === 2)
+  }
+
+  test("time travel cannot see a crashed transaction's unpublished head") {
+    val dir = Files.createTempDirectory("cat_ttfence").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val reader = new Catalog(spark, s"$dir/wh")
+    cat.transaction { cat.replace("dim_tipo", tipoDf("a")) }
+    intercept[RuntimeException](cat.transaction {
+      cat.replace("dim_tipo", tipoDf("x", "y", "z"))
+      sys.error("crash")
+    })
+    // reader: neither table() nor versions()/tableAt() resolves the
+    // aborted head (the writer's own txn view may — readers never)
+    assert(reader.versions("dim_tipo").max === reader.snapshotVersions("dim_tipo"))
+    assert(reader.tableAt("dim_tipo",
+      reader.versions("dim_tipo").max).count() === 1)
+    intercept[IllegalArgumentException](
+      reader.tableAt("dim_tipo", reader.snapshotVersions("dim_tipo") + 1))
+  }
+
   test("snapshot-scoped reads still see direct non-transactional writes") {
     val dir = Files.createTempDirectory("cat_direct").toString
     val writer = new Catalog(spark, s"$dir/wh")

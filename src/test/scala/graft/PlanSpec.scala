@@ -24,6 +24,12 @@ class PlanSpec extends SparkSpec {
   private def count(plan: String, token: String): Int =
     token.r.findAllMatchIn(plan).size
 
+  /** SHUFFLE exchanges only — a plain "Exchange" count would also match
+    * BroadcastExchange/ReusedExchange, so a harmless broadcast addition
+    * would trip the gate while a broadcast→shuffle regression slipped. */
+  private def shuffles(plan: String): Int =
+    count(plan, "Exchange (hash|range)partitioning|Exchange SinglePartition")
+
   test("no query plan contains a cartesian or nested-loop join (audited set)") {
     for (q <- Seq("q1_pricing_summary", "q2_star_revenue", "q20_minhash_lsh",
       "q32_salted_join", "q35_asof_join", "q56_dup_clusters")) {
@@ -35,8 +41,7 @@ class PlanSpec extends SparkSpec {
 
   test("q1: scan feeds one partial/final aggregate pair over a single exchange") {
     val p = finalPlan("q1_pricing_summary")
-    assert(count(p, "Exchange") - count(p, "ReusedExchange") <= 1,
-      s"q1 should shuffle exactly once (the agg):\n$p")
+    assert(shuffles(p) <= 1, s"q1 should shuffle exactly once (the agg):\n$p")
     assert(p.contains("HashAggregate"), s"q1 lost hash aggregation:\n$p")
   }
 
@@ -61,10 +66,9 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"q32 degraded to sort-merge:\n$p")
   }
 
-  test("q35: the as-of union+window formulation keeps a bounded exchange count") {
+  test("q35: the as-of union+window formulation keeps a bounded shuffle count") {
     val p = finalPlan("q35_asof_join")
-    assert(count(p, "Exchange") - count(p, "ReusedExchange") <= 4,
-      s"q35 grew extra shuffles:\n$p")
+    assert(shuffles(p) <= 4, s"q35 grew extra shuffles:\n$p")
   }
 
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
