@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{DotProductFloat, LangId, MinHashSigs, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, WordShingles}
+import graft.expressions.{BloomMightContain, DotProductFloat, LangId, MinHashSigs, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSigs.registration)
     ext.injectFunction(NfcNormalize.registration)
     ext.injectFunction(SignBucketKeys.registration)
+    ext.injectFunction(BloomMightContain.registration)
   }
 }

@@ -200,7 +200,62 @@ object BreadthQueries {
     // cross join of two small sets.
     "q55_cross_join" -> ((s, d) =>
       t(s, d, "region").select(col("r_name"))
-        .crossJoin(t(s, d, "customer").select(col("c_mktsegment")).distinct()))
+        .crossJoin(t(s, d, "customer").select(col("c_mktsegment")).distinct())),
+
+    // UNPIVOT/melt: wide per-flag aggregates to (flag, measure, value)
+    // long form — the wide→long reshape half of q36's pivot. All
+    // measures are exact BIGINTs so the unified value column is
+    // engine-identical.
+    "q73_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("l_orderkey")).as("n_orders"))
+        .unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("sum_qty"), col("n_rows"), col("n_orders")),
+          variableColumnName = "measure",
+          valueColumnName = "value")),
+
+    // date-spine gap fill: a generated calendar (sequence over literal
+    // bounds — driver-bounded, broadcastable at any scale) LEFT JOINs
+    // daily order aggregates so no-activity days surface as zeros —
+    // the time-series densification every downstream window/trend
+    // computation needs.
+    "q74_date_spine" -> ((s, d) => {
+      val spine = s.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("1995-01-01")),
+        lit(java.sql.Date.valueOf("1995-03-31")))).as("day"))
+      val daily = t(s, d, "orders")
+        .withColumn("day", to_date(col("o_orderdate")))
+        .filter(col("day").between("1995-01-01", "1995-03-31"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("t"))
+      spine.join(daily, Seq("day"), "left_outer")
+        .select(col("day"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(col("t"), lit(0.0)).as("total_price"))
+    }),
+
+    // higher-order array functions over embeddings: filter/exists/
+    // aggregate/zip_with — the lambda-function surface. Float values
+    // widen to double BEFORE any arithmetic; per-row fold order is
+    // index order on both engines, so every double is bit-identical.
+    "q75_hof_arrays" -> ((s, d) => {
+      val e = col("embedding")
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(filter(e, x => x > lit(0.0f))).cast("int").as("n_pos"),
+        exists(e, x => abs(x) > lit(2.0f)).as("any_big"),
+        aggregate(e, lit(0.0),
+          (acc, x) => acc + abs(x.cast("double"))).as("l1_norm"),
+        array_max(zip_with(
+          slice(e, lit(2), greatest(size(e) - 1, lit(0))), e,
+          (b, a) => abs(b.cast("double") - a.cast("double")))).as("max_step"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -325,6 +380,48 @@ object BreadthQueries {
 
     "q55_cross_join" ->
       """SELECT r_name, c_mktsegment
-        |FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)""".stripMargin
+        |FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)""".stripMargin,
+
+    "q73_unpivot" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM g
+        |UNION ALL
+        |SELECT l_returnflag, 'n_rows', n_rows FROM g
+        |UNION ALL
+        |SELECT l_returnflag, 'n_orders', n_orders FROM g""".stripMargin,
+
+    "q74_date_spine" ->
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS t
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |  GROUP BY 1)
+        |SELECT spine.day,
+        |       COALESCE(n, 0) AS n_orders,
+        |       COALESCE(t, 0.0) AS total_price
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
+
+    "q75_hof_arrays" ->
+      """SELECT vec_id,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        | len(list_filter(embedding, x -> abs(x) > 2)) > 0 AS any_big,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS DOUBLE),
+        |     list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |   (acc, v) -> acc + v) AS l1_norm,
+        | CAST(list_aggregate(
+        |   list_transform(range(0, len(embedding) - 1),
+        |     i -> abs(CAST(embedding[i + 2] AS DOUBLE) - CAST(embedding[i + 1] AS DOUBLE))),
+        |   'max') AS DOUBLE) AS max_step
+        |FROM embeddings""".stripMargin
   )
 }

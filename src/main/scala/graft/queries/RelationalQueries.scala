@@ -61,6 +61,24 @@ object RelationalQueries {
           lag(col("o_orderkey"), 1).over(w).as("prev_order"),
           lead(col("o_orderkey"), 1).over(w).as("next_order"),
           sum(dec(col("o_totalprice"))).over(cum).cast("double").as("running_total"))
+    }),
+
+    // bloom-pruned join: the probe (lineitem) is filtered by a bloom
+    // sketch of the selective build side's keys BEFORE the join
+    // shuffle — the explicit semi-join-reduction operator
+    // (operators.BloomJoin). False positives are discarded by the
+    // exact join, so the result is identical to the plain join the
+    // oracle runs; only shuffle volume differs.
+    "q72_bloom_join" -> ((s, d) => {
+      val probe = Tables(s, d, "lineitem")
+      val build = Tables(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_custkey") < 500)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.BloomJoin.prunedJoin(probe, build, "l_orderkey",
+        expectedItems = 100000, fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
     })
   )
 
@@ -96,6 +114,15 @@ object RelationalQueries {
         |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM orders WHERE o_custkey < 200
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q72_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT' AND o_custkey < 500) o
+        |  ON l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -155,6 +155,67 @@ object TextQueries {
           (col("md").cast("double") / col("n_docs").cast("double")).as("upsample_factor"))
     }),
 
+    // composed C4/Gopher-style quality gate: the individual signals
+    // (token count, punct ratio, repetition, language agreement) fold
+    // into ONE verdict with a first-failing-rule reason — the shape of
+    // a real corpus filter, where per-rule attrition counts are the
+    // monitoring output. Thresholds compare doubles computed
+    // identically on both engines.
+    "q76_quality_filter" -> ((s, d) => {
+      val sig = docs(s, d).select(
+        col("doc_id"), col("lang"),
+        wsTokenCount(col("text")).as("n_ws"),
+        punctRatio(col("text")).as("pr"),
+        greatest(size(words(col("text"))) - 2, lit(0)).as("n3"),
+        size(graft.operators.Dedup.shingles(col("text"), 3)).as("d3"),
+        langId(col("text")).as("ld"))
+      sig.select(
+        when(col("n_ws") < 5, "too_short")
+          .when(col("pr") >= 0.2, "high_punct")
+          .when(col("n3") > 0 &&
+            (col("n3") - col("d3")).cast("double") / col("n3").cast("double") >= 0.3,
+            "repetitive")
+          .when(col("ld") =!= col("lang"), "lang_mismatch")
+          .otherwise("keep").as("verdict"))
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // temperature-scaled mixture (τ=2, the multilingual-LM sampling
+    // knob): weights ∝ n^(1/τ) = √n flatten the source distribution
+    // between proportional and uniform. √ is the ONE exponent whose
+    // result is IEEE-correctly-rounded on every engine — no libm pow
+    // in an oracle-checked result. target_docs = ⌊√(n·max)⌋, the
+    // per-source doc count after rebalancing to keep the largest
+    // source at its natural size.
+    "q77_temperature_mix" -> ((s, d) => {
+      val counts = docs(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(max(col("n_docs")).as("md"))
+      counts.crossJoin(tot).select(
+        col("source"), col("n_docs"),
+        (sqrt(col("n_docs").cast("double")) / sqrt(col("md").cast("double")))
+          .as("temp_weight"),
+        floor(sqrt(col("n_docs").cast("double") * col("md").cast("double")))
+          .cast("bigint").as("target_docs"))
+    }),
+
+    // sliding-window chunking for context-budget ingestion: windows of
+    // 128 ws-tokens at stride 96 (32-token overlap); every doc yields
+    // ≥1 chunk. The output is the chunk manifest (doc, index, token
+    // range) a loader or RAG indexer consumes — row-per-chunk, no
+    // document text movement.
+    "q78_chunk_docs" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), wsTokenCount(col("text")).as("n_tok"))
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)), lit(96)))
+            .as("tok_start"))
+        .select(col("doc_id"),
+          (col("tok_start") / 96).cast("int").as("chunk_idx"),
+          col("tok_start").cast("int").as("tok_start"),
+          least(lit(128), col("n_tok") - col("tok_start")).cast("int").as("tok_len"))),
+
     "q63_bigram_pmi" -> ((s, d) => {
       val ws = docs(s, d).select(words(col("text")).as("ws"))
       val bg = ws.select(explode(array_compact(zip_with(
@@ -300,6 +361,52 @@ object TextQueries {
          |       CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE) AS mix_weight,
          |       CAST(md AS DOUBLE) / CAST(n_docs AS DOUBLE) AS upsample_factor
          |FROM c, t""".stripMargin,
+
+    "q76_quality_filter" -> {
+      val scoreCols = stopwords.map { case (l, _) => s"${duckHits(l)} AS s_$l" }
+        .mkString(",\n ")
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         | $duckWsTokens AS n_ws,
+         | $duckPunctRatio AS pr,
+         | regexp_extract_all(lower(text), '[a-z]+') AS ws,
+         | $scoreCols
+         |FROM documents),
+         |r AS (SELECT *,
+         |  CAST(greatest(len(ws) - 2, 0) AS INT) AS n3,
+         |  CAST(CASE WHEN len(ws) >= 3 THEN len(list_distinct(
+         |    list_transform(range(0, len(ws) - 2),
+         |                   i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))))
+         |    ELSE 0 END AS INT) AS d3
+         |  FROM t)
+         |SELECT verdict, COUNT(*) AS n_docs FROM (
+         |  SELECT CASE WHEN n_ws < 5 THEN 'too_short'
+         |              WHEN pr >= 0.2 THEN 'high_punct'
+         |              WHEN n3 > 0 AND CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE) >= 0.3
+         |                THEN 'repetitive'
+         |              WHEN ($duckLangCase) <> lang THEN 'lang_mismatch'
+         |              ELSE 'keep' END AS verdict
+         |  FROM r)
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q77_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT MAX(n_docs) AS md FROM c)
+        |SELECT source, n_docs,
+        |       sqrt(CAST(n_docs AS DOUBLE)) / sqrt(CAST(md AS DOUBLE)) AS temp_weight,
+        |       CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * CAST(md AS DOUBLE))) AS BIGINT)
+        |         AS target_docs
+        |FROM c, t""".stripMargin,
+
+    "q78_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $duckWsTokens AS n_tok FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |        unnest(range(0, greatest(n_tok, 1), 96)) AS tok_start
+         |      FROM t)
+         |SELECT doc_id, CAST(tok_start // 96 AS INT) AS chunk_idx,
+         |       CAST(tok_start AS INT) AS tok_start,
+         |       CAST(least(128, n_tok - tok_start) AS INT) AS tok_len
+         |FROM c""".stripMargin,
 
     "q63_bigram_pmi" ->
       """WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
