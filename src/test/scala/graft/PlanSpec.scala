@@ -71,6 +71,21 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) <= 4, s"q35 grew extra shuffles:\n$p")
   }
 
+  test("q72: the bloom probe filters the probe side BEFORE its shuffle") {
+    val p = finalPlan("q72_bloom_join")
+    assert(p.contains("bloom_might_contain"),
+      s"q72 lost its bloom probe (pruning now happens only at the join):\n$p")
+    // the probe must sit under the scan/filter side of the plan, not
+    // after the join: the Filter node carrying it appears below the
+    // first join in the tree (string order = top-down tree order)
+    val probeIdx = p.indexOf("bloom_might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"q72 plan shape unexpected (probe above the join subtree):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q72 degraded to sort-merge (shuffle_hash hint lost):\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
