@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Typo-tolerant (edit-distance ≤ 1) equi-style join via SymSpell-type
+  * deletion-neighborhood blocking.
+  *
+  * Two strings are within Levenshtein distance 1 iff their deletion
+  * neighborhoods intersect, where a string's neighborhood is itself
+  * plus every single-character-deletion variant (|s| + 1 keys). So the
+  * join becomes: explode both sides to (id, variant) rows, hash-join
+  * on the variant, verify candidates with the exact `levenshtein`
+  * (candidates that merely share a variant but sit at distance 2 drop
+  * out), and distinct the surviving pairs.
+  *
+  * Scale shape: variant generation is per-row and shuffle-free; the
+  * only data movement is the variant hash join, whose volume is
+  * (avg_len + 1)× the key column — NEVER an all-pairs product. Blowup
+  * is linear in string length; for long strings, fuzzy-match a bounded
+  * normalized key (a prefix or token) rather than the full text, as
+  * every SymSpell deployment does.
+  */
+object FuzzyJoin {
+
+  /** `s` plus all |s| single-deletion variants, as an array column.
+    * Duplicate variants (repeated chars) are deduped — they'd only
+    * manufacture duplicate candidate pairs for the same verify. */
+  def deletionVariants(s: Column): Column =
+    array_distinct(concat(
+      array(s),
+      // greatest(…, 0): empty strings yield one degenerate variant
+      // instead of a negative-bound sequence
+      transform(sequence(lit(0), greatest(length(s) - 1, lit(0))),
+        i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s))))))
+
+  /** All (leftId, rightId, dist) pairs with levenshtein ≤ 1 between
+    * `left.strCol` and `right.strCol`. Columns in the output:
+    * `<leftIdCol>`, `<rightIdCol>`, `dist`. The two id columns must be
+    * distinct names.
+    *
+    * The variant join runs over DISTINCT strings, with ids re-attached
+    * afterwards: a corpus where a value repeats n× would otherwise pay
+    * n² candidate pairs per repeated value in the variant buckets (a
+    * 10×-duplication corpus measured 27× slower under the naive
+    * id-level join). Candidate generation + verify scale with the
+    * distinct-value count; the id re-expansion joins are linear in the
+    * (inherently multiplicative) output.
+    */
+  def lev1Join(left: DataFrame, right: DataFrame,
+               leftId: String, rightId: String, strCol: String): DataFrame = {
+    require(leftId != rightId, s"id columns must differ, both are $leftId")
+    val lv = left.select(col(strCol).as("__ls")).distinct()
+      .select(col("__ls"), explode(deletionVariants(col("__ls"))).as("__v"))
+    val rv = right.select(col(strCol).as("__rs")).distinct()
+      .select(col("__rs"), explode(deletionVariants(col("__rs"))).as("__v"))
+    // variant keys grow with the corpus — hash join, never sort-merge
+    val strPairs = lv.join(rv.hint("shuffle_hash"), "__v")
+      .where(levenshtein(col("__ls"), col("__rs")) <= 1)
+      .select(col("__ls"), col("__rs"),
+        levenshtein(col("__ls"), col("__rs")).cast("int").as("dist"))
+      .distinct()
+    // re-attach ids; (id → string) is many-to-one and strPairs is
+    // distinct, so the output needs no further dedup shuffle
+    left.select(col(leftId), col(strCol).as("__ls"))
+      .join(strPairs.hint("shuffle_hash"), "__ls")
+      .join(right.select(col(rightId), col(strCol).as("__rs")).hint("shuffle_hash"),
+        "__rs")
+      .select(col(leftId), col(rightId), col("dist"))
+  }
+}

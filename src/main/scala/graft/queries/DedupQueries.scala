@@ -170,6 +170,23 @@ object DedupQueries {
         .join(broadcast(evalGrams), "g")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("g")).as("n_contaminated_grams"))
+    }),
+
+    // typo-tolerant join (edit distance ≤ 1) via SymSpell
+    // deletion-neighborhood blocking — operators.FuzzyJoin. The dirty
+    // side plants one substitution ('#' at position 6 — a char no part
+    // name contains) per tenth part; candidates share a deletion
+    // variant, the exact levenshtein verifies. Never an all-pairs
+    // compare: the only shuffle is the (len+1)× variant hash join.
+    "q79_fuzzy_join" -> ((s, d) => {
+      val part = Tables(s, d, "part")
+      val clean = part.select(col("p_partkey").as("clean_id"), col("p_name"))
+      val dirty = part.filter(col("p_partkey") % 10 === 0)
+        .select((col("p_partkey") + MutOff).as("dirty_id"),
+          concat(substring(col("p_name"), 1, 5), lit("#"),
+            col("p_name").substr(lit(7), length(col("p_name")))).as("p_name"))
+      graft.operators.FuzzyJoin.lev1Join(dirty, clean,
+        "dirty_id", "clean_id", "p_name")
     })
   )
 
@@ -383,6 +400,23 @@ object DedupQueries {
          |cp AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % $DecontMod <> 0)
          |SELECT cp.doc_id, COUNT(DISTINCT cp.g) AS n_contaminated_grams
          |FROM cp JOIN ev USING (g)
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    "q79_fuzzy_join" -> {
+      val dv = "list_distinct(list_append(" +
+        "list_transform(range(0, greatest(length(s), 1)), " +
+        "i -> substr(s, 1, i) || substr(s, i + 2, length(s))), s))"
+      s"""WITH clean AS (SELECT p_partkey AS clean_id, p_name AS s FROM part),
+         |dirty AS (SELECT p_partkey + $MutOff AS dirty_id,
+         |                 substr(p_name, 1, 5) || '#' ||
+         |                   substr(p_name, 7, length(p_name)) AS s
+         |          FROM part WHERE p_partkey % 10 = 0),
+         |cv AS (SELECT clean_id, s AS cs, unnest($dv) AS v FROM clean),
+         |dv AS (SELECT dirty_id, s AS ds, unnest($dv) AS v FROM dirty)
+         |SELECT DISTINCT dirty_id, clean_id,
+         |       CAST(levenshtein(ds, cs) AS INT) AS dist
+         |FROM dv JOIN cv USING (v)
+         |WHERE levenshtein(ds, cs) <= 1""".stripMargin
+    }
   )
 }
