@@ -433,10 +433,63 @@ final class Catalog(val spark: SparkSession, val root: String) {
   }
 
   /** Current max of an integral column, or 0 on empty/missing table —
-    * the surrogate-key offset (SERIAL resume semantics). */
-  def maxId(table: String, idCol: String): Long =
-    this.table(table).agg(coalesce(max(col(idCol).cast("long")), lit(0L)))
-      .head().getLong(0)
+    * the surrogate-key offset (SERIAL resume semantics).
+    *
+    * Answered from the live commits' parquet FOOTER statistics
+    * (column-chunk max, driver-side metadata only — the same reads a
+    * table format serves from its manifest), not a data scan: the old
+    * aggregate job re-scanned the whole id column on every load, which
+    * at fact scale is a full-table pass just to resume numbering. Falls
+    * back to the exact scan if any row group lacks usable stats (never
+    * the case for the int/long ids this catalog writes, but correctness
+    * must not depend on a writer's statistics configuration). */
+  def maxId(table: String, idCol: String): Long = {
+    val commits = liveCommits(table)
+    if (commits.isEmpty) return 0L
+    footerMaxId(commits, idCol).getOrElse(
+      this.table(table).agg(coalesce(max(col(idCol).cast("long")), lit(0L)))
+        .head().getLong(0))
+  }
+
+  /** Max of `idCol` across all row groups of all parquet files under
+    * `dirs`, from footer statistics. None if any populated row group
+    * carries no usable stats for the column (triggers the scan
+    * fallback); all-null chunks are skipped (nulls can't be the max). */
+  private def footerMaxId(dirs: Seq[String], idCol: String): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    var mx = 0L
+    for (dir <- dirs) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val files = fs.listFiles(p, true)
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.getPath.getName.endsWith(".parquet")) {
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+            try {
+              val blocks = reader.getFooter.getBlocks.asScala
+              for (b <- blocks; if b.getRowCount > 0) {
+                b.getColumns.asScala.find(_.getPath.toDotString == idCol) match {
+                  case Some(cc) =>
+                    val st = cc.getStatistics
+                    if (st == null || st.isEmpty) return None
+                    if (st.hasNonNullValue) st.genericGetMax match {
+                      case l: java.lang.Long => mx = math.max(mx, l.longValue())
+                      case i: java.lang.Integer => mx = math.max(mx, i.longValue())
+                      case _ => return None // non-integral id column
+                    }
+                  case None => return None // column absent from this file
+                }
+              }
+            } finally reader.close()
+          }
+        }
+      }
+    }
+    Some(mx)
+  }
 
   /** K3: insert-if-absent. Appends `batch` rows whose `keys` are not
     * already in `table`, deduped per key within the batch. Returns the

@@ -26,6 +26,39 @@ class CatalogSpec extends SparkSpec {
     assert(names.toSeq === Seq("a", "b"))
   }
 
+  test("maxId answers from footer statistics and equals the scan across commit shapes") {
+    val dir = Files.createTempDirectory("cat_maxid").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    // missing table
+    assert(cat.maxId("dim_tipo", "id_tipo") === 0L)
+    // int ids over multiple commits (non-monotone append order)
+    cat.replace("dim_tipo", tipoDf("a", "b", "c"))
+    cat.appendDelta("dim_tipo", Seq((7, "x")).toDF("id_tipo", "nome_tipo"))
+    cat.appendDelta("dim_tipo", Seq((5, "y")).toDF("id_tipo", "nome_tipo"))
+    assert(cat.maxId("dim_tipo", "id_tipo") === 7L)
+    // long ids in a PARTITIONED table (footers live under ano=/mes= dirs)
+    val fato = Seq(
+      (101L, 1, 1, 1, 1, 1, "d1", BigDecimal("1.00"), "h1", 1995, 1),
+      (203L, 1, 1, 1, 1, 1, "d2", BigDecimal("2.00"), "h2", 1995, 2),
+      (150L, 1, 1, 1, 1, 1, "d3", BigDecimal("3.00"), "h3", 1996, 1))
+      .toDF("id_lancamento", "id_tipo", "id_grupo", "id_categoria",
+        "id_tempo", "id_classificacao", "descricao", "valor", "id_hash",
+        "ano", "mes")
+      .select(Schemas.fatoLancamento.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+    cat.appendDelta("fato_lancamento", fato, partitionBy = Seq("ano", "mes"))
+    assert(cat.maxId("fato_lancamento", "id_lancamento") === 203L)
+    // parity with the scan on both
+    def scanMax(t: String, c: String): Long =
+      cat.table(t).agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(c).cast("long")),
+        org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
+    assert(cat.maxId("dim_tipo", "id_tipo") === scanMax("dim_tipo", "id_tipo"))
+    assert(cat.maxId("fato_lancamento", "id_lancamento") ===
+      scanMax("fato_lancamento", "id_lancamento"))
+  }
+
   test("replace flips to exactly the new state; appendDelta accumulates commits") {
     val dir = Files.createTempDirectory("cat_ver").toString
     val cat = new Catalog(spark, s"$dir/wh")
