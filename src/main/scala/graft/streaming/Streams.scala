@@ -82,6 +82,30 @@ object Streams {
         col("l_type"), col("r_type"))
   }
 
+  /** Stream-static enrichment: each micro-batch hash/broadcast-joins
+    * the static dimension — no streaming state at all (the static side
+    * is re-resolved per batch, so a catalog table picks up new
+    * snapshots between batches). The canonical "events × dim" shape;
+    * inner by default, left to keep unmatched events flowing. */
+  def enrichedEvents(events: DataFrame, dim: DataFrame, keys: Seq[String],
+                     joinType: String = "inner"): DataFrame =
+    events.join(broadcast(dim), keys, joinType)
+
+  /** Streaming document-quality gate: the SAME batch column expressions
+    * ([[graft.functions.TextFunctions]] — plain Catalyst, no state, no
+    * UDFs) applied to a document stream, emitting doc_id + verdict in
+    * append mode. Stateless row-local transforms need no watermark; the
+    * query composes with [[dedupedByIds]] upstream for
+    * ingest-exactly-once. */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    docs.select(
+      col("doc_id"),
+      when(wsTokenCount(col("text")) < 5, "too_short")
+        .when(punctRatio(col("text")) >= 0.2, "high_punct")
+        .otherwise("keep").as("verdict"))
+  }
+
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class UserCount(user_id: Long, n_events: Long, last_type: String)
 

@@ -111,6 +111,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichedEvents: stream-static broadcast join picks up the dim per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val dim = Seq(("click", "engagement"), ("view", "impression"))
+      .toDF("event_type", "family")
+    val q = Streams.enrichedEvents(mem.toDF(), dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 2L, "view", 2.0),
+        Event(ts(3), 3L, "purchase", 3.0)) // no dim row → dropped (inner)
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("user_id", "family")
+        .as[(Long, String)].collect().sorted
+      assert(rows.toSeq === Seq((1L, "engagement"), (2L, "impression")))
+    } finally q.stop()
+  }
+
+  test("qualityGate: streaming verdicts equal the batch expressions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.qualityGate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "short text"),
+        (2L, "a perfectly ordinary sentence with plenty of words in it"),
+        (3L, "w@t?! pu#nct$ he%avy^ t&ex*t(!) !!%%"))
+      q.processAllAvailable()
+      val rows = spark.table("quality").select("doc_id", "verdict")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.toSeq === Seq((1L, "too_short"), (2L, "keep"), (3L, "high_punct")))
+    } finally q.stop()
+  }
+
   test("ledgerUploadStream: files dropped in a dir flow through the warehouse, idempotently") {
     val dir = Files.createTempDirectory("stream_ledger").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
