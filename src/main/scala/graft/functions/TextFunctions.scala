@@ -88,9 +88,16 @@ object TextFunctions {
     when(length(c) === 0 || c.isNull, lit(0.0))
       .otherwise(punctCount(c).cast("double") / length(c).cast("double"))
 
+  /** The C4 keep-rule thresholds — the SINGLE source for every quality
+    * gate (batch [[qualityKeep]]/q16, composed q76, streaming
+    * `Streams.qualityGate`); tune here, not at call sites. */
+  val MinKeepTokens: Int = 5
+  val MaxPunctRatio: Double = 0.2
+
   /** The C4-style keep rule: enough tokens, sane mean word length,
     * not punctuation soup. */
-  def qualityKeep(c: Column, minTokens: Int = 5, maxPunctRatio: Double = 0.2): Column =
+  def qualityKeep(c: Column, minTokens: Int = MinKeepTokens,
+                  maxPunctRatio: Double = MaxPunctRatio): Column =
     wsTokenCount(c) >= minTokens && punctRatio(c) < maxPunctRatio
 
   /** Document fingerprint: md5 of whitespace-collapsed, trimmed,

@@ -454,41 +454,61 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** Max of `idCol` across all row groups of all parquet files under
     * `dirs`, from footer statistics. None if any populated row group
     * carries no usable stats for the column (triggers the scan
-    * fallback); all-null chunks are skipped (nulls can't be the max). */
+    * fallback); all-null chunks are skipped (nulls can't be the max).
+    * No-value result floors at 0, matching the scan's coalesce.
+    *
+    * Only plain INT32/INT64 physical columns (optionally int-annotated)
+    * qualify: an INT64-BACKED logical type (small decimal, date) would
+    * surface its raw/unscaled max as a plausible Long — silently wrong,
+    * where the contract is "fall back to the exact scan". A manifest-
+    * listed dir that is MISSING is corruption (external deletion or a
+    * vacuum race), not a stats gap: fail loudly like [[tableAt]] does,
+    * never skip it — a silently lower offset would mint duplicate
+    * surrogate ids. */
   private def footerMaxId(dirs: Seq[String], idCol: String): Option[Long] = {
     val conf = spark.sessionState.newHadoopConf()
-    var mx = 0L
+    var mx = Long.MinValue
+    var seen = false
     for (dir <- dirs) {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) {
-        val files = fs.listFiles(p, true)
-        while (files.hasNext) {
-          val f = files.next()
-          if (f.getPath.getName.endsWith(".parquet")) {
-            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
-            try {
-              val blocks = reader.getFooter.getBlocks.asScala
-              for (b <- blocks; if b.getRowCount > 0) {
-                b.getColumns.asScala.find(_.getPath.toDotString == idCol) match {
-                  case Some(cc) =>
-                    val st = cc.getStatistics
-                    if (st == null || st.isEmpty) return None
-                    if (st.hasNonNullValue) st.genericGetMax match {
-                      case l: java.lang.Long => mx = math.max(mx, l.longValue())
-                      case i: java.lang.Integer => mx = math.max(mx, i.longValue())
-                      case _ => return None // non-integral id column
-                    }
-                  case None => return None // column absent from this file
-                }
+      if (!fs.exists(p))
+        throw new IllegalStateException(
+          s"live commit dir is missing: $dir — the manifest references " +
+            "files that no longer exist (external deletion or vacuum race)")
+      val files = fs.listFiles(p, true)
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala
+            for (b <- blocks; if b.getRowCount > 0) {
+              b.getColumns.asScala.find(_.getPath.toDotString == idCol) match {
+                case Some(cc) =>
+                  val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
+                  val integral = (ann == null ||
+                    ann.isInstanceOf[org.apache.parquet.schema
+                      .LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+                  if (!integral) return None // logical type over int storage
+                  val st = cc.getStatistics
+                  if (st == null || st.isEmpty) return None
+                  if (st.hasNonNullValue) st.genericGetMax match {
+                    case l: java.lang.Long =>
+                      mx = math.max(mx, l.longValue()); seen = true
+                    case i: java.lang.Integer =>
+                      mx = math.max(mx, i.longValue()); seen = true
+                    case _ => return None // non-integral physical type
+                  }
+                case None => return None // column absent from this file
               }
-            } finally reader.close()
-          }
+            }
+          } finally reader.close()
         }
       }
     }
-    Some(mx)
+    Some(if (seen) mx else 0L)
   }
 
   /** K3: insert-if-absent. Appends `batch` rows whose `keys` are not

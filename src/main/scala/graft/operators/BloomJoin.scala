@@ -50,13 +50,17 @@ object BloomJoin {
     require(Seq("inner", "left_semi").contains(joinType),
       s"bloom pruning only preserves inner/left_semi semantics, got $joinType")
     require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+    // the sketch hashes the BUILD side's representation and the probe
+    // hashes its own — a coercible type mismatch (string '123' vs
+    // bigint 123) would hash differently and silently prune TRUE
+    // matches the plain coercing join would return; fail loudly instead
+    val (pt, bt) = (probe.schema(key).dataType, build.schema(key).dataType)
+    require(pt == bt,
+      s"probe/build key types must match exactly (got $pt vs $bt): the " +
+        "bloom probe hashes each side's own representation, so a " +
+        "coerced join key would silently drop true matches")
     val sketch = build.stat.bloomFilter(key, expectedItems, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      sketch.writeTo(bos)
-      bos.toByteArray
-    }
-    val pruned = probe.filter(mightContain(col(key), bytes))
+    val pruned = probe.filter(mightContain(col(key), serialize(sketch)))
     // shuffle_hash: the build side is selective but (by precondition)
     // not broadcastable; a hash build needs no sort of the huge side
     pruned.join(build.hint("shuffle_hash"), Seq(key), joinType)
@@ -66,4 +70,12 @@ object BloomJoin {
     * composing their own plan (e.g. pruning before an aggregation). */
   def mightContain(key: Column, sketchBytes: Array[Byte]): Column =
     BloomMightContain.mightContain(key, lit(sketchBytes))
+
+  /** The sketch's wire form (the plan-embedded literal). One place owns
+    * the format; pair with `BloomFilter.readFrom`. */
+  def serialize(sketch: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    sketch.writeTo(bos)
+    bos.toByteArray
+  }
 }

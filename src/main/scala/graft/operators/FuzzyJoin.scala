@@ -55,10 +55,13 @@ object FuzzyJoin {
     val rv = right.select(col(strCol).as("__rs")).distinct()
       .select(col("__rs"), explode(deletionVariants(col("__rs"))).as("__v"))
     // variant keys grow with the corpus — hash join, never sort-merge
+    // compute the O(len²) distance ONCE — filter and projection are
+    // separate physical operators, so repeating the call in both would
+    // run the DP twice per surviving candidate
     val strPairs = lv.join(rv.hint("shuffle_hash"), "__v")
-      .where(levenshtein(col("__ls"), col("__rs")) <= 1)
       .select(col("__ls"), col("__rs"),
         levenshtein(col("__ls"), col("__rs")).cast("int").as("dist"))
+      .where(col("dist") <= 1)
       .distinct()
     // re-attach ids; (id → string) is many-to-one and strPairs is
     // distinct, so the output needs no further dedup shuffle

@@ -170,8 +170,8 @@ object TextQueries {
         size(graft.operators.Dedup.shingles(col("text"), 3)).as("d3"),
         langId(col("text")).as("ld"))
       sig.select(
-        when(col("n_ws") < 5, "too_short")
-          .when(col("pr") >= 0.2, "high_punct")
+        when(col("n_ws") < MinKeepTokens, "too_short")
+          .when(col("pr") >= MaxPunctRatio, "high_punct")
           .when(col("n3") > 0 &&
             (col("n3") - col("d3")).cast("double") / col("n3").cast("double") >= 0.3,
             "repetitive")
@@ -279,7 +279,7 @@ object TextQueries {
          | len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens,
          | $duckPunct AS n_punct,
          | $duckPunctRatio AS punct_ratio,
-         | ($duckWsTokens >= 5 AND $duckPunctRatio < 0.2) AS keep
+         | ($duckWsTokens >= $MinKeepTokens AND $duckPunctRatio < $MaxPunctRatio) AS keep
          |FROM documents""".stripMargin,
 
     "q17_lang_id" -> {
@@ -379,8 +379,8 @@ object TextQueries {
          |    ELSE 0 END AS INT) AS d3
          |  FROM t)
          |SELECT verdict, COUNT(*) AS n_docs FROM (
-         |  SELECT CASE WHEN n_ws < 5 THEN 'too_short'
-         |              WHEN pr >= 0.2 THEN 'high_punct'
+         |  SELECT CASE WHEN n_ws < $MinKeepTokens THEN 'too_short'
+         |              WHEN pr >= $MaxPunctRatio THEN 'high_punct'
          |              WHEN n3 > 0 AND CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE) >= 0.3
          |                THEN 'repetitive'
          |              WHEN ($duckLangCase) <> lang THEN 'lang_mismatch'

@@ -83,10 +83,13 @@ object Streams {
   }
 
   /** Stream-static enrichment: each micro-batch hash/broadcast-joins
-    * the static dimension — no streaming state at all (the static side
-    * is re-resolved per batch, so a catalog table picks up new
-    * snapshots between batches). The canonical "events × dim" shape;
-    * inner by default, left to keep unmatched events flowing. */
+    * the static dimension — no streaming state at all. The static
+    * side's PLAN is fixed when the query starts: a parquet/catalog
+    * DataFrame keeps reading the file set it resolved at start, so dim
+    * updates require a query restart (or a `foreachBatch` body that
+    * re-resolves `catalog.table(...)` per batch). The canonical
+    * "events × dim" shape; inner by default, left to keep unmatched
+    * events flowing. */
   def enrichedEvents(events: DataFrame, dim: DataFrame, keys: Seq[String],
                      joinType: String = "inner"): DataFrame =
     events.join(broadcast(dim), keys, joinType)
@@ -101,8 +104,8 @@ object Streams {
     import graft.functions.TextFunctions._
     docs.select(
       col("doc_id"),
-      when(wsTokenCount(col("text")) < 5, "too_short")
-        .when(punctRatio(col("text")) >= 0.2, "high_punct")
+      when(wsTokenCount(col("text")) < MinKeepTokens, "too_short")
+        .when(punctRatio(col("text")) >= MaxPunctRatio, "high_punct")
         .otherwise("keep").as("verdict"))
   }
 

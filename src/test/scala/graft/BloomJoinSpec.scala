@@ -32,10 +32,8 @@ class BloomJoinSpec extends SparkSpec {
       .filter(col("o_orderkey") % 100 === 0)
       .select(col("o_orderkey"))
     val sketch = build.stat.bloomFilter("o_orderkey", 1000, 0.01)
-    val bos = new java.io.ByteArrayOutputStream()
-    sketch.writeTo(bos)
     val kept = probe.filter(
-      BloomJoin.mightContain(col("l_orderkey"), bos.toByteArray))
+      BloomJoin.mightContain(col("l_orderkey"), BloomJoin.serialize(sketch)))
     val total = probe.count()
     val keptN = kept.count()
     val trueN = probe.join(build.withColumnRenamed("o_orderkey", "l_orderkey"),
@@ -51,10 +49,8 @@ class BloomJoinSpec extends SparkSpec {
   test("string keys probe UTF-8 bytes; null keys yield null (filtered out)") {
     val build = Seq("apple", "banana").toDF("k")
     val sketch = build.stat.bloomFilter("k", 10, 0.01)
-    val bos = new java.io.ByteArrayOutputStream()
-    sketch.writeTo(bos)
     val probe = Seq(Some("apple"), Some("cherry"), None).toDF("k")
-    val kept = probe.filter(BloomJoin.mightContain(col("k"), bos.toByteArray))
+    val kept = probe.filter(BloomJoin.mightContain(col("k"), BloomJoin.serialize(sketch)))
       .as[String].collect()
     assert(kept.toSeq === Seq("apple"))
   }
@@ -63,10 +59,8 @@ class BloomJoinSpec extends SparkSpec {
     val probe = Tables(spark, sf001, "lineitem")
     val build = Tables(spark, sf001, "orders").select(col("o_orderkey")).limit(100)
     val sketch = build.stat.bloomFilter("o_orderkey", 100, 0.01)
-    val bos = new java.io.ByteArrayOutputStream()
-    sketch.writeTo(bos)
     val plan = probe.filter(
-        BloomJoin.mightContain(col("l_orderkey"), bos.toByteArray))
+        BloomJoin.mightContain(col("l_orderkey"), BloomJoin.serialize(sketch)))
       .queryExecution.executedPlan
     val codegenSpans = plan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
