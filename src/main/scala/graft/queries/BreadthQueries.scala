@@ -255,8 +255,43 @@ object BreadthQueries {
         array_max(zip_with(
           slice(e, lit(2), greatest(size(e) - 1, lit(0))), e,
           (b, a) => abs(b.cast("double") - a.cast("double")))).as("max_step"))
+    }),
+
+    // Z-order (Morton) codes — the 2-D data-skipping layout key
+    // (operators.ZOrder): bit-interleave (custkey mod 2^10, order-day
+    // mod 2^10). Exact integer bit arithmetic, identical on every
+    // engine; the oracle SQL is GENERATED from the same bit count so
+    // the interleave recipe cannot drift.
+    "q80_zorder" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 1024).as("za"),
+          (datediff(to_date(col("o_orderdate")),
+            lit(java.sql.Date.valueOf("1992-01-01"))) % 1024).as("zb"))
+        .select(col("o_orderkey"), col("za").cast("bigint"), col("zb").cast("bigint"),
+          graft.operators.ZOrder.mortonCode(col("za"), col("zb"), ZBits)
+            .as("zcode"))),
+
+    // correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
+    // decorrelates to a semi join plus an anti join (no per-row
+    // subquery execution, unlike the reference's row-at-a-time Postgres
+    // shape at the same SQL).
+    "q81_exists" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("bq81_customer")
+      t(s, d, "orders").createOrReplaceTempView("bq81_orders")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment FROM bq81_customer c
+          |WHERE EXISTS (SELECT 1 FROM bq81_orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (SELECT 1 FROM bq81_orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'F')""".stripMargin)
     })
   )
+
+  /** q80 Morton bit width — shared with the generated oracle SQL. */
+  private val ZBits = 10
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -422,6 +457,27 @@ object BreadthQueries {
         |   list_transform(range(0, len(embedding) - 1),
         |     i -> abs(CAST(embedding[i + 2] AS DOUBLE) - CAST(embedding[i + 1] AS DOUBLE))),
         |   'max') AS DOUBLE) AS max_step
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    "q80_zorder" -> {
+      val terms = (0 until ZBits).map(i =>
+        s"(((za >> $i) & 1) * ${1L << (2 * i)}) + " +
+          s"(((zb >> $i) & 1) * ${1L << (2 * i + 1)})").mkString(" + ")
+      s"""SELECT o_orderkey, za, zb, CAST($terms AS BIGINT) AS zcode
+         |FROM (SELECT o_orderkey,
+         |        CAST(o_custkey % 1024 AS BIGINT) AS za,
+         |        CAST(datediff('day', DATE '1992-01-01',
+         |                      CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS zb
+         |      FROM orders WHERE o_orderkey <= 2000)""".stripMargin
+    },
+
+    "q81_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')""".stripMargin
   )
 }
