@@ -272,6 +272,24 @@ object BreadthQueries {
           graft.operators.ZOrder.mortonCode(col("za"), col("zb"), ZBits)
             .as("zcode"))),
 
+    // LOCF forward fill (last observation carried forward): plant a
+    // deterministic null pattern in a measure, then carry the last
+    // non-null value forward per key in event order — IGNORE NULLS
+    // window semantics, the standard time-series gap repair before any
+    // downstream aggregation. The key-ordered window never needs a
+    // global sort.
+    "q82_locf" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").filter(col("o_custkey") < 300)
+        .withColumn("v",
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("double"))
+            .otherwise(dec(col("o_totalprice")).cast("double")))
+        .select(col("o_custkey"), col("o_orderkey"), col("v"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+    }),
+
     // correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
     // decorrelates to a semi join plus an anti join (no per-row
     // subquery execution, unlike the reference's row-at-a-time Postgres
@@ -470,6 +488,17 @@ object BreadthQueries {
          |                      CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS zb
          |      FROM orders WHERE o_orderkey <= 2000)""".stripMargin
     },
+
+    "q82_locf" ->
+      """SELECT o_custkey, o_orderkey, v,
+        | last_value(v IGNORE NULLS) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS UNBOUNDED PRECEDING) AS v_filled
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |             ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        |        END AS v
+        |      FROM orders WHERE o_custkey < 300)""".stripMargin,
 
     "q81_exists" ->
       """SELECT c_custkey, c_mktsegment FROM customer c

@@ -216,6 +216,23 @@ object TextQueries {
           col("tok_start").cast("int").as("tok_start"),
           least(lit(128), col("n_tok") - col("tok_start")).cast("int").as("tok_len"))),
 
+    // order-independent table digest: per-row md5 over (id, content),
+    // first 8 hex digits decoded to an integer, summed exactly in
+    // DECIMAL(38,0) and folded mod 2⁶² — the cross-system content
+    // fingerprint that verifies a migration/replica without moving the
+    // data (commutative sum ⇒ partition- and order-insensitive; md5 is
+    // the cross-engine hash).
+    "q83_table_digest" -> ((s, d) => {
+      val h = md5(concat(col("doc_id").cast("string"), lit(":"),
+        coalesce(col("text"), lit(""))))
+      docs(s, d)
+        .select(conv(substring(h, 1, 8), 16, 10)
+          .cast(DecimalType(38, 0)).as("hv"))
+        .agg(count(lit(1)).as("n_rows"),
+          pmod(sum(col("hv")), lit(DigestMod).cast(DecimalType(38, 0)))
+            .cast("bigint").as("digest"))
+    }),
+
     "q63_bigram_pmi" -> ((s, d) => {
       val ws = docs(s, d).select(words(col("text")).as("ws"))
       val bg = ws.select(explode(array_compact(zip_with(
@@ -244,6 +261,9 @@ object TextQueries {
             (d38(col("c1")) * d38(col("c2"))).cast("double")).as("pmi_ratio"))
     })
   )
+
+  /** q83 digest fold modulus (2⁶² — headroom below BIGINT max). */
+  private val DigestMod = 4611686018427387904L
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -407,6 +427,21 @@ object TextQueries {
          |       CAST(tok_start AS INT) AS tok_start,
          |       CAST(least(128, n_tok - tok_start) AS INT) AS tok_len
          |FROM c""".stripMargin,
+
+    "q83_table_digest" -> {
+      // decode hex nibble at 1-based position p of the md5 string
+      def nib(p: Int) =
+        s"(CASE WHEN ascii(substr(h, $p, 1)) <= 57 " +
+          s"THEN ascii(substr(h, $p, 1)) - 48 " +
+          s"ELSE ascii(substr(h, $p, 1)) - 87 END)"
+      val value = (1 to 8)
+        .map(p => s"CAST(${nib(p)} AS HUGEINT) * ${1L << (4 * (8 - p))}")
+        .mkString(" + ")
+      s"""SELECT COUNT(*) AS n_rows,
+         |       CAST(SUM($value) % $DigestMod AS BIGINT) AS digest
+         |FROM (SELECT md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')) AS h
+         |      FROM documents)""".stripMargin
+    },
 
     "q63_bigram_pmi" ->
       """WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
