@@ -45,6 +45,9 @@ object ZOrder {
   def clusterByZOrder(df: DataFrame, colA: String, colB: String,
                       bits: Int, numFiles: Int): DataFrame = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
+    require(!df.columns.contains("__z"),
+      "input already has a '__z' column — rename it before clustering " +
+        "(the helper column would silently shadow and then drop it)")
     df.withColumn("__z", mortonCode(col(colA), col(colB), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
