@@ -272,6 +272,16 @@ object BreadthQueries {
           graft.operators.ZOrder.mortonCode(col("za"), col("zb"), ZBits)
             .as("zcode"))),
 
+    // positional generator (posexplode / UNNEST WITH ORDINALITY): the
+    // element index rides along with the value — the ordered variant of
+    // q46's explode. The oracle zips two same-length unnests
+    // (DuckDB's positional-zip semantics).
+    "q84_posexplode" -> ((s, d) =>
+      t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          posexplode(split(col("p_type"), " ")))
+        .select(col("p_partkey"), col("pos").cast("int"), col("col").as("word"))),
+
     // LOCF forward fill (last observation carried forward): plant a
     // deterministic null pattern in a measure, then carry the last
     // non-null value forward per key in event order — IGNORE NULLS
@@ -488,6 +498,13 @@ object BreadthQueries {
          |                      CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS zb
          |      FROM orders WHERE o_orderkey <= 2000)""".stripMargin
     },
+
+    "q84_posexplode" ->
+      """SELECT p_partkey,
+        |       CAST(unnest(range(0, len(ws))) AS INT) AS pos,
+        |       unnest(ws) AS word
+        |FROM (SELECT p_partkey, string_split(p_type, ' ') AS ws
+        |      FROM part WHERE p_partkey <= 200)""".stripMargin,
 
     "q82_locf" ->
       """SELECT o_custkey, o_orderkey, v,

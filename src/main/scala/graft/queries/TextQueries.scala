@@ -233,6 +233,27 @@ object TextQueries {
             .cast("bigint").as("digest"))
     }),
 
+    // array set operations against a computed reference set: per-doc
+    // overlap with the corpus top-10 vocabulary. The reference array is
+    // a 1-row aggregate cross-joined in (bounded, broadcast — never a
+    // driver-side collect); set semantics (distinct elements) on both
+    // engines, compared by SIZE so element order never matters.
+    "q85_array_ops" -> ((s, d) => {
+      val top10 = docs(s, d)
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("n").desc, col("w"))))
+        .filter(col("rnk") <= 10)
+        .agg(sort_array(collect_list(col("w"))).as("top"))
+      docs(s, d).crossJoin(top10).select(
+        col("doc_id"),
+        size(array_intersect(array_distinct(words(col("text"))), col("top")))
+          .cast("int").as("n_common"),
+        size(array_except(col("top"), words(col("text"))))
+          .cast("int").as("n_missing"))
+    }),
+
     "q63_bigram_pmi" -> ((s, d) => {
       val ws = docs(s, d).select(words(col("text")).as("ws"))
       val bg = ws.select(explode(array_compact(zip_with(
@@ -427,6 +448,21 @@ object TextQueries {
          |       CAST(tok_start AS INT) AS tok_start,
          |       CAST(least(128, n_tok - tok_start) AS INT) AS tok_len
          |FROM c""".stripMargin,
+
+    "q85_array_ops" ->
+      """WITH topw AS (
+        |  SELECT list(w ORDER BY w) AS top FROM (
+        |    SELECT w FROM (
+        |      SELECT w, COUNT(*) AS n
+        |      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |            FROM documents)
+        |      GROUP BY 1)
+        |    ORDER BY n DESC, w LIMIT 10))
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(list_distinct(ws), topw.top)) AS INT) AS n_common,
+        |  CAST(len(list_filter(topw.top, t -> NOT list_contains(ws, t))) AS INT) AS n_missing
+        |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |      FROM documents), topw""".stripMargin,
 
     "q83_table_digest" -> {
       // decode hex nibble at 1-based position p of the md5 string
