@@ -576,8 +576,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * readers see either the old commit set or the compacted one. Reads
     * the same LATEST the commit claims against — a concurrent append
     * between the read and the claim fails the claim loudly rather than
-    * being silently folded away. */
-  def compact(table: String, partitionBy: Seq[String] = Seq.empty): Unit = {
+    * being silently folded away.
+    *
+    * `clusterBy` re-sorts rows within each write task during the fold
+    * (leading with `partitionBy`, which the partitioned writer requires
+    * anyway) — compaction is THE moment to restore row-group min/max
+    * clustering that incremental appends erode, at zero extra passes:
+    * the data is already being rewritten. */
+  def compact(table: String, partitionBy: Seq[String] = Seq.empty,
+              clusterBy: Seq[String] = Seq.empty): Unit = {
     val base = writeBase(table)
     if (base == 0) return
     val schema = Schemas.schemaOf(table)
@@ -585,8 +592,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
       spark.read.schema(schema).option("basePath", c).parquet(c)
         .select(schema.fieldNames.map(col): _*)
     }.reduce(_.unionAll(_))
+    val clustered =
+      if (clusterBy.isEmpty) df
+      else df.sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
     val dir = newCommitDir(table)
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = clustered.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
     commit(table, Seq(dir), base)
     register(table)

@@ -317,5 +317,25 @@ class CatalogSpec extends SparkSpec {
     // vacuum removes the two superseded commit dirs, content unchanged
     assert(cat.vacuum("fato_lancamento") === 2)
     assert(cat.table("fato_lancamento").count() === before)
+    // clustered re-compaction: content identical, and within each
+    // written file the id column is sorted (restored row-group
+    // clustering appends had eroded)
+    val beforeRows = cat.table("fato_lancamento")
+      .select("id_lancamento").as[Long].collect().sorted
+    cat.compact("fato_lancamento", Seq("ano", "mes"), clusterBy = Seq("id_lancamento"))
+    val afterRows = cat.table("fato_lancamento")
+      .select("id_lancamento").as[Long].collect().sorted
+    assert(afterRows.toSeq === beforeRows.toSeq)
+    val latest2 = Files.readString(
+      Paths.get(s"$dir/wh/fato_lancamento/_manifests/LATEST")).trim.toInt
+    val commitDir = Files.readString(
+      Paths.get(s"$dir/wh/fato_lancamento/_manifests/v$latest2")).split("\n").head
+    val parquets = Files.walk(Paths.get(commitDir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    parquets.foreach { f =>
+      val ids = spark.read.parquet(f.toString)
+        .select("id_lancamento").as[Long].collect()
+      assert(ids.toSeq === ids.sorted.toSeq, s"unsorted ids in $f")
+    }
   }
 }
