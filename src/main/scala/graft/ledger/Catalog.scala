@@ -584,17 +584,37 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * clustering that incremental appends erode, at zero extra passes:
     * the data is already being rewritten. */
   def compact(table: String, partitionBy: Seq[String] = Seq.empty,
-              clusterBy: Seq[String] = Seq.empty): Unit = {
+              clusterBy: Seq[String] = Seq.empty,
+              numFiles: Int = 0): Unit = {
+    val schema = Schemas.schemaOf(table)
+    // string partition columns would void the clustering promise: the
+    // V1 writer wraps them in an empty2null projection, the user sort
+    // no longer satisfies the writer's required ordering, and Spark
+    // stacks its own partition-only sort on top — silently unsorted
+    // files. Fail loudly rather than advertise clustering that isn't.
+    // (Argument validation — before the empty-table early return.)
+    if (clusterBy.nonEmpty) {
+      val stringParts = partitionBy.filter(p =>
+        schema(p).dataType == org.apache.spark.sql.types.StringType)
+      require(stringParts.isEmpty,
+        s"clusterBy with STRING partition columns (${stringParts.mkString(",")}) " +
+          "is not supported: Spark's partitioned writer re-sorts by " +
+          "empty2null(partition cols), destroying the requested clustering")
+    }
     val base = writeBase(table)
     if (base == 0) return
-    val schema = Schemas.schemaOf(table)
     val df = commitsAt(table, base).map { c =>
       spark.read.schema(schema).option("basePath", c).parquet(c)
         .select(schema.fieldNames.map(col): _*)
     }.reduce(_.unionAll(_))
+    // numFiles > 0: coalesce before the sort — compaction's point is
+    // fewer, larger files (small-file debt is what it repays), and the
+    // within-partition sort then clusters across what were separate
+    // tiny files
+    val folded = if (numFiles > 0) df.coalesce(numFiles) else df
     val clustered =
-      if (clusterBy.isEmpty) df
-      else df.sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
+      if (clusterBy.isEmpty) folded
+      else folded.sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
     val dir = newCommitDir(table)
     val w = clustered.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)

@@ -239,12 +239,13 @@ object TextQueries {
     // driver-side collect); set semantics (distinct elements) on both
     // engines, compared by SIZE so element order never matters.
     "q85_array_ops" -> ((s, d) => {
+      // orderBy+limit = TakeOrderedAndProject (distributed top-k); an
+      // unpartitioned row_number window would funnel the whole
+      // vocabulary through one task
       val top10 = docs(s, d)
         .select(explode(words(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .withColumn("rnk",
-          row_number().over(Window.orderBy(col("n").desc, col("w"))))
-        .filter(col("rnk") <= 10)
+        .orderBy(col("n").desc, col("w")).limit(10)
         .agg(sort_array(collect_list(col("w"))).as("top"))
       docs(s, d).crossJoin(top10).select(
         col("doc_id"),

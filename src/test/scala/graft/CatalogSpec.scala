@@ -317,12 +317,22 @@ class CatalogSpec extends SparkSpec {
     // vacuum removes the two superseded commit dirs, content unchanged
     assert(cat.vacuum("fato_lancamento") === 2)
     assert(cat.table("fato_lancamento").count() === before)
-    // clustered re-compaction: content identical, and within each
-    // written file the id column is sorted (restored row-group
-    // clustering appends had eroded)
+    // clustered re-compaction: first append a DESCENDING-id batch so
+    // the input files are genuinely unsorted — without it the
+    // assertion below would pass even if clusterBy were ignored
+    val rows2 = (20 to 11 by -1).map(i =>
+      (i.toLong, 1, 1, 1, 1, 1, s"d$i", new java.math.BigDecimal(s"$i.00"), s"h$i", 2024, i % 3 + 1))
+    cat.appendDelta("fato_lancamento",
+      rows2.toDF(Schemas.fatoLancamento.fieldNames: _*)
+        .withColumn("valor", org.apache.spark.sql.functions.col("valor")
+          .cast(org.apache.spark.sql.types.DecimalType(15, 2)))
+        .coalesce(1).sortWithinPartitions(
+          org.apache.spark.sql.functions.col("id_lancamento").desc),
+      Seq("ano", "mes"))
     val beforeRows = cat.table("fato_lancamento")
       .select("id_lancamento").as[Long].collect().sorted
-    cat.compact("fato_lancamento", Seq("ano", "mes"), clusterBy = Seq("id_lancamento"))
+    cat.compact("fato_lancamento", Seq("ano", "mes"),
+      clusterBy = Seq("id_lancamento"), numFiles = 1)
     val afterRows = cat.table("fato_lancamento")
       .select("id_lancamento").as[Long].collect().sorted
     assert(afterRows.toSeq === beforeRows.toSeq)
@@ -330,12 +340,24 @@ class CatalogSpec extends SparkSpec {
       Paths.get(s"$dir/wh/fato_lancamento/_manifests/LATEST")).trim.toInt
     val commitDir = Files.readString(
       Paths.get(s"$dir/wh/fato_lancamento/_manifests/v$latest2")).split("\n").head
-    val parquets = Files.walk(Paths.get(commitDir)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val walk = Files.walk(Paths.get(commitDir)) // close: holds directory fds
+    val parquets =
+      try walk.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally walk.close()
+    // numFiles=1 → exactly one multi-row file per (ano, mes) dir, so
+    // the sortedness assertion below is NOT vacuous (the descending
+    // append guaranteed unsorted input)
+    assert(parquets.length === 3, parquets.mkString(","))
     parquets.foreach { f =>
       val ids = spark.read.parquet(f.toString)
         .select("id_lancamento").as[Long].collect()
+      assert(ids.length > 1, s"single-row file makes the check vacuous: $f")
       assert(ids.toSeq === ids.sorted.toSeq, s"unsorted ids in $f")
+    }
+    // string partition columns void the clustering promise — loud error
+    intercept[IllegalArgumentException] {
+      cat.compact("dim_tipo", Seq("nome_tipo"), clusterBy = Seq("id_tipo"))
     }
   }
 }
