@@ -86,6 +86,21 @@ class PlanSpec extends SparkSpec {
       s"q72 degraded to sort-merge (shuffle_hash hint lost):\n$p")
   }
 
+  test("q79: the fuzzy join hash-joins variants and never goes all-pairs") {
+    val p = finalPlan("q79_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), s"q79 grew a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q79 grew a nested loop:\n$p")
+    assert(p.contains("levenshtein"), s"q79 lost its exact verify:\n$p")
+  }
+
+  test("q85: the vocabulary top-k is a distributed TakeOrdered, not a global window") {
+    val p = finalPlan("q85_array_ops")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q85 top-10 must be TakeOrderedAndProject (a single-partition " +
+        s"window would funnel the vocabulary through one task):\n$p")
+    assert(!p.contains("Window"), s"q85 regrew a window:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
