@@ -79,6 +79,24 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    }),
+
+    // the SCALABLE range join (operators.RangeJoin): same semantics as
+    // q38, executed as a bucket equi-join + exact verify instead of a
+    // broadcast nested loop — the plan that survives an interval side
+    // too big to broadcast. Bucket overlap is a candidate superset;
+    // the exact predicate decides, so results == the plain non-equi
+    // join the oracle runs.
+    "q86_range_binned" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("low", 0.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 99999.0))
+        .toDF("band", "lo", "hi")
+      graft.operators.RangeJoin.binnedPointJoin(
+        Tables(s, d, "part"), bands, "p_retailprice", "lo", "hi", binWidth = 100.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(dec(col("p_retailprice"))).cast("double").as("total_price"))
     })
   )
 
@@ -123,6 +141,14 @@ object RelationalQueries {
         |JOIN (SELECT o_orderkey FROM orders
         |      WHERE o_orderpriority = '1-URGENT' AND o_custkey < 500) o
         |  ON l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q86_range_binned" ->
+      """WITH bands(band, lo, hi) AS (
+        |  VALUES ('low', 0.0, 930.0), ('mid', 930.0, 970.0), ('high', 970.0, 99999.0))
+        |SELECT band, COUNT(*) AS n_parts,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binnedPointJoin equals the plain non-equi join, including boundaries") {
+    val points = Seq(0.0, 49.9, 50.0, 99.9, 100.0, 930.0, 969.99, 970.0, 12345.6)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
+    val intervals = Seq(
+      ("a", 0.0, 50.0),      // p = 0 in; p = 50 out (half-open)
+      ("b", 50.0, 100.0),    // p = 50 in here instead
+      ("c", 930.0, 970.0),   // multi-bin interval
+      ("d", 0.0, 100000.0),  // interval spanning MANY bins
+      ("e", 200.0, 200.0))   // empty interval matches nothing
+      .toDF("band", "lo", "hi")
+    val got = RangeJoin.binnedPointJoin(points, intervals, "p", "lo", "hi", binWidth = 50.0)
+    val want = points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // spot-check the half-open boundary: 50.0 belongs to band b only
+    val bands50 = got.filter(col("p") === 50.0).select("band").as[String].collect()
+    assert(bands50.sorted.toSeq === Seq("b", "d"))
+  }
+
+  test("binnedPointJoin on real data equals q38's broadcast non-equi join") {
+    val part = Tables(spark, sf001, "part")
+    val bands = Seq(
+      ("low", 0.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 99999.0))
+      .toDF("band", "lo", "hi")
+    val got = RangeJoin.binnedPointJoin(part, bands, "p_retailprice", "lo", "hi",
+      binWidth = 100.0)
+      .groupBy("band").agg(count(lit(1)).as("n"))
+    val want = part.join(bands,
+      col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band").agg(count(lit(1)).as("n"))
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
+  test("the plan is a hash equi-join on buckets, not a nested loop") {
+    val points = spark.range(1000).select(col("id").cast("double").as("p"))
+    val intervals = spark.range(100).select(
+      (col("id") * 10).cast("double").as("lo"),
+      (col("id") * 10 + 10).cast("double").as("hi"))
+    val plan = RangeJoin.binnedPointJoin(points, intervals, "p", "lo", "hi", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("rejects non-positive bin widths") {
+    val df = Seq((1.0, 2.0)).toDF("lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.binnedPointJoin(df, df, "lo", "lo", "hi", 0.0)
+    }
+  }
+}
