@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   * Choosing `binWidth`: candidates per point ≈ intervals overlapping
   * its bucket; replication per interval ≈ length/w + 1. Set w near the
   * TYPICAL interval length — too small explodes the interval side,
-  * too large degrades toward all-pairs within a bucket. Both failure
-  * modes only cost speed, never correctness (the verify is exact).
+  * too large degrades toward all-pairs within a bucket. Mis-sizing
+  * within the `maxBucketsPerInterval` guard only costs speed, never
+  * correctness (the verify is exact); an interval wider than the guard
+  * fails LOUDLY per row instead of materializing an executor-OOM
+  * bucket array (open-ended sentinel intervals — hi = "infinity" —
+  * must be clamped to the points' real domain by the caller first).
   */
 object RangeJoin {
 
@@ -33,14 +37,31 @@ object RangeJoin {
     * and the exact verify decides membership. */
   def binnedPointJoin(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
-                      binWidth: Double): DataFrame = {
+                      binWidth: Double,
+                      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
+    for (df <- Seq(points, intervals))
+      require(!df.columns.contains("__bk"),
+        "input already has a '__bk' column — rename it before joining " +
+          "(the helper column would silently shadow and then drop it)")
     def bucket(c: Column): Column = floor(c / lit(binWidth)).cast("long")
     val p = points.withColumn("__bk", bucket(col(pointCol)))
     // a half-open interval overlaps buckets ⌊lo/w⌋ .. ⌊hi/w⌋ (the hi
-    // bucket is included: hi itself is exclusive but hi-ε is not)
+    // bucket is included: hi itself is exclusive but hi-ε is not).
+    // The span guard turns a binWidth far below the interval length —
+    // or an unclamped "infinity" sentinel — into a loud error instead
+    // of a silent giant array allocation.
+    val span = bucket(col(hiCol)) - bucket(col(loCol)) + 1
     val iv = intervals.withColumn("__bk",
-      explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))
+      explode(when(span > maxBucketsPerInterval,
+        raise_error(concat(
+          lit(s"range-join interval spans more than $maxBucketsPerInterval " +
+            s"buckets at binWidth $binWidth: ["),
+          col(loCol).cast("string"), lit(", "), col(hiCol).cast("string"),
+          lit(") — raise binWidth or clamp sentinel bounds"))))
+        .otherwise(sequence(bucket(col(loCol)), bucket(col(hiCol))))))
     // the interval side grows with its table × replication — hash
     // join on the bucket, never a sort
     p.join(iv.hint("shuffle_hash"), "__bk")

@@ -15,6 +15,14 @@ object RelationalQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
+  /** The q38/q86 price bands — ONE Scala source (the SQL VALUES copies
+    * in oracleSql stay literal by design); RangeJoinSpec reuses it. */
+  private[graft] def priceBands(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("low", 0.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 99999.0))
+      .toDF("band", "lo", "hi")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // pivot: order totals by priority (rows) × year (columns).
@@ -37,10 +45,7 @@ object RelationalQueries {
     // broadcasts; the nested-loop scan is the right plan for a tiny
     // non-equi build side).
     "q38_range_join" -> ((s, d) => {
-      import s.implicits._
-      val bands = Seq(
-        ("low", 0.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 99999.0))
-        .toDF("band", "lo", "hi")
+      val bands = priceBands(s)
       Tables(s, d, "part").join(broadcast(bands),
         col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
         .groupBy(col("band"))
@@ -88,12 +93,9 @@ object RelationalQueries {
     // the exact predicate decides, so results == the plain non-equi
     // join the oracle runs.
     "q86_range_binned" -> ((s, d) => {
-      import s.implicits._
-      val bands = Seq(
-        ("low", 0.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 99999.0))
-        .toDF("band", "lo", "hi")
       graft.operators.RangeJoin.binnedPointJoin(
-        Tables(s, d, "part"), bands, "p_retailprice", "lo", "hi", binWidth = 100.0)
+        Tables(s, d, "part"), priceBands(s), "p_retailprice", "lo", "hi",
+        binWidth = 100.0)
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_parts"),
           sum(dec(col("p_retailprice"))).cast("double").as("total_price"))

@@ -28,9 +28,7 @@ class RangeJoinSpec extends SparkSpec {
 
   test("binnedPointJoin on real data equals q38's broadcast non-equi join") {
     val part = Tables(spark, sf001, "part")
-    val bands = Seq(
-      ("low", 0.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 99999.0))
-      .toDF("band", "lo", "hi")
+    val bands = graft.queries.RelationalQueries.priceBands(spark)
     val got = RangeJoin.binnedPointJoin(part, bands, "p_retailprice", "lo", "hi",
       binWidth = 100.0)
       .groupBy("band").agg(count(lit(1)).as("n"))
@@ -50,6 +48,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan)
     assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("an interval wider than the bucket guard fails loudly, not with an OOM") {
+    val points = Seq((1L, 5.0)).toDF("pid", "p")
+    val wide = Seq(("inf", 0.0, 1.0e12)).toDF("band", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.binnedPointJoin(points, wide, "p", "lo", "hi",
+        binWidth = 1.0, maxBucketsPerInterval = 1000).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("raise binWidth")), ex.toString)
   }
 
   test("rejects non-positive bin widths") {
