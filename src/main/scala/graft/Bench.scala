@@ -13,20 +13,35 @@ object Bench {
     // Warm up scheduler + codegen paths so the first timed query doesn't
     // absorb session startup (~3-4 s). Touches no benchmark data.
     spark.range(100000).selectExpr("sum(id)").collect()
+    // optional args: bench only these queries (local iteration aid; the
+    // driver passes no args → full run). A misspelled name must fail
+    // loudly — silently benching nothing looks like an all-green fast run.
+    val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — valid names are " +
+        "the keys of SparkEntry.queries")
+    // Deterministic order with the warehouse-building q68 LAST: it runs
+    // ~100 jobs and writes a full star schema mid-run, and round 3 showed
+    // its residue (page cache, GC pressure, lingering blocks) polluting
+    // whatever happened to run after it in Map iteration order.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .sortBy(_ == "q68_warehouse_e2e") // stable: alphabetical, q68 last
+      .filter(n => only.isEmpty || only(n))
     // noop sink, not count(): count() lets the optimizer prune the
     // aggregate/projection expressions away, timing a cheaper plan
     // than the query actually is. noop materializes every column.
     // Two timed runs per query, min reported: single-shot times in a
     // shared JVM swing ±50% with JIT/GC phase (measured on identical
-    // code); the min is the reproducible steady-state figure.
+    // code); the min is the reproducible steady-state figure. q68 runs
+    // once — it is ~100 self-averaging jobs, and a second complete
+    // warehouse build buys no JIT signal for a third of the run budget.
     // a failing query reports -1, never its fast-fail elapsed time
-    // optional args: bench only these queries (local iteration aid; the
-    // driver passes no args → full run)
-    val only = args.toSet
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val reps = if (name == "q68_warehouse_e2e") 1 else 2
+      val times = (1 to reps).map { _ =>
+        steadyState(spark)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -39,8 +54,23 @@ object Bench {
       .mkString("{", ",", "}")
     // total over successes only: summing the -1 sentinels would make
     // failing rounds look FASTER than passing ones
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Return the JVM to steady state before each timed run (round-3
+    * verdict: the full-run artifact read as a 2.8× regression that
+    * isolated re-runs disproved — leftover localCheckpoint blocks and
+    * cached relations from earlier queries were being charged to later
+    * ones). Drops cached relations and persistent RDDs (q56/q67
+    * checkpoint blocks, persisted edge sets), then GCs so the
+    * ContextCleaner actually frees the blocks now instead of mid-way
+    * through the next measurement. */
+  private def steadyState(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
   }
 }

@@ -27,9 +27,9 @@ object SparkEntry {
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.BreadthQueries.oracleSql
   /** Queries intentionally without oracle SQL (non-SQL-expressible in
-    * DuckDB; driver records a weaker rows-only check). Keep tight. */
-  def rowsOnlyQueries: Set[String] = Set(
-    // HLL sketch values are engine-specific; accuracy is asserted in
-    // OlapSpec against the exact count instead.
-    "q30_approx_distinct")
+    * DuckDB; driver records a weaker rows-only check). Empty since
+    * round 4: q30 now emits an engine-agnostic accuracy verdict
+    * (exact count + "own sketch within 5%" boolean) instead of the
+    * engine-specific raw sketch value. */
+  def rowsOnlyQueries: Set[String] = Set.empty
 }

@@ -58,7 +58,15 @@ import graft.operators.MergeIgnore
   * small commits accumulate scan overhead — [[compact]] folds a table
   * back to one commit (same manifest flip, fully atomic).
   */
-final class Catalog(val spark: SparkSession, val root: String) {
+/** @param compactEvery when > 0, [[appendDelta]] auto-folds a table back
+  *                      to one commit whenever its live commit count
+  *                      reaches the threshold — at month-upload cadence,
+  *                      merge commits otherwise accumulate scan overhead
+  *                      (one parquet listing + footer read per commit
+  *                      per query) without bound. 0 = manual [[compact]]
+  *                      only. */
+final class Catalog(val spark: SparkSession, val root: String,
+                    val compactEvery: Int = 0) {
 
   /** Tables covered by the warehouse-level snapshot pointer: the star
     * schema that [[Warehouse.run]] must publish atomically. Staging and
@@ -68,7 +76,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
     "dim_tempo", "dim_tipo", "dim_grupo", "dim_categoria",
     "dim_classificacao", "fato_lancamento")
 
-  @volatile private var inTxn: Boolean = false
+  /** AtomicBoolean, not a @volatile check-then-act: two threads racing
+    * [[transaction]] on the same instance must leave exactly one inside
+    * (the loser fails loudly like every other race in this class), never
+    * both past the guard with interleaved INFLIGHT writes. */
+  private val inTxnFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def inTxn: Boolean = inTxnFlag.get()
 
   private def tableDir(t: String): String = s"$root/$t"
   private def manifestDir(t: String): Path = Paths.get(tableDir(t), "_manifests")
@@ -215,9 +228,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
       } catch {
         case e: Catalog.ConcurrentWriteException =>
           attempts += 1
-          if (attempts > 5) throw new IllegalStateException(
-            "table commit IS published, but the snapshot bump kept losing " +
-              "the claim race — snapshot pointer is stale for this table", e)
+          if (attempts > 5) throw new IllegalStateException(single match {
+            case Some((t, _)) =>
+              s"table $t's commit IS published, but the snapshot bump kept " +
+                s"losing the claim race — the snapshot pointer is stale for $t " +
+                "(run recover() once no writer is live; it re-syncs the pointer)"
+            case None =>
+              "the transaction's snapshot publish kept losing the claim race — " +
+                "the transaction is NOT visible; its INFLIGHT marker remains, so " +
+                "the next transaction begin will roll it back (run recover() to " +
+                "clear orphan s-file claims once no writer is live)"
+          }, e)
       }
     }
   }
@@ -243,44 +264,43 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * crash and that begin build on the unpublished head — route loads
     * through transactions (Warehouse.run does). */
   def transaction[T](body: => T): T = {
-    require(!inTxn, "transaction is not reentrant")
-    Files.createDirectories(snapDir)
-    val inflight = snapDir.resolve("INFLIGHT")
-    if (Files.exists(inflight)) {
-      // whose marker? Our own instance's ⇒ our previous transaction
-      // crashed mid-body: heal automatically. Anyone else's ⇒ either a
-      // LIVE writer (rolling it back would corrupt both transactions
-      // silently) or a dead one — we cannot tell from here, so fail
-      // loudly and let the operator call recoverTransaction() once the
-      // other writer is confirmed dead.
-      val (owner, _) = readInflight(inflight)
-      if (owner != instanceId)
-        throw new Catalog.ConcurrentWriteException(
-          s"another writer's transaction is in flight at $inflight " +
-            "(or a crashed one left it behind — run recoverTransaction() " +
-            "after confirming no writer is live)")
-      rollbackToInflight(inflight)
-    }
-    // the snapshot must exist BEFORE the body commits anything: without
-    // one, scoped reads fall back to per-table LATEST and a crash
-    // mid-FIRST-load would expose the half-built schema — the only
-    // window where the atomicity promise used to be void. The initial
-    // snapshot freezes whatever bootstrap state exists (usually empty).
-    if (latestSnapshot.isEmpty) publishSnapshot()
-    val beginState = (s"owner $instanceId" +: snapshotScoped.toSeq.sorted
-      .flatMap(t => latestVersion(t).map(v => s"$t $v"))).mkString("\n")
-    // atomic write: a crash mid-write must never leave a truncated
-    // marker (a half-recorded state would roll tables back too far)
-    atomicWrite(snapDir, "INFLIGHT", beginState)
-    inTxn = true
-    val out =
-      try body
-      finally inTxn = false
-    publishSnapshot()
-    // crash between publish and this delete is benign: the next begin
-    // rolls "back" to versions that equal the published heads (no-op)
-    Files.deleteIfExists(inflight)
-    out
+    require(inTxnFlag.compareAndSet(false, true), "transaction is not reentrant")
+    try {
+      Files.createDirectories(snapDir)
+      val inflight = snapDir.resolve("INFLIGHT")
+      if (Files.exists(inflight)) {
+        // whose marker? Our own instance's ⇒ our previous transaction
+        // crashed mid-body: heal automatically. Anyone else's ⇒ either a
+        // LIVE writer (rolling it back would corrupt both transactions
+        // silently) or a dead one — we cannot tell from here, so fail
+        // loudly and let the operator call recoverTransaction() once the
+        // other writer is confirmed dead.
+        val (owner, _) = readInflight(inflight)
+        if (owner != instanceId)
+          throw new Catalog.ConcurrentWriteException(
+            s"another writer's transaction is in flight at $inflight " +
+              "(or a crashed one left it behind — run recoverTransaction() " +
+              "after confirming no writer is live)")
+        rollbackToInflight(inflight)
+      }
+      // the snapshot must exist BEFORE the body commits anything: without
+      // one, scoped reads fall back to per-table LATEST and a crash
+      // mid-FIRST-load would expose the half-built schema — the only
+      // window where the atomicity promise used to be void. The initial
+      // snapshot freezes whatever bootstrap state exists (usually empty).
+      if (latestSnapshot.isEmpty) publishSnapshot()
+      val beginState = (s"owner $instanceId" +: snapshotScoped.toSeq.sorted
+        .flatMap(t => latestVersion(t).map(v => s"$t $v"))).mkString("\n")
+      // atomic write: a crash mid-write must never leave a truncated
+      // marker (a half-recorded state would roll tables back too far)
+      atomicWrite(snapDir, "INFLIGHT", beginState)
+      val out = body
+      publishSnapshot()
+      // crash between publish and this delete is benign: the next begin
+      // rolls "back" to versions that equal the published heads (no-op)
+      Files.deleteIfExists(inflight)
+      out
+    } finally inTxnFlag.set(false)
   }
 
   /** Explicit crash recovery for a transaction started by ANOTHER
@@ -341,7 +361,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** Clear orphan claims left by crashed writers: manifest files above
     * the table's LATEST (and snapshot files above the snapshot LATEST)
     * that block the create-exclusive fence. Call only after confirming
-    * no writer is live — from a supervisor, not a racing writer. */
+    * no writer is live — from a supervisor, not a racing writer.
+    *
+    * Also heals the stale-snapshot crash window: a direct write that
+    * flipped its table's LATEST but crashed before the snapshot bump
+    * leaves the pointer behind the head, and every later direct write
+    * to that table bases on the stale snapshot, collides with the
+    * already-published v{N}, and fails — a state only a snapshot
+    * re-sync can clear. Re-syncing from per-table heads is safe exactly
+    * when no INFLIGHT marker exists: with a marker, heads above the
+    * snapshot may be an aborted transaction's unpublished writes, which
+    * [[recoverTransaction]] (rollback, not publish) owns. */
   def recover(): Int = {
     def clean(dir: Path, latest: Int, prefix: String): Int = {
       if (!Files.exists(dir)) return 0
@@ -358,7 +388,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
     }
     val tables = Schemas.tableNames.map(t =>
       clean(manifestDir(t), latestVersion(t).getOrElse(0), "v")).sum
-    tables + clean(snapDir, latestSnapshot.getOrElse(0), "s")
+    val cleared = tables + clean(snapDir, latestSnapshot.getOrElse(0), "s")
+    if (!Files.exists(snapDir.resolve("INFLIGHT")) && latestSnapshot.isDefined) {
+      val published = snapshotVersions
+      val stale = snapshotScoped.exists(t =>
+        latestVersion(t).exists(_ > published.getOrElse(t, 0)))
+      if (stale) publishSnapshot() // rebuild from per-table heads
+    }
+    cleared
   }
 
   private def newCommitDir(t: String): String = {
@@ -488,9 +525,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
               b.getColumns.asScala.find(_.getPath.toDotString == idCol) match {
                 case Some(cc) =>
                   val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
-                  val integral = (ann == null ||
-                    ann.isInstanceOf[org.apache.parquet.schema
-                      .LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+                  // SIGNED int annotations only: an unsigned int64 max
+                  // above Long.MaxValue surfaces as a wrapped NEGATIVE
+                  // long — a silently-too-low offset minting duplicate
+                  // ids, exactly what this guard exists to prevent
+                  val integral = ann match {
+                    case null => true
+                    case i: org.apache.parquet.schema
+                      .LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+                    case _ => false
+                  }
                   if (!integral) return None // logical type over int storage
                   val st = cc.getStatistics
                   if (st == null || st.isEmpty) return None
@@ -527,9 +571,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
     *
     * The appended-row count rides the write job as an observed metric —
     * no second scan of what was just written (at fact scale the old
-    * read-back-and-count doubled every load's I/O). */
+    * read-back-and-count doubled every load's I/O).
+    *
+    * `clusterBy` declares the within-file sort order the table's
+    * commits maintain; it is consumed by the auto-compaction pass (see
+    * [[compactEvery]]), which must restore that clustering when it
+    * rewrites — the delta itself is expected to arrive pre-sorted (the
+    * writer already has it clustered at zero cost). */
   def appendDelta(table: String, delta: DataFrame,
-                  partitionBy: Seq[String] = Seq.empty): Long = {
+                  partitionBy: Seq[String] = Seq.empty,
+                  clusterBy: Seq[String] = Seq.empty): Long = {
     // the commit claim is tied to THIS read of LATEST (see commit):
     // the new manifest's dir list and its claimed version come from the
     // same observation, so a concurrent commit makes us fail loudly
@@ -547,6 +598,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     if (n > 0) commit(table, baseDirs :+ dir, base)
     else deleteRecursively(Paths.get(dir))
     register(table)
+    if (n > 0 && compactEvery > 0 && baseDirs.size + 1 >= compactEvery)
+      compact(table, partitionBy, clusterBy)
     n
   }
 

@@ -139,7 +139,14 @@ final class Warehouse(catalog: Catalog, strictQuirks: Boolean = false) {
       }
 
     val offset = catalog.maxId("fato_lancamento", "id_lancamento")
-    val existing = if (catalog.exists("fato_lancamento")) catalog.table("fato_lancamento") else null
+    val existing =
+      if (!catalog.exists("fato_lancamento")) null
+      else {
+        // bounded driver collect: one row per distinct month in the batch
+        val months = sl.select(col("ano"), col("mes")).na.drop("any").distinct()
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+        existingFactForMerge(months)
+      }
     val delta = MergeIgnore.newRows(candidates, existing, Seq("id_hash"))
     // Fact-scale id assignment: assignScalable (no single-task window,
     // native long — the int-cast assign is reserved for dimension tables).
@@ -154,7 +161,22 @@ final class Warehouse(catalog: Catalog, strictQuirks: Boolean = false) {
     // top, destroying the clustering it sits above.
     val clustered = keyed.sortWithinPartitions(
       "ano", "mes", "id_tipo", "id_grupo", "id_categoria")
-    catalog.appendDelta("fato_lancamento", clustered, partitionBy = Seq("ano", "mes"))
+    catalog.appendDelta("fato_lancamento", clustered, partitionBy = Seq("ano", "mes"),
+      clusterBy = Seq("id_tipo", "id_grupo", "id_categoria"))
+  }
+
+  /** The existing-fact side of the id_hash anti-join, restricted to the
+    * batch's (ano, mes) months. id_hash embeds the trimmed Data field,
+    * so equal hashes imply equal months — the restriction is
+    * semantics-preserving, and because (ano, mes) are the fact's write
+    * partitions, the existing side becomes a statically
+    * partition-pruned scan: a month re-upload reads one month of
+    * hashes, not the whole fact (plan shape pinned in PlanSpec). */
+  private[graft] def existingFactForMerge(batchMonths: Seq[(Int, Int)]): DataFrame = {
+    val pred = batchMonths.map { case (a, m) =>
+      col("ano") === a && col("mes") === m
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    catalog.table("fato_lancamento").filter(pred)
   }
 
   /** Shared dim-merge: dedup batch keys, anti-join existing, assign

@@ -143,11 +143,20 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
                   maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+    // Self-loops fold each node's OWN label into the neighbor-min
+    // aggregate, so a round is one join + one aggregate — the previous
+    // formulation needed a second (left) join per round to re-merge the
+    // node's own label. Edges persist pre-partitioned on the join key
+    // y; labels come out of each round hash-partitioned on id (the
+    // groupBy key, preserved through the checkpoint), so the per-round
+    // join is co-partitioned and the ONLY shuffle left in a round is
+    // the min-aggregate itself.
+    val sym = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .unionAll(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
-      .persist()
-    var labels = edges.select(col("x").as("id")).distinct()
-      .select(col("id"), col("id").as("rep")).localCheckpoint(true)
+    val edges = sym
+      .unionAll(sym.select(col("x")).distinct()
+        .select(col("x"), col("x").as("y")))
+      .repartition(col("y")).persist()
     // Convergence fingerprint: order-independent XOR of per-row hashes
     // of the labeling, valid for ANY id type (a sum over the rep column
     // would assume numeric ids) and overflow-free under ANSI mode (ids
@@ -155,21 +164,32 @@ object Dedup {
     // Labels move monotonically toward the fixpoint, so fingerprint
     // equality means no label changed (up to a vanishing 64-bit
     // collision chance). Null on an empty graph.
-    def fingerprint(df: DataFrame): Option[Long] =
-      Option(df.agg(bit_xor(xxhash64(col("id").cast("string"),
-        col("rep").cast("string")))).head().get(0)).map(_.asInstanceOf[Long])
-    var prevSum = fingerprint(labels)
+    //
+    // The fingerprint rides the checkpoint materialization as an
+    // OBSERVED metric (CollectMetrics accumulator harvested by the
+    // localCheckpoint action) — each round is exactly ONE driver
+    // action; the previous separate fingerprint job per round was the
+    // single largest cost of the loop (round-3 verdict task 2).
+    def materialize(df: DataFrame): (DataFrame, Option[Long]) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, bit_xor(xxhash64(col("id").cast("string"),
+        col("rep").cast("string"))).as("fp"))
+        .localCheckpoint(true) // truncate lineage; blocks freed by the cleaner
+      (out, Option(obs.get("fp")).map(_.asInstanceOf[Long]))
+    }
+    // initial labels = the self-loop rows (id, rep=id), read from the
+    // already-persisted edges
+    var (labels, prevSum) = materialize(
+      edges.filter(col("x") === col("y"))
+        .select(col("x").as("id"), col("x").as("rep")))
     var iter = 0
     var done = prevSum.isEmpty
     try {
       while (!done && iter < maxIter) {
-      val neigh = edges.join(labels, edges("y") === labels("id"))
-        .groupBy(col("x")).agg(min(col("rep")).as("nrep"))
-      val next = labels.as("l").join(neigh.as("p"), col("l.id") === col("p.x"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.rep"), coalesce(col("p.nrep"), col("l.rep"))).as("rep"))
-        .localCheckpoint(true) // truncate lineage; blocks freed by the cleaner
-        val s = fingerprint(next)
+      val (next, s) = materialize(
+        edges.join(labels, edges("y") === labels("id"))
+          .groupBy(col("x")).agg(min(col("rep")).as("rep"))
+          .select(col("x").as("id"), col("rep")))
         labels = next
         done = s == prevSum
         prevSum = s

@@ -52,12 +52,23 @@ object OlapQueries {
           |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""".stripMargin)
     }),
 
-    // HLL sketch — approximate distinct (rows-only: sketches are
-    // engine-specific; accuracy asserted in OlapSpec instead).
+    // HLL sketch — approximate distinct. The raw sketch value is
+    // engine-specific, so the oracle-checked columns are the EXACT
+    // count plus an engine-agnostic accuracy verdict (relative error of
+    // this engine's own sketch vs its own exact count < 5%): both
+    // engines compute the identical booleans as long as both sketches
+    // meet their documented error bound (OlapSpec asserts the margin).
     "q30_approx_distinct" -> ((s, d) =>
-      Tables(s, d, "orders").agg(
-        approx_count_distinct(col("o_custkey")).as("approx_custkeys"),
-        count(lit(1)).as("n_orders"))),
+      Tables(s, d, "orders")
+        .agg(
+          approx_count_distinct(col("o_custkey")).as("__approx"),
+          countDistinct(col("o_custkey")).as("exact_custkeys"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          col("exact_custkeys"),
+          (abs(col("__approx") - col("exact_custkeys")).cast("double") /
+            col("exact_custkeys") < 0.05).as("approx_ok"),
+          col("n_orders"))),
 
     // exact interpolated percentiles; whole-number quantities make the
     // midpoint arithmetic exact in double on both engines.
@@ -107,6 +118,15 @@ object OlapQueries {
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""".stripMargin,
+
+    // each engine checks ITS OWN sketch against the shared exact count;
+    // the compared values (exact count + verdict boolean) are
+    // engine-agnostic as long as both HLLs meet their ~2% error spec
+    "q30_approx_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys,
+        | abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey)) / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) < 0.05 AS approx_ok,
+        | COUNT(*) AS n_orders
+        |FROM orders""".stripMargin,
 
     "q31_percentiles" ->
       """SELECT l_returnflag,
