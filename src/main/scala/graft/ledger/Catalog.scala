@@ -264,7 +264,9 @@ final class Catalog(val spark: SparkSession, val root: String,
     * crash and that begin build on the unpublished head — route loads
     * through transactions (Warehouse.run does). */
   def transaction[T](body: => T): T = {
-    require(inTxnFlag.compareAndSet(false, true), "transaction is not reentrant")
+    require(inTxnFlag.compareAndSet(false, true),
+      "transaction already in progress on this Catalog instance " +
+        "(not reentrant; one transaction per instance at a time)")
     try {
       Files.createDirectories(snapDir)
       val inflight = snapDir.resolve("INFLIGHT")
@@ -581,6 +583,11 @@ final class Catalog(val spark: SparkSession, val root: String,
   def appendDelta(table: String, delta: DataFrame,
                   partitionBy: Seq[String] = Seq.empty,
                   clusterBy: Seq[String] = Seq.empty): Long = {
+    // layout args are validated BEFORE anything is written: the
+    // auto-compaction pass below reuses them, and a require thrown from
+    // inside compact() would surface AFTER this append's commit already
+    // published — reporting a successful write as a failure
+    requireClusterableLayout(table, partitionBy, clusterBy)
     // the commit claim is tied to THIS read of LATEST (see commit):
     // the new manifest's dir list and its claimed version come from the
     // same observation, so a concurrent commit makes us fail loudly
@@ -602,6 +609,26 @@ final class Catalog(val spark: SparkSession, val root: String,
       compact(table, partitionBy, clusterBy)
     n
   }
+
+  /** String partition columns would void the clustering promise: the
+    * V1 writer wraps them in an empty2null projection, the user sort no
+    * longer satisfies the writer's required ordering, and Spark stacks
+    * its own partition-only sort on top — silently unsorted files. Fail
+    * loudly rather than advertise clustering that isn't. Checked at
+    * [[appendDelta]] entry too (not just [[compact]]): auto-compaction
+    * reuses the append's layout args, and failing after the append
+    * commit published would report a success as a failure. */
+  private def requireClusterableLayout(table: String, partitionBy: Seq[String],
+                                       clusterBy: Seq[String]): Unit =
+    if (clusterBy.nonEmpty) {
+      val schema = Schemas.schemaOf(table)
+      val stringParts = partitionBy.filter(p =>
+        schema(p).dataType == org.apache.spark.sql.types.StringType)
+      require(stringParts.isEmpty,
+        s"clusterBy with STRING partition columns (${stringParts.mkString(",")}) " +
+          "is not supported: Spark's partitioned writer re-sorts by " +
+          "empty2null(partition cols), destroying the requested clustering")
+    }
 
   /** Sum of row counts from the parquet footers under `dir` — what a
     * table format records at commit time. Driver-side metadata reads
@@ -640,20 +667,8 @@ final class Catalog(val spark: SparkSession, val root: String,
               clusterBy: Seq[String] = Seq.empty,
               numFiles: Int = 0): Unit = {
     val schema = Schemas.schemaOf(table)
-    // string partition columns would void the clustering promise: the
-    // V1 writer wraps them in an empty2null projection, the user sort
-    // no longer satisfies the writer's required ordering, and Spark
-    // stacks its own partition-only sort on top — silently unsorted
-    // files. Fail loudly rather than advertise clustering that isn't.
-    // (Argument validation — before the empty-table early return.)
-    if (clusterBy.nonEmpty) {
-      val stringParts = partitionBy.filter(p =>
-        schema(p).dataType == org.apache.spark.sql.types.StringType)
-      require(stringParts.isEmpty,
-        s"clusterBy with STRING partition columns (${stringParts.mkString(",")}) " +
-          "is not supported: Spark's partitioned writer re-sorts by " +
-          "empty2null(partition cols), destroying the requested clustering")
-    }
+    // argument validation — before the empty-table early return
+    requireClusterableLayout(table, partitionBy, clusterBy)
     val base = writeBase(table)
     if (base == 0) return
     val df = commitsAt(table, base).map { c =>

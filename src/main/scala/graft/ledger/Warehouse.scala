@@ -22,6 +22,13 @@ import graft.operators.{MergeIgnore, SurrogateKeys}
   * create duplicate time rows. The reference's behavior is an
   * unconstrained artifact; final fact content is identical either way.
   *
+  * Operational note: at month-upload cadence every loader appends one
+  * commit per run, so live commit counts grow without bound — construct
+  * the catalog with `compactEvery = 16` (one auto-fold roughly per
+  * year of monthly uploads; see [[Catalog.compactEvery]]) so table
+  * scans keep a bounded file-listing cost. The fold is atomic and
+  * restores the fact's (id_tipo, id_grupo, id_categoria) clustering.
+  *
   * `strictQuirks = true` reproduces the reference bit-for-bit for
   * byte-level migration testing: `dim_tempo` blind-appends (per-batch
   * dedup only, reference app/etl.py:26-39 — re-uploads create duplicate

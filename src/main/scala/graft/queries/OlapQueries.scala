@@ -55,19 +55,22 @@ object OlapQueries {
     // HLL sketch — approximate distinct. The raw sketch value is
     // engine-specific, so the oracle-checked columns are the EXACT
     // count plus an engine-agnostic accuracy verdict (relative error of
-    // this engine's own sketch vs its own exact count < 5%): both
-    // engines compute the identical booleans as long as both sketches
-    // meet their documented error bound (OlapSpec asserts the margin).
+    // this engine's own sketch vs its own exact count < 10%). The
+    // Spark sketch is configured at rsd=0.01 (1-sigma standard
+    // deviation 1%) and DuckDB's HLL measures ~1% on this data, so the
+    // 10% verdict line gives both engines ~10-sigma headroom — a
+    // deterministic true, not a coin flip (Spark's DEFAULT rsd of 0.05
+    // equals a 5% line and flunks with ~32% probability; see VERDICT r4).
     "q30_approx_distinct" -> ((s, d) =>
       Tables(s, d, "orders")
         .agg(
-          approx_count_distinct(col("o_custkey")).as("__approx"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("__approx"),
           countDistinct(col("o_custkey")).as("exact_custkeys"),
           count(lit(1)).as("n_orders"))
         .select(
           col("exact_custkeys"),
           (abs(col("__approx") - col("exact_custkeys")).cast("double") /
-            col("exact_custkeys") < 0.05).as("approx_ok"),
+            col("exact_custkeys") < 0.10).as("approx_ok"),
           col("n_orders"))),
 
     // exact interpolated percentiles; whole-number quantities make the
@@ -121,10 +124,11 @@ object OlapQueries {
 
     // each engine checks ITS OWN sketch against the shared exact count;
     // the compared values (exact count + verdict boolean) are
-    // engine-agnostic as long as both HLLs meet their ~2% error spec
+    // engine-agnostic because the 10% line sits ~10 sigma above both
+    // engines' configured sketch error (Spark rsd=0.01, DuckDB ~1%)
     "q30_approx_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys,
-        | abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey)) / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) < 0.05 AS approx_ok,
+        | abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey)) / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) < 0.10 AS approx_ok,
         | COUNT(*) AS n_orders
         |FROM orders""".stripMargin,
 

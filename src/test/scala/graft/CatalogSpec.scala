@@ -360,4 +360,124 @@ class CatalogSpec extends SparkSpec {
       cat.compact("dim_tipo", Seq("nome_tipo"), clusterBy = Seq("id_tipo"))
     }
   }
+
+  private def liveCommitCount(root: String, t: String): Int = {
+    val md = Paths.get(s"$root/$t/_manifests")
+    val latest = Files.readString(md.resolve("LATEST")).trim.toInt
+    Files.readString(md.resolve(s"v$latest")).split("\n").count(_.nonEmpty)
+  }
+
+  test("compactEvery auto-folds to one commit at the threshold, restoring clustering") {
+    val dir = Files.createTempDirectory("cat_autofold").toString
+    val cat = new Catalog(spark, s"$dir/wh", compactEvery = 3)
+    // each commit is ONE deliberately-DESCENDING file: after the fold,
+    // ascending per-file ids prove the auto-compaction re-applied the
+    // declared clusterBy sort (concatenation would stay descending)
+    def batch(ids: Seq[Long]) = ids.map(i =>
+      (i, 1, 1, 1, 1, 1, s"d$i", new java.math.BigDecimal(s"$i.00"), s"h$i", 2024, 1))
+      .toDF(Schemas.fatoLancamento.fieldNames: _*)
+      .withColumn("valor", org.apache.spark.sql.functions.col("valor")
+        .cast(org.apache.spark.sql.types.DecimalType(15, 2)))
+      .coalesce(1).sortWithinPartitions(
+        org.apache.spark.sql.functions.col("id_lancamento").desc)
+    val layout = (Seq("ano", "mes"), Seq("id_lancamento"))
+    cat.appendDelta("fato_lancamento", batch(Seq(1L, 4L)), layout._1, layout._2)
+    cat.appendDelta("fato_lancamento", batch(Seq(2L, 5L)), layout._1, layout._2)
+    assert(liveCommitCount(s"$dir/wh", "fato_lancamento") === 2,
+      "fold must not trigger below the threshold")
+    cat.appendDelta("fato_lancamento", batch(Seq(3L, 6L)), layout._1, layout._2)
+    // threshold reached: exactly one live commit, content identical
+    assert(liveCommitCount(s"$dir/wh", "fato_lancamento") === 1)
+    val ids = cat.table("fato_lancamento").select("id_lancamento")
+      .as[Long].collect().sorted
+    assert(ids.toSeq === (1L to 6L))
+    // clustering restored: every multi-row folded file is ASCENDING by
+    // id — the inputs were descending, so this is the fold's sort
+    import scala.jdk.CollectionConverters._
+    val commitDir = {
+      val md = Paths.get(s"$dir/wh/fato_lancamento/_manifests")
+      val latest = Files.readString(md.resolve("LATEST")).trim.toInt
+      Files.readString(md.resolve(s"v$latest")).split("\n").head
+    }
+    val walk = Files.walk(Paths.get(commitDir))
+    val parquets =
+      try walk.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally walk.close()
+    val multiRow = parquets.filter(f =>
+      spark.read.parquet(f.toString).count() > 1)
+    assert(multiRow.nonEmpty, "all folded files single-row: check vacuous")
+    multiRow.foreach { f =>
+      val fileIds = spark.read.parquet(f.toString)
+        .select("id_lancamento").as[Long].collect()
+      assert(fileIds.toSeq === fileIds.sorted.toSeq, s"unsorted ids in $f")
+    }
+    // a bad layout fails at appendDelta ENTRY — before anything commits
+    intercept[IllegalArgumentException] {
+      cat.appendDelta("dim_tipo", tipoDf("a"),
+        partitionBy = Seq("nome_tipo"), clusterBy = Seq("id_tipo"))
+    }
+    assert(!cat.exists("dim_tipo"),
+      "invalid-layout append must fail before publishing its commit")
+  }
+
+  test("recover() re-syncs a snapshot left stale by a crashed direct write") {
+    val dir = Files.createTempDirectory("cat_stale").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val reader = new Catalog(spark, s"$dir/wh")
+    cat.transaction { cat.replace("dim_tipo", tipoDf("a")) }
+    // simulate a direct write that crashed BETWEEN its LATEST flip and
+    // the snapshot bump: data + manifest v2 + LATEST=2, snapshot still →1
+    val c2 = s"$dir/wh/dim_tipo/c2_crashed"
+    tipoDf("a", "b").write.mode(SaveMode.Overwrite).parquet(c2)
+    val md = Paths.get(s"$dir/wh/dim_tipo/_manifests")
+    Files.write(md.resolve("v2"), c2.getBytes)
+    Files.writeString(md.resolve("LATEST"), "2")
+    // readers resolve the stale snapshot — the crashed write is invisible
+    assert(reader.table("dim_tipo").count() === 1)
+    // every later direct write bases on the stale snapshot, collides
+    // with the already-claimed v2, and fails loudly
+    intercept[graft.ledger.Catalog.ConcurrentWriteException](
+      cat.replace("dim_tipo", tipoDf("z")))
+    // no INFLIGHT marker ⇒ recover() may republish from per-table heads
+    cat.recover()
+    assert(reader.table("dim_tipo").count() === 2,
+      "recover() must re-sync the snapshot to the published head")
+    // and the previously-blocked write now goes through (claims v3)
+    cat.replace("dim_tipo", tipoDf("z"))
+    assert(reader.table("dim_tipo").select("nome_tipo")
+      .as[String].collect().toSeq === Seq("z"))
+  }
+
+  test("transaction guard: two threads on one instance — exactly one enters") {
+    val dir = Files.createTempDirectory("cat_threadrace").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var winnerDone = false
+    val winner = new Thread(() => {
+      cat.transaction {
+        entered.countDown()
+        // hold the transaction open until the loser has been rejected
+        assert(release.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        cat.replace("dim_tipo", tipoDf("a"))
+      }
+      winnerDone = true
+    })
+    winner.start()
+    assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // the loser is rejected at the guard — its body NEVER runs, so
+    // INFLIGHT is never interleaved with the winner's writes
+    val e = intercept[IllegalArgumentException](cat.transaction {
+      fail("loser entered the transaction body")
+    })
+    assert(e.getMessage.contains("already in progress"))
+    release.countDown()
+    winner.join(30000)
+    assert(winnerDone, "winner transaction did not complete")
+    // winner committed cleanly: marker cleared, next transaction runs
+    assert(Files.notExists(Paths.get(s"$dir/wh/_snapshots/INFLIGHT")))
+    cat.transaction { cat.replace("dim_tipo", tipoDf("a", "b")) }
+    assert(cat.table("dim_tipo").count() === 2)
+  }
 }

@@ -77,6 +77,42 @@ class LedgerPipelineSpec extends SparkSpec {
     assert(factFiles.contains("ano=2024"), s"no ano=2024 dir in $factFiles")
   }
 
+  test("multi-upload with compactEvery: commits fold atomically, content identical") {
+    // the recommended production setting (Warehouse scaladoc): a low
+    // threshold here so the second upload crosses it inside the test
+    val dir = Files.createTempDirectory("ledger_fold").toString
+    val cat = new Catalog(spark, s"$dir/wh", compactEvery = 2)
+    val wh = new Warehouse(cat)
+    Ingest.run(cat, writeCsv(dir, "b1.csv", batch1))
+    wh.run()
+    Ingest.run(cat, writeCsv(dir, "b2.csv", batch2))
+    wh.run()
+    // the second fact append reached the threshold mid-transaction and
+    // auto-folded: one live commit, (ano, mes) layout preserved
+    val md = java.nio.file.Paths.get(s"$dir/wh/fato_lancamento/_manifests")
+    val latest = Files.readString(md.resolve("LATEST")).trim.toInt
+    val commitDirs = Files.readString(md.resolve(s"v$latest"))
+      .split("\n").filter(_.nonEmpty)
+    assert(commitDirs.length === 1, "fact commits did not fold to one")
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(java.nio.file.Paths.get(commitDirs.head))
+    val dirs = try walk.iterator().asScala.map(_.getFileName.toString).toSet
+      finally walk.close()
+    assert(dirs.contains("mes=2"), s"fold lost the month layout: $dirs")
+    // content identical to the unfolded pipeline run
+    val ids = cat.table("fato_lancamento")
+      .select("id_lancamento").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted
+    assert(ids.toSeq === (1L to 7L))
+    cat.registerAll()
+    val bi = spark.sql(
+      """SELECT t.nome_tipo, SUM(f.valor) AS total
+        |FROM fato_lancamento f JOIN dim_tipo t USING (id_tipo)
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(bi.map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSeq
+      === Seq(("Despesa", "4913.47"), ("Receita", "10000.00")))
+  }
+
   test("BI surface: typed fact Dataset and canned Metabase-shape queries") {
     val dir = Files.createTempDirectory("ledger_bi").toString
     val cat = new graft.ledger.Catalog(spark, s"$dir/wh")

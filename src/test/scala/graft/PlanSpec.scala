@@ -101,6 +101,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q85 regrew a window:\n$p")
   }
 
+  test("fact-merge existing side: month restriction becomes PartitionFilters on (ano, mes)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan_factmerge").toString
+    val cat = new graft.ledger.Catalog(spark, s"$dir/wh")
+    // three months of fact data, partitioned by (ano, mes)
+    val rows = for { mes <- 1 to 3; i <- 1 to 4 } yield
+      ((mes * 10 + i).toLong, 1, 1, 1, 1, 1, s"d$mes-$i",
+        new java.math.BigDecimal(s"$i.00"), s"h$mes-$i", 2024, mes)
+    val df = rows.toDF(graft.ledger.Schemas.fatoLancamento.fieldNames: _*)
+      .withColumn("valor", org.apache.spark.sql.functions.col("valor")
+        .cast(org.apache.spark.sql.types.DecimalType(15, 2)))
+    cat.appendDelta("fato_lancamento", df, partitionBy = Seq("ano", "mes"))
+    // a one-month batch's anti-join side must be a STATICALLY
+    // partition-pruned scan: the month predicate lands in the scan's
+    // PartitionFilters (directory pruning — a month re-upload reads one
+    // month of hashes, not the whole fact), not a post-scan Filter
+    val scan = new graft.ledger.Warehouse(cat)
+      .existingFactForMerge(Seq((2024, 2)))
+    val formatted = scan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(formatted).toSeq
+    assert(pf.nonEmpty, s"no PartitionFilters in the fact scan:\n$formatted")
+    assert(pf.forall(f => f.contains("ano") && f.contains("mes")),
+      s"month restriction did not reach PartitionFilters:\n$formatted")
+    assert(scan.count() === 4, "pruned scan must read exactly one month")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
