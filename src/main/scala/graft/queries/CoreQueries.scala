@@ -245,7 +245,11 @@ object CoreQueries {
     // DuckDB replay of the complete pipeline (hash, dim surrogate
     // order, 5-way join).
     "q68_warehouse_e2e" -> ((s, d) => {
-      val src = t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+      // % 11 keeps the batch big enough to exercise every loader path
+      // while holding the e2e's share of the bench artifact down (the
+      // build's ~100 jobs of fixed overhead dominate, but the star-join
+      // and hash work still scale with the batch)
+      val src = t(s, d, "orders").filter(col("o_orderkey") % 11 === 0)
       val csvish = src.select(
         concat(lit("pedido "), col("o_orderkey")).as("Descrição"),
         col("o_orderpriority").as("Tipo"),
@@ -419,7 +423,7 @@ object CoreQueries {
         |         'cl' || CAST(o_orderkey % 4 AS VARCHAR) AS classificacao,
         |         strftime(o_orderdate, '%m/%Y') AS data,
         |         replace(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR), '.', ',') AS valor_raw
-        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |  FROM orders WHERE o_orderkey % 11 = 0),
         |stg AS (
         |  SELECT descricao, tipo, grupo, categoria, classificacao, data, valor_raw,
         |         CAST(replace(replace(valor_raw, '.', ''), ',', '.') AS DECIMAL(15,2)) AS valor,

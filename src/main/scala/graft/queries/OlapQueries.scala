@@ -56,15 +56,16 @@ object OlapQueries {
     // engine-specific, so the oracle-checked columns are the EXACT
     // count plus an engine-agnostic accuracy verdict (relative error of
     // this engine's own sketch vs its own exact count < 10%). The
-    // Spark sketch is configured at rsd=0.01 (1-sigma standard
-    // deviation 1%) and DuckDB's HLL measures ~1% on this data, so the
-    // 10% verdict line gives both engines ~10-sigma headroom — a
+    // Spark sketch is configured at rsd=0.02 (1-sigma standard
+    // deviation 2%; rsd=0.01 costs ~3x the time for headroom nobody
+    // needs) and DuckDB's HLL measures ~1% on this data, so the 10%
+    // verdict line gives both engines >=5-sigma headroom — a
     // deterministic true, not a coin flip (Spark's DEFAULT rsd of 0.05
     // equals a 5% line and flunks with ~32% probability; see VERDICT r4).
     "q30_approx_distinct" -> ((s, d) =>
       Tables(s, d, "orders")
         .agg(
-          approx_count_distinct(col("o_custkey"), 0.01).as("__approx"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("__approx"),
           countDistinct(col("o_custkey")).as("exact_custkeys"),
           count(lit(1)).as("n_orders"))
         .select(
@@ -124,8 +125,8 @@ object OlapQueries {
 
     // each engine checks ITS OWN sketch against the shared exact count;
     // the compared values (exact count + verdict boolean) are
-    // engine-agnostic because the 10% line sits ~10 sigma above both
-    // engines' configured sketch error (Spark rsd=0.01, DuckDB ~1%)
+    // engine-agnostic because the 10% line sits >=5 sigma above both
+    // engines' configured sketch error (Spark rsd=0.02, DuckDB ~1%)
     "q30_approx_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys,
         | abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey)) / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) < 0.10 AS approx_ok,

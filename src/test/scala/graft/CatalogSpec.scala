@@ -421,6 +421,24 @@ class CatalogSpec extends SparkSpec {
       "invalid-layout append must fail before publishing its commit")
   }
 
+  test("maxId rejects non-integral footer stats and falls back to the exact scan") {
+    val dir = Files.createTempDirectory("cat_decmax").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    // staging's Valor is DECIMAL(15,2): int-backed parquet storage with
+    // a decimal logical type, whose raw footer max is the UNSCALED
+    // value (150000 for 1500.00) — the logical-type guard must reject
+    // the footer answer and take the exact-scan path instead
+    val rows = Seq(
+      ("d1", "t", "g", "c", "cl", "01/2024", new java.math.BigDecimal("1500.00"), "h1"),
+      ("d2", "t", "g", "c", "cl", "01/2024", new java.math.BigDecimal("12.34"), "h2"))
+      .toDF(Schemas.stagingSchema.fieldNames: _*)
+      .withColumn("Valor", org.apache.spark.sql.functions.col("Valor")
+        .cast(org.apache.spark.sql.types.DecimalType(15, 2)))
+    cat.replace("staging_lancamentos", rows)
+    assert(cat.maxId("staging_lancamentos", "Valor") === 1500L,
+      "decimal footer max must come from the scan (scaled), not raw stats")
+  }
+
   test("recover() re-syncs a snapshot left stale by a crashed direct write") {
     val dir = Files.createTempDirectory("cat_stale").toString
     val cat = new Catalog(spark, s"$dir/wh")
