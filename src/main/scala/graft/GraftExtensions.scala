@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{BloomMightContain, DotProductFloat, LangId, MinHashSigs, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, WordShingles}
+import graft.expressions.{BloomMightContain, DotProductFloat, LangId, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NfcNormalize.registration)
     ext.injectFunction(SignBucketKeys.registration)
     ext.injectFunction(BloomMightContain.registration)
+    ext.injectFunction(MisraGries.registration)
   }
 }

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.MergeIgnore
+import graft.operators.{MergeIgnore, MergeUpsert}
 
 /** Parquet-backed warehouse catalog with MANIFEST-POINTER commits.
   *
@@ -565,6 +565,22 @@ final class Catalog(val spark: SparkSession, val root: String,
     val existing = if (exists(table)) this.table(table) else null
     appendDelta(table, MergeIgnore.newRows(batch, existing, keys), partitionBy)
   }
+
+  /** K3's other half: upsert merge (`… ON CONFLICT DO UPDATE` /
+    * `MERGE WHEN MATCHED THEN UPDATE`). Matched rows are replaced by
+    * the batch's latest version (per `orderBy` desc), new keys
+    * inserted, the rest kept. Published as ONE replace commit — the
+    * merged plan reads the current version while writing into a fresh
+    * commit dir, and readers flip atomically at the manifest rename
+    * (same visibility contract as [[replace]]). A full-table rewrite
+    * is the right shape for dimension tables; for partitioned facts
+    * prefer the Warehouse's partition-pruned anti-join merge. */
+  def mergeUpsert(table: String, batch: DataFrame, keys: Seq[String],
+                  orderBy: Seq[org.apache.spark.sql.Column] = Seq.empty): Unit =
+    // table() returns an empty declared-schema frame for a missing
+    // table, so the result always carries exactly the table's columns
+    // (batch-only ordering columns never leak into the commit)
+    replace(table, MergeUpsert.upsert(this.table(table), batch, keys, orderBy))
 
   /** Append a pre-computed delta (already deduped/anti-joined) as a new
     * commit. The delta plan may read `table` itself; it materializes

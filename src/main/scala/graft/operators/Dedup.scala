@@ -123,6 +123,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-CONTAINMENT pairs via an inverted shingle index — the dedup
+    * signal Jaccard misses: a short document embedded in a longer one
+    * has Jaccard ≈ |A|/|B| (tiny when B is long) but containment
+    * |A∩B|/min(|A|,|B|) ≈ 1. Quote extraction, boilerplate wrappers,
+    * and prefix-truncated crawl records all look like this, and an
+    * LLM-corpus dedup pass that stops at Jaccard keeps them.
+    *
+    * Shape: explode each doc's DISTINCT k-shingles, drop shingles
+    * occurring in more than `maxDocFreq` docs (a ubiquitous shingle's
+    * bucket is quadratic in the self-join and carries no identity
+    * signal — the same reasoning as the LSH hot-bucket sub-split),
+    * self-join the index on the shingle moving only (id, shingle),
+    * count shared shingles per pair, and score against the per-doc
+    * FILTERED shingle counts: containment is defined over the
+    * surviving rare shingles on BOTH sides of the ratio — consistent,
+    * and exactly replayable in SQL (the q89 oracle).
+    *
+    * One shingling pass: document frequency is a windowed count over
+    * the same shuffle-by-shingle exchange the self-join consumes
+    * (repartition + shuffle_hash → the two join sides and the df
+    * filter share ONE exchange), not a separate groupBy-and-join-back
+    * that would shingle the corpus twice.
+    *
+    * Returns (a_id, b_id, containment) with a_id < b_id and
+    * containment >= threshold.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.9,
+                       maxDocFreq: Int = 20): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("g"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val idx = sh.repartition(col("g"))
+      .withColumn("__df", count(lit(1)).over(wg))
+      .filter(col("__df") <= maxDocFreq).drop("__df")
+    val shared = idx.as("a").hint("shuffle_hash")
+      .join(idx.as("b").hint("shuffle_hash"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("__shared"))
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
+    shared
+      .join(sizes.select(col("id").as("a_id"), col("__sz").as("__sz_a")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("__sz").as("__sz_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("__shared").cast("double") /
+          least(col("__sz_a"), col("__sz_b")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Connected components over near-dup pairs: each doc gets the
     * minimum doc id reachable through the pair graph (its cluster
     * representative — the canonical-document selection step that

@@ -213,6 +213,31 @@ object CoreQueries {
       MergeIgnore.newRows(batch, existing, Seq("o_custkey", "ano"))
     }),
 
+    // K3's other half: full upsert merge (`ON CONFLICT DO UPDATE` /
+    // MERGE WHEN MATCHED THEN UPDATE) — operators.MergeUpsert. The
+    // customer dim is overwritten by each customer's LATEST order
+    // (o_orderdate, o_orderkey tie-break — the caller-named conflict
+    // resolution a distributed batch needs where Postgres used
+    // statement order), planted brand-new keys (custkey+1e6) INSERT
+    // instead of update, and customers with no orders pass through
+    // untouched. The batch's ordering columns (__ts/__seq) exist only
+    // for the window; the result keeps exactly the dim's columns.
+    "q88_merge_upsert" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val o = t(s, d, "orders")
+      def asBatch(src: DataFrame, key: org.apache.spark.sql.Column) = src.select(
+        key.as("c_custkey"),
+        concat(lit("upd-"), col("o_orderkey")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderdate").as("__ts"), col("o_orderkey").as("__seq"))
+      val batch = asBatch(o, col("o_custkey"))
+        .unionByName(asBatch(o.filter(col("o_custkey") % 50 === 0),
+          col("o_custkey") + 1000000))
+      graft.operators.MergeUpsert.upsert(cust, batch, Seq("c_custkey"),
+        orderBy = Seq(col("__ts"), col("__seq")))
+    }),
+
     // set op: UNION (distinct).
     "q13_union" -> ((s, d) =>
       t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
@@ -384,6 +409,26 @@ object CoreQueries {
         |EXCEPT
         |SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS ano FROM orders
         |WHERE o_totalprice > 300000.0""".stripMargin,
+
+    "q88_merge_upsert" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |         o_totalprice AS c_acctbal, o_orderdate AS ts, o_orderkey AS seq
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey + 1000000, 'upd-' || CAST(o_orderkey AS VARCHAR),
+        |         o_totalprice, o_orderdate, o_orderkey
+        |  FROM orders WHERE o_custkey % 50 = 0),
+        |latest AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM (
+        |    SELECT b.*, row_number() OVER (
+        |      PARTITION BY c_custkey ORDER BY ts DESC, seq DESC) AS rn
+        |    FROM b) WHERE rn = 1)
+        |SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM latest""".stripMargin,
 
     "q13_union" ->
       """SELECT c_nationkey AS nationkey FROM customer

@@ -172,6 +172,21 @@ object DedupQueries {
         .agg(countDistinct(col("g")).as("n_contaminated_grams"))
     }),
 
+    // near-CONTAINMENT dedup — the pair class Jaccard misses: planted
+    // 30-word prefix extracts (doc_id % ContainMod, id+MutOff) score
+    // containment 1.0 against their parents (every surviving prefix
+    // shingle is in the parent) while their Jaccard is only
+    // ~30/|parent words|. Inverted shingle index + ubiquitous-shingle
+    // guard; Dedup.containmentPairs.
+    "q89_containment" -> ((s, d) => {
+      val base = docs(s, d)
+      val prefix = base.filter(col("doc_id") % ContainMod === 0).select(
+        (col("doc_id") + MutOff).as("doc_id"),
+        array_join(slice(words(col("text")), 1, ContainWords), " ").as("text"))
+      Dedup.containmentPairs(base.unionAll(prefix), "doc_id", "text",
+        k = K, threshold = 0.9, maxDocFreq = ContainMaxDf)
+    }),
+
     // typo-tolerant join (edit distance ≤ 1) via SymSpell
     // deletion-neighborhood blocking — operators.FuzzyJoin. The dirty
     // side plants one substitution ('#' at position 6 — a char no part
@@ -193,6 +208,11 @@ object DedupQueries {
   // decontamination parameters (shared by Spark + oracle SQL)
   private val DecontK = 4
   private val DecontMod = 17
+
+  // containment parameters (shared by Spark + oracle SQL)
+  private val ContainMod = 31
+  private val ContainWords = 30
+  private val ContainMaxDf = 20
 
   /** q67 noise: a fixed ±ε pattern (ε = 2⁻⁶ — exactly representable in
     * float AND double, so Spark's float add and DuckDB's double-add-
@@ -401,6 +421,35 @@ object DedupQueries {
          |SELECT cp.doc_id, COUNT(DISTINCT cp.g) AS n_contaminated_grams
          |FROM cp JOIN ev USING (g)
          |GROUP BY 1""".stripMargin,
+
+    // replays the whole containment pipeline: prefix plant → shingles →
+    // windowed doc-frequency filter → inverted-index self-join → ratio
+    // over FILTERED per-doc shingle counts (both engines divide the
+    // same integers — one IEEE division each).
+    "q89_containment" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $MutOff,
+         |         array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z]+'), 1, $ContainWords), ' ')
+         |  FROM documents WHERE doc_id % $ContainMod = 0),
+         |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM batch),
+         |sh AS (SELECT doc_id, ${duckShingles(K)} AS sh FROM w),
+         |gx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |idx AS (SELECT doc_id, g FROM (
+         |  SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM gx)
+         |  WHERE df <= $ContainMaxDf),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+         |  FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT s.a_id, s.b_id,
+         |       CAST(s.shared AS DOUBLE) / CAST(least(za.sz, zb.sz) AS DOUBLE) AS containment
+         |FROM shared s
+         |JOIN sz za ON za.doc_id = s.a_id
+         |JOIN sz zb ON zb.doc_id = s.b_id
+         |WHERE CAST(s.shared AS DOUBLE) / CAST(least(za.sz, zb.sz) AS DOUBLE) >= 0.9""".stripMargin,
 
     "q79_fuzzy_join" -> {
       val dv = "list_distinct(list_append(" +

@@ -84,6 +84,22 @@ object OlapQueries {
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))),
 
+    // EXACT heavy hitters through the native Misra-Gries sketch +
+    // exact re-count (operators.FrequentItems): candidates come from
+    // an O(k)-state aggregate (never a full-cardinality shuffle), the
+    // verify pass makes the answer exact, so plain GROUP BY/HAVING is
+    // a valid oracle. Skew is PLANTED (20% of rows split over 3 hot
+    // keys ≈ 6.6% each vs the 5% support line; cold keys are per-order
+    // noise far below it) so the result is non-empty with wide margin
+    // at every SF — no boundary coin-flips (the q30 lesson).
+    "q87_heavy_hitters" -> ((s, d) => {
+      val keyed = Tables(s, d, "lineitem").select(
+        when(col("l_orderkey") % 5 === 0,
+          concat(lit("hot_"), col("l_orderkey") % 3))
+          .otherwise(concat(lit("cold_"), col("l_orderkey"))).as("item"))
+      graft.operators.FrequentItems.exactHeavyHitters(keyed, "item", 0.05)
+    }),
+
     // skew-aware join — must produce exactly the plain-join result.
     // Adaptive: hot keys (sampled estimate > threshold) take the salted
     // path, everything else an ordinary hash join — on this uniform
@@ -139,6 +155,22 @@ object OlapQueries {
         | MIN(l_quantity) AS min_qty,
         | MAX(l_quantity) AS max_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // the Spark side's sketch pass only PRUNES candidates; the verify
+    // pass is exact, so the oracle is the direct definition. The HAVING
+    // threshold multiplies the same IEEE double (0.05 * n) on both
+    // engines — and the planted counts sit far from the line anyway.
+    "q87_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN l_orderkey % 5 = 0
+        |              THEN 'hot_' || CAST(l_orderkey % 3 AS VARCHAR)
+        |              ELSE 'cold_' || CAST(l_orderkey AS VARCHAR) END AS item
+        |  FROM lineitem),
+        |n AS (SELECT COUNT(*) AS n FROM t)
+        |SELECT item, COUNT(*) AS cnt
+        |FROM t, n
+        |GROUP BY item, n.n
+        |HAVING CAST(COUNT(*) AS DOUBLE) >= CAST(n.n AS DOUBLE) * 0.05""".stripMargin,
 
     "q32_salted_join" ->
       """SELECT l_orderkey, o_orderpriority,

@@ -498,4 +498,28 @@ class CatalogSpec extends SparkSpec {
     cat.transaction { cat.replace("dim_tipo", tipoDf("a", "b")) }
     assert(cat.table("dim_tipo").count() === 2)
   }
+
+  test("mergeUpsert: replaces matched keys, inserts new, one atomic version per merge") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("cat_upsert").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    // upsert into a MISSING table: the deduped batch becomes v1 with
+    // exactly the declared columns (the ordering column must not leak)
+    val b1 = Seq((1, "a", 1), (2, "b-old", 1), (2, "b", 2))
+      .toDF("id_tipo", "nome_tipo", "seq")
+    cat.mergeUpsert("dim_tipo", b1, Seq("id_tipo"), Seq(col("seq")))
+    assert(cat.table("dim_tipo").columns.toSeq === Seq("id_tipo", "nome_tipo"))
+    assert(cat.table("dim_tipo").as[(Int, String)].collect().sortBy(_._1).toSeq
+      === Seq((1, "a"), (2, "b")))
+    // second merge: id 2 updated in place, id 3 inserted, id 1 kept
+    val v1 = cat.versions("dim_tipo").max
+    val b2 = Seq((2, "b2", 3), (3, "c", 1)).toDF("id_tipo", "nome_tipo", "seq")
+    cat.mergeUpsert("dim_tipo", b2, Seq("id_tipo"), Seq(col("seq")))
+    assert(cat.table("dim_tipo").as[(Int, String)].collect().sortBy(_._1).toSeq
+      === Seq((1, "a"), (2, "b2"), (3, "c")))
+    // one replace commit per merge; the pre-merge state is time-travelable
+    assert(cat.versions("dim_tipo").max === v1 + 1)
+    assert(cat.tableAt("dim_tipo", v1).as[(Int, String)].collect().sortBy(_._1).toSeq
+      === Seq((1, "a"), (2, "b")))
+  }
 }

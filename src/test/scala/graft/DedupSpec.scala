@@ -216,4 +216,36 @@ class DedupSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect()
     assert(top.toSeq === Seq(100L))
   }
+
+  test("containmentPairs finds the prefix-contained doc Jaccard misses") {
+    // parent: 60 distinct words; child: its first 15 words. Every child
+    // shingle is a parent shingle → containment 1.0, while Jaccard is
+    // only ~13/58 ≈ 0.22 — below any useful near-dup threshold.
+    val ws = (0 until 60).map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val docs = Seq((1, ws.mkString(" ")), (2, ws.take(15).mkString(" ")))
+      .toDF("id", "text")
+    val got = Dedup.containmentPairs(docs, "id", "text",
+      k = 3, threshold = 0.9, maxDocFreq = 5)
+      .as[(Int, Int, Double)].collect()
+    assert(got.toSeq === Seq((1, 2, 1.0)))
+    val Array(pa, ch) = docs
+      .select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Int, Seq[String])].collect().sortBy(_._1).map(_._2)
+    assert(ch.toSet.subsetOf(pa.toSet) &&
+      ch.size.toDouble / (pa.toSet ++ ch.toSet).size < 0.5)
+  }
+
+  test("containmentPairs: ubiquitous shingles are dropped, so shared boilerplate is not containment") {
+    // 10 docs = same 5-word boilerplate + a unique tail word. All
+    // boilerplate shingles have doc-frequency 10 > maxDocFreq and are
+    // dropped; each doc keeps only its unique tail shingle → no pairs.
+    // Without the guard every doc pair would score ~3/4 shared.
+    val docs = (0 until 10).map { i =>
+      val uniq = s"uq${('a' + i).toChar}${('a' + i).toChar}"
+      (i, s"common one two three four $uniq")
+    }.toDF("id", "text")
+    val got = Dedup.containmentPairs(docs, "id", "text",
+      k = 3, threshold = 0.5, maxDocFreq = 5)
+    assert(got.count() === 0L)
+  }
 }

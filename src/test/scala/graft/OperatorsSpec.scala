@@ -91,7 +91,7 @@ class Scd2Spec extends SparkSpec {
 }
 
 import org.apache.spark.sql.functions._
-import graft.operators.{MergeIgnore, SurrogateKeys}
+import graft.operators.{MergeIgnore, MergeUpsert, SurrogateKeys}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -109,6 +109,31 @@ class OperatorsSpec extends SparkSpec {
     val afterFirst = MergeIgnore.newRows(batch, null, Seq("k"))
     val second = MergeIgnore.newRows(batch, afterFirst, Seq("k"))
     assert(second.count() === 0)
+  }
+
+  test("MergeUpsert.upsert: updates matched, inserts new, keeps untouched; latest batch row wins") {
+    val existing = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val batch = Seq(
+      (2, "b1", 21.0, 1), (2, "b2", 22.0, 2), // conflicting versions: seq 2 wins
+      (4, "d", 40.0, 1))                      // new key → insert
+      .toDF("id", "name", "bal", "seq")
+    val out = MergeUpsert.upsert(existing, batch, Seq("id"), orderBy = Seq(col("seq")))
+    // ordering column stays in the batch, never in the result
+    assert(out.columns.toSeq === Seq("id", "name", "bal"))
+    val rows = out.as[(Int, String, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1, "a", 10.0),  // untouched
+      (2, "b2", 22.0), // replaced by latest batch version
+      (3, "c", 30.0),  // untouched
+      (4, "d", 40.0))) // inserted
+  }
+
+  test("MergeUpsert.upsert: idempotent — re-merging the same batch changes nothing") {
+    val batch = Seq((1, "a", 1.0, 1), (2, "b", 2.0, 1)).toDF("id", "name", "bal", "seq")
+    val first = MergeUpsert.upsert(null, batch, Seq("id"), Seq(col("seq")))
+    val again = MergeUpsert.upsert(first, batch, Seq("id"), Seq(col("seq")))
+    assert(again.exceptAll(first).count() === 0 && first.exceptAll(again).count() === 0)
   }
 
   test("SurrogateKeys.assign: dense 1..n in key order, offset respected") {
