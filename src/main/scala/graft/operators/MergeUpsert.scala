@@ -47,7 +47,12 @@ object MergeUpsert {
       case null => survivors
       case ex =>
         val latest = survivors.select(ex.columns.map(col).toIndexedSeq: _*)
-        ex.join(latest.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        // anti-join against the RAW batch's distinct keys, not the
+        // windowed survivors: the key sets are identical, and this keeps
+        // the window/sort subtree out of the broadcast build side (the
+        // survivor exchange is still computed only once — AQE reuses it
+        // for the union side)
+        ex.join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
           .unionByName(latest)
     }
   }

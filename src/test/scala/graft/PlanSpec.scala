@@ -128,6 +128,36 @@ class PlanSpec extends SparkSpec {
     assert(scan.count() === 4, "pruned scan must read exactly one month")
   }
 
+  test("q87: the sketch is partial-aggregated; only k-sized buffers reach the merge") {
+    val p = finalPlan("q87_heavy_hitters")
+    assert(p.contains("partial_misra_gries"),
+      s"q87 lost map-side sketch partials (full rows now shuffle to one task):\n$p")
+    // the verify pass must drop non-candidates at the 1-row broadcast
+    // (array_contains as join condition), never sort-merge anything
+    assert(!p.contains("SortMergeJoin"), s"q87 grew a sort-merge join:\n$p")
+    assert(p.contains("array_contains"),
+      s"q87's candidate filter left the join (full table now aggregates):\n$p")
+  }
+
+  test("q88: batch survivor selection is a pre-shuffle WindowGroupLimit, no sort-merge join") {
+    val p = finalPlan("q88_merge_upsert")
+    // Spark's rank-filter rewrite must kick in: each map task keeps only
+    // its per-key top-1 BEFORE the window shuffle — at fact scale the
+    // exchange then moves O(|keys|) rows, not the whole batch
+    assert(p.contains("WindowGroupLimit"),
+      s"q88 lost the WindowGroupLimit pushdown (whole batch now shuffles):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q88's anti-join degraded to sort-merge:\n$p")
+    assert(p.contains("LeftAnti"), s"q88 lost its anti-join:\n$p")
+  }
+
+  test("q89: the containment self-join is a hash join on the shingle, never all-pairs") {
+    val p = finalPlan("q89_containment")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"q89's inverted-index join must hash-join on the shingle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q89 went all-pairs:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
