@@ -557,6 +557,105 @@ final class Catalog(val spark: SparkSession, val root: String,
     Some(if (seen) mx else 0L)
   }
 
+  /** Commit-pruned range read: rows of `table` with
+    * `lo <= column <= hi`, planning ONLY the commits whose footer
+    * [min, max] for `column` intersects the range — the manifest-level
+    * FILE skipping a table format (Delta/Iceberg column stats) serves
+    * from its metadata. Spark's parquet reader already skips row
+    * groups inside a file, but it still lists, opens, and schedules a
+    * task for every file of every commit; with thousands of
+    * accumulated commits at warehouse scale, that fixed per-file cost
+    * is the read's floor. Here the driver drops whole commits from the
+    * plan using footer metadata only (same I/O class as [[maxId]]),
+    * then applies the exact residual filter on what remains — pruning
+    * is a planning optimization, never a semantics change. Commits
+    * whose stats are unusable (missing column, non-integral type,
+    * stats disabled by the writer) are conservatively kept. */
+  def tableWhere(table: String, column: String, lo: Long, hi: Long): DataFrame = {
+    val schema = Schemas.schemaOf(table)
+    require(Seq(org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(schema(column).dataType),
+      s"tableWhere prunes integral columns only; $table.$column is " +
+        schema(column).dataType.simpleString)
+    val kept = commitsInRange(table, column, lo, hi)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else kept.map { c =>
+        spark.read.schema(schema).option("basePath", c).parquet(c)
+          .select(schema.fieldNames.map(col): _*)
+      }.reduce(_.unionAll(_))
+    base.filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** The live commits whose `column` footer range intersects [lo, hi]
+    * — the pruning core, exposed for spec observability. Unknown stats
+    * keep the commit (pruning must never drop rows it cannot prove
+    * absent). */
+  private[graft] def commitsInRange(table: String, column: String,
+                                    lo: Long, hi: Long): Seq[String] =
+    liveCommits(table).filter { c =>
+      commitRange(c, column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+
+  /** [min, max] of an integral column across one commit's parquet
+    * footers; None when any populated row group lacks usable stats
+    * (same integral-physical-type rules as [[footerMaxId]] — a
+    * logical type over int storage would surface its RAW value as a
+    * plausible bound). An all-null or row-less commit yields the empty
+    * range (Long.MaxValue, Long.MinValue), which intersects nothing —
+    * correctly prunable for any value predicate. A manifest-listed dir
+    * that is missing is corruption, not a stats gap: fail loudly. */
+  private def commitRange(dir: String, column: String): Option[(Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"live commit dir is missing: $dir — the manifest references " +
+          "files that no longer exist (external deletion or vacuum race)")
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    val files = fs.listFiles(p, true)
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          for (b <- reader.getFooter.getBlocks.asScala; if b.getRowCount > 0) {
+            b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+              case Some(cc) =>
+                val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
+                val integral = ann match {
+                  case null => true
+                  case i: org.apache.parquet.schema
+                    .LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+                  case _ => false
+                }
+                if (!integral) return None
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty) return None
+                if (st.hasNonNullValue) (st.genericGetMin, st.genericGetMax) match {
+                  case (a: java.lang.Long, b2: java.lang.Long) =>
+                    mn = math.min(mn, a.longValue()); mx = math.max(mx, b2.longValue())
+                  case (a: java.lang.Integer, b2: java.lang.Integer) =>
+                    mn = math.min(mn, a.longValue()); mx = math.max(mx, b2.longValue())
+                  case _ => return None
+                }
+              case None => return None // column absent (e.g. a partition column)
+            }
+          }
+        } finally reader.close()
+      }
+    }
+    Some((mn, mx))
+  }
+
   /** K3: insert-if-absent. Appends `batch` rows whose `keys` are not
     * already in `table`, deduped per key within the batch. Returns the
     * number of rows appended. */

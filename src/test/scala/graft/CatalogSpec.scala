@@ -499,6 +499,33 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("dim_tipo").count() === 2)
   }
 
+  test("tableWhere prunes commits by footer range and still answers exactly") {
+    val dir = Files.createTempDirectory("cat_skip").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    def batch(lo: Int, hi: Int) = (lo to hi).map(i => (i, s"n$i")).toDF("id_tipo", "nome_tipo")
+    cat.replace("dim_tipo", batch(1, 100))
+    cat.appendDelta("dim_tipo", batch(101, 200))
+    cat.appendDelta("dim_tipo", batch(201, 300))
+    // a range inside the middle commit plans exactly ONE of the three
+    assert(cat.commitsInRange("dim_tipo", "id_tipo", 150, 160).size === 1)
+    val got = cat.tableWhere("dim_tipo", "id_tipo", 150, 160)
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq === (150 to 160).map(i => (i, s"n$i")))
+    // a boundary-spanning range keeps both touched commits, drops the third
+    assert(cat.commitsInRange("dim_tipo", "id_tipo", 90, 110).size === 2)
+    assert(cat.tableWhere("dim_tipo", "id_tipo", 90, 110).count() === 21)
+    // out-of-range: zero commits planned, empty result with the schema
+    assert(cat.commitsInRange("dim_tipo", "id_tipo", 999, 1999).isEmpty)
+    assert(cat.tableWhere("dim_tipo", "id_tipo", 999, 1999).count() === 0)
+    // a column without usable integral stats keeps everything (pruning
+    // must never drop what it cannot prove absent) …
+    assert(cat.commitsInRange("dim_tipo", "nome_tipo", 0, 1).size === 3)
+    // … and tableWhere refuses non-integral columns loudly
+    intercept[IllegalArgumentException] {
+      cat.tableWhere("dim_tipo", "nome_tipo", 0, 1)
+    }
+  }
+
   test("mergeUpsert: replaces matched keys, inserts new, one atomic version per merge") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("cat_upsert").toString
