@@ -68,4 +68,55 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bk")
   }
+
+  /** Interval-OVERLAP join: inner join of two interval sets on
+    * half-open overlap (`loL < hiR AND loR < hiL`) — the temporal
+    * overlap query (concurrent sessions, conflicting bookings,
+    * validity-window intersection) that q86's point-in-interval shape
+    * doesn't cover. Same bucket rewrite, both sides exploded.
+    *
+    * Duplicate suppression without a shuffle: two overlapping
+    * intervals share every bucket their intersection touches, so a
+    * naive bucket join emits the pair once per shared bucket. Each
+    * pair is kept only in its CANONICAL bucket — the later of the two
+    * start buckets, which (proof in the predicate) is always shared by
+    * a truly-overlapping pair — so every true pair survives exactly
+    * once and no dropDuplicates exchange is needed. Column names of
+    * the four bound columns must be distinct across the two inputs
+    * (the exact verify references all four after the join). */
+  def binnedOverlapJoin(left: DataFrame, right: DataFrame,
+                        loL: String, hiL: String, loR: String, hiR: String,
+                        binWidth: Double,
+                        maxBucketsPerInterval: Long = 100000L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
+    require(Seq(loL, hiL, loR, hiR).distinct.size == 4,
+      "interval bound columns must have four distinct names")
+    for (df <- Seq(left, right); c <- Seq("__bk", "__lbk0", "__rbk0"))
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before joining")
+    def bucket(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    def exploded(df: DataFrame, lo: String, hi: String, startCol: String) = {
+      val span = bucket(col(hi)) - bucket(col(lo)) + 1
+      df.withColumn(startCol, bucket(col(lo)))
+        .withColumn("__bk",
+          explode(when(span > maxBucketsPerInterval,
+            raise_error(concat(
+              lit(s"overlap-join interval spans more than $maxBucketsPerInterval " +
+                s"buckets at binWidth $binWidth: ["),
+              col(lo).cast("string"), lit(", "), col(hi).cast("string"),
+              lit(") — raise binWidth or clamp sentinel bounds"))))
+            .otherwise(sequence(col(startCol), bucket(col(hi))))))
+    }
+    val l = exploded(left, loL, hiL, "__lbk0")
+    val r = exploded(right, loR, hiR, "__rbk0")
+    l.join(r.hint("shuffle_hash"), "__bk")
+      // canonical bucket: max of the start buckets. For a true overlap
+      // (loR < hiL, wlog __rbk0 is the max) it lies in BOTH covers:
+      // __rbk0 >= __lbk0 by choice, and loR < hiL ⇒ __rbk0 <= ⌊hiL/w⌋.
+      .where(col("__bk") === greatest(col("__lbk0"), col("__rbk0")) &&
+        col(loL) < col(hiR) && col(loR) < col(hiL))
+      .drop("__bk", "__lbk0", "__rbk0")
+  }
 }

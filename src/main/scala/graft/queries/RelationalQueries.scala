@@ -99,6 +99,29 @@ object RelationalQueries {
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_parts"),
           sum(dec(col("p_retailprice"))).cast("double").as("total_price"))
+    }),
+
+    // interval-OVERLAP join (RangeJoin.binnedOverlapJoin): week-long
+    // order windows × 10-day order windows from two customer strata —
+    // the temporal-overlap shape (concurrent sessions, conflicting
+    // bookings) q86's point-in-interval rewrite doesn't cover. The
+    // canonical-bucket dedup keeps each true pair exactly once, so the
+    // oracle is the plain non-equi overlap join.
+    "q91_interval_overlap" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      def day(c: org.apache.spark.sql.Column) =
+        datediff(to_date(c), to_date(lit("1992-01-01")))
+      val l = o.filter(col("o_custkey") % 100 === 0).select(
+        col("o_orderkey").as("l_id"),
+        day(col("o_orderdate")).cast("long").as("l_lo"),
+        (day(col("o_orderdate")) + 7).cast("long").as("l_hi"))
+      val r = o.filter(col("o_custkey") % 97 === 0).select(
+        col("o_orderkey").as("r_id"),
+        day(col("o_orderdate")).cast("long").as("r_lo"),
+        (day(col("o_orderdate")) + 10).cast("long").as("r_hi"))
+      graft.operators.RangeJoin.binnedOverlapJoin(l, r,
+        "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 8.0)
+        .select(col("l_id"), col("r_id"))
     })
   )
 
@@ -151,6 +174,20 @@ object RelationalQueries {
         |SELECT band, COUNT(*) AS n_parts,
         | CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q91_interval_overlap" ->
+      """WITH l AS (
+        |  SELECT o_orderkey AS l_id,
+        |         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS l_lo,
+        |         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + 7 AS l_hi
+        |  FROM orders WHERE o_custkey % 100 = 0),
+        |r AS (
+        |  SELECT o_orderkey AS r_id,
+        |         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS r_lo,
+        |         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + 10 AS r_hi
+        |  FROM orders WHERE o_custkey % 97 = 0)
+        |SELECT l_id, r_id
+        |FROM l JOIN r ON l_lo < r_hi AND r_lo < l_hi""".stripMargin
   )
 }

@@ -68,4 +68,34 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.binnedPointJoin(df, df, "lo", "lo", "hi", 0.0)
     }
   }
+
+  test("binnedOverlapJoin equals the plain overlap join and emits each pair once") {
+    import spark.implicits._
+    // varied lengths (1..23 days at binWidth 5 → spans 1..5+ buckets),
+    // deterministic spread over a 200-day domain
+    val l = (1 to 40).map { i =>
+      val lo = (i * 37) % 200; (i, lo.toLong, (lo + 1 + i % 23).toLong)
+    }.toDF("l_id", "l_lo", "l_hi")
+    val r = (1 to 35).map { i =>
+      val lo = (i * 53) % 200; (i + 1000, lo.toLong, (lo + 1 + i % 17).toLong)
+    }.toDF("r_id", "r_lo", "r_hi")
+    val got = RangeJoin.binnedOverlapJoin(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+      binWidth = 5.0).select("l_id", "r_id")
+    val want = l.join(r, col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
+      .select("l_id", "r_id")
+    // exactly-once: multiset equality against the plain join (a pair
+    // surviving in two shared buckets would break exceptAll both ways)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    assert(got.count() === got.distinct().count())
+    assert(got.count() > 0)
+  }
+
+  test("binnedOverlapJoin: touching half-open intervals do not overlap") {
+    import spark.implicits._
+    val l = Seq((1, 0L, 10L)).toDF("l_id", "l_lo", "l_hi")
+    val r = Seq((2, 10L, 20L), (3, 9L, 12L)).toDF("r_id", "r_lo", "r_hi")
+    val got = RangeJoin.binnedOverlapJoin(l, r, "l_lo", "l_hi", "r_lo", "r_hi", 4.0)
+      .select("r_id").as[Int].collect()
+    assert(got.toSeq === Seq(3)) // [0,10) meets [10,20) only at the open edge
+  }
 }
