@@ -111,6 +111,50 @@ object Similarity {
     * self-join exchange — shared by both sides via repartition +
     * shuffle_hash (exchange reuse) — and the tiny candidate dedup.
     */
+  /** SemDeDup-style cluster-scoped semantic prune: within each cluster
+    * (a precomputed assignment — k-means via [[Ivf]], a sign-bucket key,
+    * or any upstream partition of the corpus), drop a row when a
+    * LOWER-ID row of the same cluster sits within `threshold` cosine of
+    * it. Output: (id, cluster, keep) for every input row — the caller
+    * filters `keep` to materialize the pruned corpus.
+    *
+    * The keep rule is min-id — deterministic across engines and cluster
+    * layouts (no RNG, no partition-order dependence), and transitive-
+    * safe: the lowest id of every semantic group always survives, so
+    * the pruned corpus is never empty per group.
+    *
+    * Scale shape (100 TB): this is the second half of SemDeDup — the
+    * clustering step bounds cluster sizes (k chosen so n/k rows fit a
+    * partition), and THIS step's only exchange is one shuffle on the
+    * cluster key, shared by both join sides via repartition +
+    * shuffle_hash (exchange reuse: the corpus is scanned and normed
+    * once). Per-cluster all-pairs is the algorithm's contract, not an
+    * accident — pruning quadratic work is exactly what the clustering
+    * stage is for, so an unbounded cluster is an upstream bug; the
+    * bucketed [[signBucketPairs]] (with its hot-bucket sub-split) is
+    * the right tool when no bounded clustering exists.
+    *
+    * Norms are projected BEFORE the self-join (the join blocks
+    * projection collapse) so each pair costs one fused dot product. */
+  def semanticPrune(df: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, threshold: Double): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(clusterCol).as("ck"),
+      col(vecCol).as("v"),
+      sqrt(dotD(col(vecCol), col(vecCol))).as("__n"))
+      .repartition(col("ck"))
+    val a = e.as("a").hint("shuffle_hash")
+    val b = e.as("b").hint("shuffle_hash")
+    val dropped = a.join(b,
+        col("a.ck") === col("b.ck") && col("a.id") < col("b.id"))
+      .filter(dotD(col("a.v"), col("b.v")) /
+        (col("a.__n") * col("b.__n")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+      .withColumn("__drop", lit(true))
+    df.select(col(idCol).as("id"), col(clusterCol).as("cluster"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("__drop").isNull.as("keep"))
+  }
+
   def signBucketPairs(df: DataFrame, idCol: String, vecCol: String,
                       dims: Int, threshold: Double, planes: Int = 16,
                       tables: Int = 1, maxBucketSize: Int = 10000,

@@ -134,6 +134,26 @@ object DedupQueries {
         dims = 64, threshold = 0.999)
     }),
 
+    // SemDeDup-style semantic prune: the embeddings table's label
+    // column stands in for the k-means assignment (the clustering step
+    // is [[graft.operators.Ivf]]'s job and is covered by IvfSpec; a
+    // k-means label is not SQL-oracle-able, a GIVEN cluster column is).
+    // Planted ×2-scaled copies carry their original's label, land in
+    // the same cluster at cosine 1, and get pruned by the min-id keep
+    // rule; natural intra-label pairs top out near 0.5 cosine — far
+    // under the 0.999 line, so the verdict is deterministic on both
+    // engines despite float-accumulation-order differences.
+    "q93_semantic_prune" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val batch = emb.select("vec_id", "embedding", "label").unionAll(
+        emb.filter(col("vec_id") % MutMod === 0).select(
+          (col("vec_id") + MutOff).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+          col("label")))
+      Similarity.semanticPrune(batch, "vec_id", "embedding", "label", 0.999)
+        .select(col("id").as("vec_id"), col("cluster").as("label"), col("keep"))
+    }),
+
     // embedding near-dup where the planted copies are NOISED, not
     // parallel (cos ≈ 0.992-0.994): a single 16-plane bucketing misses
     // several planted pairs (signs flip on a few planes), so this query
@@ -391,6 +411,23 @@ object DedupQueries {
          |  WHERE a.vec_id < b.vec_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id FROM p WHERE cos > 0.999""".stripMargin,
+
+    // the oracle replays the same given-cluster algorithm: all pairs
+    // within a label, exact cosine, min-id keep rule
+    "q93_semantic_prune" ->
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $MutOff, list_transform(embedding, x -> CAST(x * 2 AS REAL)), label
+         |  FROM embeddings WHERE vec_id % $MutMod = 0),
+         |p AS (
+         |  SELECT a.vec_id AS aid, b.vec_id AS bid, $duckCos AS cos
+         |  FROM eb a, eb b, generate_series(1, 64) i(i)
+         |  WHERE a.label = b.label AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |d AS (SELECT DISTINCT bid FROM p WHERE cos >= 0.999)
+         |SELECT eb.vec_id, eb.label, d.bid IS NULL AS keep
+         |FROM eb LEFT JOIN d ON eb.vec_id = d.bid""".stripMargin,
 
     // brute-force all-pairs ground truth: the Spark side must achieve
     // exact recall with its 8-bucketing LSH for the hashes to match.

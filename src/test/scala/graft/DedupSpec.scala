@@ -88,6 +88,23 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("semanticPrune: min-id keep rule within clusters, clusters never interact") {
+    // cluster 10: id 1 ∥ id 2 (×2 scale, cos 1 → 2 dropped); id 3 is
+    // ANTI-parallel (cos −1 — similar direction test must not fire).
+    // cluster 20: id 4 orthogonal to nothing — kept; id 5 parallel to
+    // id 1 but in a DIFFERENT cluster, so it must survive.
+    val rows = Seq(
+      (1L, Seq(1f, 0f, 0f), 10), (2L, Seq(2f, 0f, 0f), 10),
+      (3L, Seq(-1f, 0f, 0f), 10),
+      (4L, Seq(0f, 1f, 0f), 20), (5L, Seq(1f, 0f, 0f), 20))
+      .toDF("id", "vec", "ck")
+    val out = Similarity.semanticPrune(rows, "id", "vec", "ck", 0.999)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._3).toSeq ===
+      Seq(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> true))
+    assert(out.map(_._2).toSeq === Seq(10, 10, 10, 20, 20))
+  }
+
   test("native simhash_bits matches the composed builtin form on real docs") {
     val diff = Tables(spark, sf001, "documents")
       .select(Dedup.simhashBits(col("text")).as("fast"),

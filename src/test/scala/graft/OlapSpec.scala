@@ -18,6 +18,26 @@ class OlapSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("q92: union-merged per-group HLL sketches equal the direct global sketch") {
+    // the capability q92 sells: a rollup over persisted per-group
+    // sketch partials gives the SAME estimate as sketching the base
+    // data directly — sketch union is register-max, which commutes
+    // with how the direct sketch absorbed the same hashed values, so
+    // equality is exact, not approximate.
+    val o = Tables(spark, sf0001, "orders")
+    val merged = o.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .as[Long].head()
+    val direct = o.agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))))
+      .as[Long].head()
+    assert(merged === direct, s"merged=$merged direct=$direct")
+    // and the estimate actually estimates: within q92's 10% verdict line
+    val exact = o.agg(countDistinct(col("o_custkey"))).as[Long].head()
+    assert(math.abs(merged - exact).toDouble / exact < 0.10,
+      s"merged=$merged exact=$exact")
+  }
+
   test("saltedJoin equals the plain join (inner and left)") {
     val big = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"), (1, "e"))
       .toDF("k", "v")
