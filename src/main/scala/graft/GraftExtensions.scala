@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{BloomMightContain, DotProductFloat, LangId, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, WordShingles}
+import graft.expressions.{BloomMightContain, DotProductFloat, LangId, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, WinnowFingerprints, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SignBucketKeys.registration)
     ext.injectFunction(BloomMightContain.registration)
     ext.injectFunction(MisraGries.registration)
+    ext.injectFunction(WinnowFingerprints.registration)
   }
 }

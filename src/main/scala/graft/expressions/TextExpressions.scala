@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
@@ -472,6 +472,152 @@ object NfcNormalize {
     })
 }
 
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS local
+  * fingerprinting): md5 each of the text's character k-grams, slide a
+  * w-hash window over them, keep each window's minimum digest, return
+  * the distinct minima as hex strings in first-occurrence order.
+  *
+  * Guarantee: two texts sharing any substring of length >= w + k - 1
+  * share at least one fingerprint — the shared region contains a full
+  * window of identical k-gram hashes on both sides, and both keep that
+  * window's minimum. Expected density is ~2/(w+1), so the inverted
+  * index carries ~|text|/w entries per doc instead of one per
+  * character — the property that makes exact-substring dedup feasible
+  * at corpus scale without suffix arrays.
+  *
+  * Semantics are EXACTLY the composed
+  * `array_distinct(transform(windows, j -> array_min(slice(grams, j, w))))`
+  * over `md5(substring(text, i, k))` grams — k-grams index by code
+  * point exactly as `substring` does, and unsigned-byte digest order
+  * equals lexicographic hex order — so the composed form survives as
+  * the DedupSpec parity reference and the DuckDB oracle replays it
+  * relationally. This fused loop finds code-point offsets once, runs
+  * one md5 per gram, and takes window minima with an O(g) monotonic
+  * deque; the composed HOF tree re-slices per window (O(g*w) with
+  * per-window allocation, ~two orders slower on real docs).
+  *
+  * A text with fewer than w grams (but at least one) yields the single
+  * minimum over all its grams — a whole-doc fingerprint, so a short
+  * doc quoted inside a long one is still caught. k and w must be
+  * foldable positive ints.
+  */
+case class WinnowFingerprints(first: Expression, second: Expression,
+                              third: Expression)
+  extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = WinnowFingerprints.name
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!(first.dataType == StringType &&
+        second.dataType == IntegerType && second.foldable &&
+        third.dataType == IntegerType && third.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        s"${WinnowFingerprints.name} expects (string, foldable int k, foldable int w)")
+    else (second.eval(null), third.eval(null)) match {
+      case (kk: Int, ww: Int) if kk > 0 && ww > 0 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"${WinnowFingerprints.name} expects non-null ints k > 0 and w > 0, got $other")
+    }
+
+  @transient private lazy val k: Int = second.eval(null).asInstanceOf[Int]
+  @transient private lazy val w: Int = third.eval(null).asInstanceOf[Int]
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val x = (a(i) & 0xff) - (b(i) & 0xff)
+      if (x != 0) return x
+      i += 1
+    }
+    0
+  }
+
+  private val hexTab = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexTab((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexTab(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(text: Any, kAny: Any, wAny: Any): Any = {
+    val bytes = text.asInstanceOf[UTF8String].getBytes
+    // code-point start offsets (a UTF-8 byte starts a code point unless
+    // it is a continuation byte 10xxxxxx) — k-grams must index by code
+    // point to match `substring`, and md5 over the raw byte range is
+    // md5(substring(...)) because md5 digests the UTF-8 encoding
+    val offs = new Array[Int](bytes.length + 1)
+    var nChars = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) { offs(nChars) = b; nChars += 1 }
+      b += 1
+    }
+    offs(nChars) = bytes.length
+    val g = nChars - k + 1
+    if (g <= 0) return new GenericArrayData(Array.empty[Any])
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = new Array[Array[Byte]](g)
+    var i = 0
+    while (i < g) {
+      md.reset()
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      digests(i) = md.digest()
+      i += 1
+    }
+
+    val seen = mutable.LinkedHashSet.empty[String] // first-occurrence order
+    if (g <= w) {
+      var min = digests(0)
+      i = 1
+      while (i < g) {
+        if (cmpBytes(digests(i), min) < 0) min = digests(i)
+        i += 1
+      }
+      seen += hex(min)
+    } else {
+      // monotonic deque of indices: head is the current window minimum
+      val dq = new Array[Int](g)
+      var head = 0; var tail = 0 // [head, tail)
+      i = 0
+      while (i < g) {
+        while (tail > head && cmpBytes(digests(dq(tail - 1)), digests(i)) >= 0)
+          tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) seen += hex(digests(dq(head)))
+        i += 1
+      }
+    }
+    new GenericArrayData(
+      seen.iterator.map(x => UTF8String.fromString(x): Any).toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): WinnowFingerprints =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object WinnowFingerprints {
+  val name = "winnow_fingerprints"
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[WinnowFingerprints].getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3, s"$name takes 3 arguments, got ${exprs.length}")
+      WinnowFingerprints(exprs.head, exprs(1), exprs(2))
+    })
+}
+
 object TextExpressions {
   /** Distinct k-shingles of [a-z] word runs, fused native loop. */
   def wordShingles(text: Column, k: Int): Column =
@@ -488,6 +634,13 @@ object TextExpressions {
   /** Unicode NFC canonical composition. */
   def nfcNormalize(text: Column): Column =
     call_function(NfcNormalize.name, text)
+
+  /** Winnowing fingerprints (distinct window-min md5 hex of char
+    * k-grams), fused native loop. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    call_function(WinnowFingerprints.name, text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
 
   /** MinHash signature array (numHashes min-md5 hex strings), per row. */
   def minhashSigs(shingles: Column, numHashes: Int): Column =

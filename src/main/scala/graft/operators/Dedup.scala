@@ -173,6 +173,73 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Winnowing fingerprints — the pure-builtin composition (parity
+    * reference for the native [[graft.expressions.WinnowFingerprints]];
+    * O(g·w) interpreted HOF re-slicing vs the native O(g) deque — see
+    * the native's Scaladoc for the algorithm and guarantee). */
+  def winnowComposed(c: Column, k: Int, w: Int): Column = {
+    val g = length(c) - lit(k) + lit(1)
+    val grams = transform(sequence(lit(1), greatest(g, lit(1))),
+      i => md5(c.substr(i, lit(k))))
+    // CaseWhen evaluates only the selected branch per row, so the
+    // descending-sequence/zero-slice garbage the other branches would
+    // produce on short texts is never computed
+    array_distinct(
+      when(g <= 0, array().cast("array<string>"))
+        .when(g <= w, array(array_min(grams)))
+        .otherwise(transform(sequence(lit(1), g - lit(w) + lit(1)),
+          j => array_min(slice(grams, j, lit(w))))))
+  }
+
+  /** EXACT-substring near-dup pairs via winnowing — the dedup signal
+    * shingle-Jaccard and containment both miss: two long documents
+    * sharing one verbatim passage (a quoted paragraph, a license
+    * header, a syndicated article inside different page chrome) have
+    * tiny Jaccard AND tiny containment, but the passage itself is
+    * byte-identical. ExactSubstr dedup (suffix-array based in the
+    * single-node literature) finds it; winnowing gets the same
+    * guarantee join-shaped: any shared substring of length >= w + k - 1
+    * produces at least one shared fingerprint (see
+    * [[graft.expressions.WinnowFingerprints]]), and fingerprints are
+    * ~1 per w characters, so the index is a w-th of the corpus.
+    *
+    * Shape (100 TB): fingerprints are per-row native compute (no
+    * shuffle); document frequency is a windowed count over the SAME
+    * shuffle-by-fingerprint exchange the self-join consumes (one
+    * exchange, three consumers), fingerprints in more than `maxDocFreq`
+    * docs are dropped before the join (a ubiquitous span — boilerplate —
+    * would make its bucket quadratic and carries no pair identity), and
+    * the join moves only (id, 32-byte fingerprint). Same maxDocFreq
+    * degradation contract as [[containmentPairs]]: a dropped-hot span
+    * costs recall on THAT span only, loudly bounded, never correctness.
+    *
+    * Returns (a_id, b_id, shared_fps) with a_id < b_id and
+    * shared_fps >= minShared — shared_fps is the number of distinct
+    * shared window-min fingerprints, a proxy for how much verbatim text
+    * the pair shares (callers wanting the exact span re-extract it from
+    * the two texts — per-pair work on the candidate set, not the
+    * corpus). One fingerprint ≈ one w-char stretch, so minShared > 1
+    * separates real passage sharing from a single incidentally-shared
+    * k-gram that happened to be a window minimum on both sides.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 16, maxDocFreq: Int = 20,
+                  minShared: Int = 1): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      explode(graft.expressions.TextExpressions
+        .winnowFingerprints(col(textCol), k, w)).as("f"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+    val idx = fp.repartition(col("f"))
+      .withColumn("__df", count(lit(1)).over(wg))
+      .filter(col("__df") <= maxDocFreq).drop("__df")
+    idx.as("a").hint("shuffle_hash")
+      .join(idx.as("b").hint("shuffle_hash"),
+        col("a.f") === col("b.f") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Connected components over near-dup pairs: each doc gets the
     * minimum doc id reachable through the pair graph (its cluster
     * representative — the canonical-document selection step that

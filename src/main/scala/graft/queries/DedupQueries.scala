@@ -134,6 +134,28 @@ object DedupQueries {
         dims = 64, threshold = 0.999)
     }),
 
+    // exact-substring (shared verbatim span) dedup via winnowing:
+    // planted copies keep the original's text from char 101 on under a
+    // fresh prefix — same long suffix, different document — the case
+    // whole-doc Jaccard/containment under-score but ExactSubstr-style
+    // dedup must catch. Guarantee: k=8, w=16 detects any shared span
+    // >= 23 chars; the planted suffixes share hundreds. Short docs
+    // (< 300 chars) are not planted so every planted pair has a real
+    // span. minShared=3 reports pairs sharing a substantial stretch
+    // (planted suffixes share tens of fingerprints; same-vocab
+    // synthetic docs incidentally share 1-2), and any borderline case
+    // resolves identically on both engines — the oracle replays the
+    // identical algorithm, maxDocFreq drop included.
+    "q94_winnow_spans" -> ((s, d) => {
+      val base = docs(s, d)
+      val batch = base.unionAll(
+        base.filter(col("doc_id") % MutMod === 0 && length(col("text")) >= 300)
+          .select((col("doc_id") + MutOff).as("doc_id"),
+            concat(lit("WINNOW-PREFIX "), expr("substring(text, 101)")).as("text")))
+      Dedup.winnowPairs(batch, "doc_id", "text", k = 8, w = 16,
+        maxDocFreq = 20, minShared = 3)
+    }),
+
     // SemDeDup-style semantic prune: the embeddings table's label
     // column stands in for the k-means assignment (the clustering step
     // is [[graft.operators.Ivf]]'s job and is covered by IvfSpec; a
@@ -411,6 +433,37 @@ object DedupQueries {
          |  WHERE a.vec_id < b.vec_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id FROM p WHERE cos > 0.999""".stripMargin,
+
+    // full winnowing replay: md5 char-k-grams, window-of-w minima,
+    // distinct, doc-freq drop, inverted-index pair join — the engine's
+    // native expression must equal this relational form exactly
+    "q94_winnow_spans" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $MutOff AS doc_id,
+         |         'WINNOW-PREFIX ' || substr(text, 101) AS text
+         |  FROM documents WHERE doc_id % $MutMod = 0 AND length(text) >= 300),
+         |g AS (
+         |  SELECT doc_id, length(text) - 8 + 1 AS ng,
+         |    list_transform(range(1, CAST(greatest(length(text) - 8 + 1, 1) AS BIGINT) + 1),
+         |      i -> md5(substr(text, CAST(i AS INT), 8))) AS hs
+         |  FROM batch),
+         |fps AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN ng <= 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN ng <= 16 THEN [list_aggregate(hs, 'min')]
+         |         ELSE list_transform(range(1, CAST(ng - 16 + 1 AS BIGINT) + 1),
+         |                j -> list_aggregate(list_slice(hs, CAST(j AS INT), CAST(j + 15 AS INT)), 'min'))
+         |    END)) AS f FROM g),
+         |idx AS (
+         |  SELECT doc_id, f FROM (
+         |    SELECT doc_id, f, COUNT(*) OVER (PARTITION BY f) AS df FROM fps)
+         |  WHERE df <= 20)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared_fps
+         |FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 3""".stripMargin,
 
     // the oracle replays the same given-cluster algorithm: all pairs
     // within a label, exact cosine, min-id keep rule

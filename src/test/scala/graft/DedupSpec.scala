@@ -88,6 +88,41 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("native winnow_fingerprints matches the composed builtin form on real docs") {
+    val diff = Tables(spark, sf001, "documents")
+      .select(graft.expressions.TextExpressions
+        .winnowFingerprints(col("text"), 8, 16).as("fast"),
+        Dedup.winnowComposed(col("text"), 8, 16).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() === 0)
+    // multibyte + short-text edges: code-point indexing must match
+    // substring(); below-k yields empty, below-w-grams yields one fp
+    val edge = Seq("ação é ótima já", "ab", "", "abcdefghij").toDF("text")
+    val d2 = edge.select(graft.expressions.TextExpressions
+      .winnowFingerprints(col("text"), 8, 16).as("fast"),
+      Dedup.winnowComposed(col("text"), 8, 16).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(d2.count() === 0)
+    val sizes = edge.select(size(graft.expressions.TextExpressions
+      .winnowFingerprints(col("text"), 8, 16))).as[Int].collect()
+    assert(sizes.toSeq === Seq(1, 0, 0, 1))
+  }
+
+  test("winnow guarantee: any shared span of w+k-1 chars produces a shared fingerprint") {
+    // k=8, w=16 → guarantee length 23. The span sits inside completely
+    // different surroundings on each side; doc 3 shares nothing.
+    val span = "abcdefghijklmnopqrstuvw" // exactly 23 chars
+    val docs = Seq(
+      (1L, s"first document context then $span and unrelated trailing text here"),
+      (2L, s"zzz totally other page $span with different chrome around it 12345"),
+      (3L, "no overlap at all in this one, separate content entirely 67890"))
+      .toDF("id", "text")
+    val pairs = Dedup.winnowPairs(docs, "id", "text", k = 8, w = 16,
+      maxDocFreq = 100)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
   test("semanticPrune: min-id keep rule within clusters, clusters never interact") {
     // cluster 10: id 1 ∥ id 2 (×2 scale, cos 1 → 2 dropped); id 3 is
     // ANTI-parallel (cos −1 — similar direction test must not fire).

@@ -158,6 +158,19 @@ class PlanSpec extends SparkSpec {
       s"q89 went all-pairs:\n$p")
   }
 
+  test("q94: the winnow self-join hash-joins on the fingerprint over one reused exchange") {
+    val p = finalPlan("q94_winnow_spans")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q94's inverted-index join must hash-join on the fingerprint:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q94 went all-pairs:\n$p")
+    // the doc-freq window and both join sides must consume the SAME
+    // shuffle-by-fingerprint exchange — a second exchange would mean
+    // the corpus is fingerprinted twice
+    assert(p.contains("ReusedExchange"),
+      s"q94's join sides should reuse one exchange:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
