@@ -425,7 +425,6 @@ final class Catalog(val spark: SparkSession, val root: String,
   def tableAt(table: String, version: Int): DataFrame = {
     require(versions(table).contains(version),
       s"$table has no version $version (have: ${versions(table).mkString(",")})")
-    val schema = Schemas.schemaOf(table)
     // fail here, naming the cause, rather than FileNotFound deep in the
     // scan: vacuum() keeps only the LATEST version's commit dirs
     val gone = commitsAt(table, version).filterNot(c => Files.exists(Paths.get(c)))
@@ -433,28 +432,59 @@ final class Catalog(val spark: SparkSession, val root: String,
       throw new IllegalStateException(
         s"$table version $version was vacuumed: missing commit dirs " +
           gone.mkString(", "))
-    commitsAt(table, version).map { c =>
-      spark.read.schema(schema).option("basePath", c).parquet(c)
-        .select(schema.fieldNames.map(col): _*)
-    }.reduceOption(_.unionAll(_)).getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    Schemas.schemaOfOpt(table) match {
+      case Some(schema) =>
+        commitsAt(table, version).map { c =>
+          spark.read.schema(schema).option("basePath", c).parquet(c)
+            .select(schema.fieldNames.map(col): _*)
+        }.reduceOption(_.unionAll(_)).getOrElse(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      case None =>
+        // undeclared (rollup) tables: same inferred-schema read as
+        // [[table]]; a version with zero commits cannot exist for them
+        // (they are only ever created by a replace commit)
+        val commits = commitsAt(table, version)
+        require(commits.nonEmpty,
+          s"table '$table' version $version has no commits and no declared schema")
+        val first = spark.read.option("basePath", commits.head).parquet(commits.head)
+        commits.tail.map { c =>
+          spark.read.option("basePath", c).parquet(c)
+            .select(first.schema.fieldNames.map(col): _*)
+        }.foldLeft(first)(_.unionAll(_))
+    }
   }
 
   /** Read a table (union of live commits), or an empty frame with the
     * declared schema. Partition columns (fact: ano/mes) come back via
-    * per-commit basePath discovery; pruning applies per scan. */
-  def table(table: String): DataFrame = {
-    val schema = Schemas.schemaOf(table)
-    val commits = liveCommits(table)
-    if (commits.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      commits.map { c =>
-        spark.read.schema(schema).option("basePath", c).parquet(c)
-          .select(schema.fieldNames.map(col): _*)
-      }.reduce(_.unionAll(_))
+    * per-commit basePath discovery; pruning applies per scan.
+    *
+    * Tables outside the star contract (e.g. [[maintainAgg]] rollups)
+    * read back with the schema of their own commits — they exist only
+    * once written, so a missing one is a loud error, never an empty
+    * guess at a schema this catalog never declared. */
+  def table(table: String): DataFrame = Schemas.schemaOfOpt(table) match {
+    case Some(schema) =>
+      val commits = liveCommits(table)
+      if (commits.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        commits.map { c =>
+          spark.read.schema(schema).option("basePath", c).parquet(c)
+            .select(schema.fieldNames.map(col): _*)
+        }.reduce(_.unionAll(_))
+    case None =>
+      val commits = liveCommits(table)
+      require(commits.nonEmpty,
+        s"table '$table' has no declared schema and no committed data")
+      val first = spark.read.option("basePath", commits.head).parquet(commits.head)
+      // later commits align to the first's column order — appendDelta'd
+      // undeclared tables must not depend on commit-dir file listing order
+      commits.tail.map { c =>
+        spark.read.option("basePath", c).parquet(c)
+          .select(first.schema.fieldNames.map(col): _*)
+      }.foldLeft(first)(_.unionAll(_))
   }
 
   def register(table: String): Unit =
@@ -680,6 +710,26 @@ final class Catalog(val spark: SparkSession, val root: String,
     // table, so the result always carries exactly the table's columns
     // (batch-only ordering columns never leak into the commit)
     replace(table, MergeUpsert.upsert(this.table(table), batch, keys, orderBy))
+
+  /** Incremental materialized-rollup maintenance: fold `batch` into the
+    * grouped rollup `table` by merging partial aggregates
+    * ([[graft.operators.IncrementalAgg]]) — the fact is never
+    * rescanned; per-refresh cost is the batch plus the rollup grid.
+    * Published as ONE replace commit (the rollup is grid-sized, so the
+    * rewrite is cheap at any fact scale) — readers flip atomically
+    * between consistent rollup versions. The first call creates the
+    * table from the batch's partials; later calls keep that first
+    * version's dtypes (IncrementalAgg.merge casts re-widened decimal
+    * sums back), so the maintained schema is stable across arbitrarily
+    * many refreshes. */
+  def maintainAgg(table: String, batch: DataFrame, keys: Seq[String],
+                  aggs: Seq[graft.operators.IncrementalAgg.AggSpec]): Unit = {
+    val p = graft.operators.IncrementalAgg.partial(batch, keys, aggs)
+    val merged =
+      if (!exists(table)) p
+      else graft.operators.IncrementalAgg.merge(this.table(table), p, keys, aggs)
+    replace(table, merged)
+  }
 
   /** Append a pre-computed delta (already deduped/anti-joined) as a new
     * commit. The delta plan may read `table` itself; it materializes

@@ -97,4 +97,10 @@ object Schemas {
     case "dim_classificacao"   => dimClassificacao
     case "fato_lancamento"     => fatoLancamento
   }
+
+  /** Declared schema, or None for tables outside the star contract
+    * (e.g. [[Catalog.maintainAgg]] rollups, which carry their own
+    * schema in their parquet commits). */
+  def schemaOfOpt(table: String): Option[StructType] =
+    if (tableNames.contains(table)) Some(schemaOf(table)) else None
 }

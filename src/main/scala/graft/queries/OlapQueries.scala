@@ -141,6 +141,38 @@ object OlapQueries {
       perOut.unionAll(globalOut)
     }),
 
+    // Incremental materialized-rollup maintenance — the EXACT sibling
+    // of q92's sketch rollup: two disjoint batches are partial-
+    // aggregated independently and the partials merged
+    // (operators.IncrementalAgg — sum/count merge by addition, min/max
+    // by themselves), which must equal the direct one-shot GROUP BY
+    // the oracle computes. This is the algebra Catalog.maintainAgg
+    // runs per refresh: per-batch cost is the batch plus the rollup
+    // grid, the fact is NEVER rescanned (CatalogSpec covers the
+    // on-disk maintenance loop; this query proves the merge algebra).
+    // avg is derived sum/count at read — both engines divide the same
+    // exact-decimal-sum-as-double by the same count.
+    "q95_incremental_agg" -> ((s, d) => {
+      import graft.operators.IncrementalAgg
+      import graft.operators.IncrementalAgg.AggSpec
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val aggs = Seq(AggSpec("n_items", "count", "*"),
+        AggSpec("sum_qty", "sum", "__qty"),
+        AggSpec("min_qty", "min", "l_quantity"),
+        AggSpec("max_qty", "max", "l_quantity"))
+      val li = Tables(s, d, "lineitem")
+        .withColumn("__qty", dec(col("l_quantity")))
+      val b1 = li.filter(col("l_orderkey") % 2 === 0)
+      val b2 = li.filter(col("l_orderkey") % 2 =!= 0)
+      IncrementalAgg.merge(
+          IncrementalAgg.partial(b1, keys, aggs),
+          IncrementalAgg.partial(b2, keys, aggs), keys, aggs)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          (col("sum_qty").cast("double") / col("n_items")).as("avg_qty"),
+          col("min_qty"), col("max_qty"))
+    }),
+
     // EXACT heavy hitters through the native Misra-Gries sketch +
     // exact re-count (operators.FrequentItems): candidates come from
     // an O(k)-state aggregate (never a full-cardinality shuffle), the
@@ -242,6 +274,17 @@ object OlapQueries {
         | COUNT(DISTINCT o_custkey) AS exact_custkeys,
         | abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey)) / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) < 0.10 AS approx_ok
         |FROM orders""".stripMargin,
+
+    // the oracle is the direct one-shot aggregate the incremental
+    // partial-merge must equal exactly
+    "q95_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | MIN(l_quantity) AS min_qty,
+        | MAX(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY 1, 2""".stripMargin,
 
     // the Spark side's sketch pass only PRUNES candidates; the verify
     // pass is exact, so the oracle is the direct definition. The HAVING

@@ -549,4 +549,37 @@ class CatalogSpec extends SparkSpec {
     assert(cat.tableAt("dim_tipo", v1).as[(Int, String)].collect().sortBy(_._1).toSeq
       === Seq((1, "a"), (2, "b")))
   }
+
+  test("maintainAgg: refreshes equal the one-shot aggregate; schema stable; versioned") {
+    import graft.operators.IncrementalAgg
+    import graft.operators.IncrementalAgg.AggSpec
+    val dir = Files.createTempDirectory("cat_rollup").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val aggs = Seq(AggSpec("n", "count", "*"), AggSpec("s", "sum", "v"),
+      AggSpec("mx", "max", "v"))
+    def batch(rows: (String, Int)*) = rows.toDF("k", "v")
+      .withColumn("v", org.apache.spark.sql.functions.col("v")
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+    val b1 = batch(("a", 1), ("b", 2))
+    val b2 = batch(("a", 3), ("c", 4))
+    val b3 = batch(("b", 5), ("a", 6))
+    cat.maintainAgg("rollup_kv", b1, Seq("k"), aggs)
+    val schema0 = cat.table("rollup_kv").schema
+    cat.maintainAgg("rollup_kv", b2, Seq("k"), aggs)
+    cat.maintainAgg("rollup_kv", b3, Seq("k"), aggs)
+    // the decimal sum would widen +10 precision per refresh without the
+    // cast-back; the maintained table must keep its first schema
+    assert(cat.table("rollup_kv").schema === schema0)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val direct = IncrementalAgg.partial(b1.unionAll(b2).unionAll(b3), Seq("k"), aggs)
+      .select(schema0.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    assert(sorted(cat.table("rollup_kv")) === sorted(direct))
+    // each refresh is one atomic replace commit: three versions, and
+    // time travel still shows the first rollup state
+    assert(cat.versions("rollup_kv").size === 3)
+    assert(sorted(cat.tableAt("rollup_kv", cat.versions("rollup_kv").min)) ===
+      sorted(IncrementalAgg.partial(b1, Seq("k"), aggs)
+        .select(schema0.fieldNames.map(org.apache.spark.sql.functions.col): _*)))
+  }
 }

@@ -136,6 +136,48 @@ class OperatorsSpec extends SparkSpec {
     assert(again.exceptAll(first).count() === 0 && first.exceptAll(again).count() === 0)
   }
 
+  test("IncrementalAgg: merged partials equal the direct aggregate (nulls, one-sided groups)") {
+    import graft.operators.IncrementalAgg
+    import graft.operators.IncrementalAgg.AggSpec
+    // group "a" spans both batches (merge path), "b"/"c" exist on one
+    // side only (pass-through path); nulls exercise count(*)-vs-count(v)
+    // and sum/min/max null-skipping through the merge
+    val b1 = Seq(("a", Option(1)), ("a", Option.empty[Int]), ("b", Option(5))).toDF("k", "v")
+    val b2 = Seq(("a", Option(3)), ("c", Option(7))).toDF("k", "v")
+    val aggs = Seq(AggSpec("n", "count", "*"), AggSpec("nv", "count", "v"),
+      AggSpec("s", "sum", "v"), AggSpec("mn", "min", "v"), AggSpec("mx", "max", "v"))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.partial(b1, Seq("k"), aggs),
+      IncrementalAgg.partial(b2, Seq("k"), aggs), Seq("k"), aggs)
+    val direct = IncrementalAgg.partial(b1.unionAll(b2), Seq("k"), aggs)
+    assert(sorted(merged) === sorted(direct))
+  }
+
+  test("IncrementalAgg: decimal sums keep the first version's schema across merges") {
+    import graft.operators.IncrementalAgg
+    import graft.operators.IncrementalAgg.AggSpec
+    val aggs = Seq(AggSpec("s", "sum", "v"))
+    val mk = (x: String) => Seq(("a", new java.math.BigDecimal(x))).toDF("k", "v")
+      .withColumn("v", col("v").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+    val p0 = IncrementalAgg.partial(mk("1.50"), Seq("k"), aggs)
+    // each re-sum would widen precision by 10; the cast-back must hold
+    // the maintained schema at the FIRST version's dtypes forever
+    val m1 = IncrementalAgg.merge(p0, IncrementalAgg.partial(mk("2.25"), Seq("k"), aggs), Seq("k"), aggs)
+    val m2 = IncrementalAgg.merge(m1, IncrementalAgg.partial(mk("0.25"), Seq("k"), aggs), Seq("k"), aggs)
+    assert(m1.schema("s").dataType === p0.schema("s").dataType)
+    assert(m2.schema("s").dataType === p0.schema("s").dataType)
+    assert(m2.select("s").as[java.math.BigDecimal].head() ===
+      new java.math.BigDecimal("4.00"))
+  }
+
+  test("IncrementalAgg rejects non-decomposable aggregates loudly") {
+    import graft.operators.IncrementalAgg.AggSpec
+    val e = intercept[IllegalArgumentException](AggSpec("a", "avg", "v"))
+    assert(e.getMessage.contains("decomposable"))
+  }
+
   test("SurrogateKeys.assign: dense 1..n in key order, offset respected") {
     val df = Seq("b", "c", "a").toDF("nome")
     val out = SurrogateKeys.assign(df, "id", Seq("nome"), offset = 10)
