@@ -817,6 +817,80 @@ final class Catalog(val spark: SparkSession, val root: String,
     n
   }
 
+  /** Row-level DELETE WHERE with commit-granular file skipping: removes
+    * rows whose integral `column` falls in [lo, hi] by rewriting ONLY
+    * the commits whose parquet-footer [min, max] intersects the range —
+    * every other commit carries into the new version's manifest
+    * verbatim (zero read or write I/O for it), and the delete publishes
+    * as ONE atomic manifest flip: readers see the old state or the
+    * complete post-delete state, and time travel to the pre-delete
+    * version stays intact. This is the opt-out / contamination-purge
+    * shape at 100 TB — deleting one id range touches the few commits
+    * that contain it, not the table.
+    *
+    * The same conservative stats rules as [[tableWhere]] apply: a
+    * commit with unusable stats is rewritten (pruning must never skip
+    * rows it cannot prove unaffected), and NULLs never match a value
+    * range, so they survive every delete. A delete matching no commit
+    * publishes no new version. Pass the table's layout so rewritten
+    * commits keep it. Returns the number of rows deleted.
+    */
+  def deleteWhere(table: String, column: String, lo: Long, hi: Long,
+                  partitionBy: Seq[String] = Seq.empty,
+                  clusterBy: Seq[String] = Seq.empty): Long = {
+    val schema = Schemas.schemaOf(table)
+    require(Seq(org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(schema(column).dataType),
+      s"deleteWhere prunes integral columns only; $table.$column is " +
+        schema(column).dataType.simpleString)
+    requireClusterableLayout(table, partitionBy, clusterBy)
+    val base = writeBase(table)
+    if (base == 0) return 0L
+    val live = commitsAt(table, base)
+    val affected = commitsInRange(table, column, lo, hi)
+    if (affected.isEmpty) return 0L
+    val affectedSet = affected.toSet
+    val kept = live.filterNot(affectedSet)
+    val before = affected.map(footerRowCount).sum
+    val survivors = affected.map { c =>
+      spark.read.schema(schema).option("basePath", c).parquet(c)
+        .select(schema.fieldNames.map(col): _*)
+    }.reduce(_.unionAll(_))
+      // keep NULLs: a negated BETWEEN would null-out and drop them
+      .filter(col(column).isNull || col(column) < lo || col(column) > hi)
+    val clustered =
+      if (clusterBy.isEmpty) survivors
+      else survivors.sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
+    val dir = newCommitDir(table)
+    val w = clustered.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+    val after = footerRowCount(dir)
+    if (after > 0) commit(table, kept :+ dir, base)
+    else { // every affected row deleted: the rewrite dir is empty noise
+      commit(table, kept, base)
+      deleteRecursively(Paths.get(dir))
+    }
+    register(table)
+    before - after
+  }
+
+  /** Row-level change feed between two published versions (Delta's
+    * `table_changes` shape, computed from snapshots): multiset
+    * difference both ways, tagged `_change` = insert | delete. An
+    * updated row appears as its old version deleted plus its new
+    * version inserted — exactly what a downstream incremental consumer
+    * replays. Cost is a scan of both versions (anti-join shuffle on
+    * all columns); for commit-granular incremental feeds, consumers at
+    * scale read the per-version manifests instead — appends are
+    * per-commit additive — and reserve this for versions that rewrote
+    * history (upserts, deletes, compaction is content-neutral). */
+  def changes(table: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    val a = tableAt(table, fromVersion)
+    val b = tableAt(table, toVersion)
+    b.exceptAll(a).withColumn("_change", lit("insert"))
+      .unionAll(a.exceptAll(b).withColumn("_change", lit("delete")))
+  }
+
   /** Fold all commits into one (scan-overhead maintenance). Atomic:
     * readers see either the old commit set or the compacted one. Reads
     * the same LATEST the commit claims against — a concurrent append

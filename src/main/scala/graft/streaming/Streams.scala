@@ -135,6 +135,27 @@ object Streams {
       }
   }
 
+  /** A continuously-maintained rollup: each micro-batch folds into the
+    * catalog rollup table through [[graft.ledger.Catalog.maintainAgg]]
+    * — streaming incremental view maintenance. Per-batch cost is the
+    * batch plus the rollup grid; the stream's history is never
+    * rescanned, and each refresh publishes as one atomic replace
+    * commit, so readers of the rollup always see a consistent state.
+    * Batch replay double-counts sums, so the source must be
+    * checkpoint-tracked (exactly-once micro-batches — the standard
+    * Structured Streaming contract foreachBatch sinks rely on). */
+  def maintainedAggStream(df: DataFrame, catalog: Catalog, table: String,
+                          keys: Seq[String],
+                          aggs: Seq[graft.operators.IncrementalAgg.AggSpec],
+                          checkpointDir: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        catalog.maintainAgg(table, batch, keys, aggs); ()
+      }
+      .start()
+
   /** The reference's upload loop as a file-watch stream: each CSV file
     * dropped in `watchDir` becomes a micro-batch that runs the same
     * validate → hash → staging → warehouse-merge pipeline. Idempotent

@@ -550,6 +550,58 @@ class CatalogSpec extends SparkSpec {
       === Seq((1, "a"), (2, "b")))
   }
 
+  test("deleteWhere rewrites only range-affected commits; untouched dirs carry verbatim") {
+    val dir = Files.createTempDirectory("cat_delete").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    def batch(ids: Seq[Int]) =
+      ids.map(i => (Option(i), s"n$i")).toDF("id_tipo", "nome_tipo")
+    cat.appendDelta("dim_tipo", batch(1 to 10))
+    // the middle commit also holds a NULL id — it must survive a value-
+    // range delete (a negated BETWEEN would silently drop it)
+    cat.appendDelta("dim_tipo",
+      batch(11 to 20).unionAll(Seq((Option.empty[Int], "nn")).toDF("id_tipo", "nome_tipo")))
+    cat.appendDelta("dim_tipo", batch(21 to 30))
+    val md = Paths.get(s"$dir/wh/dim_tipo/_manifests")
+    val preDirs = Files.readString(md.resolve("v3")).split("\n").filter(_.nonEmpty).toSeq
+
+    assert(cat.deleteWhere("dim_tipo", "id_tipo", 15, 18) === 4)
+    val postDirs = Files.readString(md.resolve("v4")).split("\n").filter(_.nonEmpty).toSeq
+    // commits 1 and 3 carry over VERBATIM (no I/O); only commit 2 is new
+    assert(postDirs.size === 3 && postDirs.count(preDirs.contains) === 2)
+    assert(!postDirs.contains(preDirs(1)))
+    val ids = cat.table("dim_tipo").select("id_tipo").as[Option[Int]].collect()
+    assert(ids.flatten.sorted.toSeq === ((1 to 14) ++ (19 to 30)))
+    assert(ids.count(_.isEmpty) === 1, "NULL row must survive the delete")
+
+    // a delete matching no commit publishes no new version
+    assert(cat.deleteWhere("dim_tipo", "id_tipo", 1000, 2000) === 0)
+    assert(Files.readString(md.resolve("LATEST")).trim === "4")
+
+    // deleting a commit's entire contents drops its dir with no empty
+    // replacement commit
+    assert(cat.deleteWhere("dim_tipo", "id_tipo", 21, 30) === 10)
+    assert(liveCommitCount(s"$dir/wh", "dim_tipo") === 2)
+
+    // time travel to the pre-delete state stays intact
+    assert(cat.tableAt("dim_tipo", 3).count() === 31)
+  }
+
+  test("changes: row-level insert/delete feed between versions") {
+    val dir = Files.createTempDirectory("cat_changes").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.appendDelta("dim_tipo", Seq((1, "a"), (2, "b")).toDF("id_tipo", "nome_tipo"))
+    cat.appendDelta("dim_tipo", Seq((3, "c")).toDF("id_tipo", "nome_tipo"))
+    cat.deleteWhere("dim_tipo", "id_tipo", 1, 1)
+    def feed(from: Int, to: Int) =
+      cat.changes("dim_tipo", from, to)
+        .select("_change", "id_tipo", "nome_tipo")
+        .as[(String, Int, String)].collect().sortBy(_.toString).toSeq
+    assert(feed(1, 2) === Seq(("insert", 3, "c")))
+    assert(feed(2, 3) === Seq(("delete", 1, "a")))
+    assert(feed(1, 3) === Seq(("delete", 1, "a"), ("insert", 3, "c")))
+    assert(feed(2, 2) === Seq.empty)
+  }
+
   test("maintainAgg: refreshes equal the one-shot aggregate; schema stable; versioned") {
     import graft.operators.IncrementalAgg
     import graft.operators.IncrementalAgg.AggSpec

@@ -176,6 +176,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainedAggStream: micro-batches fold into a catalog rollup incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.IncrementalAgg.AggSpec
+    val dir = Files.createTempDirectory("stream_rollup").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val mem = MemoryStream[(String, Int)]
+    val q = Streams.maintainedAggStream(mem.toDF().toDF("k", "v"), cat,
+      "rollup_stream", Seq("k"),
+      Seq(AggSpec("n", "count", "*"), AggSpec("s", "sum", "v")), s"$dir/cp")
+    try {
+      mem.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      mem.addData(("a", 3))
+      q.processAllAvailable()
+      val rows = cat.table("rollup_stream").select("k", "n", "s")
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+      assert(rows.toSeq === Seq(("a", 2L, 4L), ("b", 1L, 2L)))
+      // one atomic rollup version per micro-batch
+      assert(cat.versions("rollup_stream").size === 2)
+    } finally q.stop()
+  }
+
   test("ledgerUploadStream: files dropped in a dir flow through the warehouse, idempotently") {
     val dir = Files.createTempDirectory("stream_ledger").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
