@@ -21,6 +21,14 @@ object TextQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
+  /** q96's fixed BPE merge list — a frozen production vocabulary
+    * (training itself is iterative, spec-verified in BpeSpec; what a
+    * pipeline runs per-corpus is ENCODE with frozen merges, which is
+    * what the oracle checks). Shared by the Spark side and the
+    * generated oracle SQL so the two can't drift. */
+  private val BpeMerges = Seq("t" -> "h", "th" -> "e", "e" -> "r",
+    "a" -> "n", "i" -> "n", "o" -> "n", "r" -> "e", "e" -> "s")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q16_text_stats" -> ((s, d) =>
@@ -215,6 +223,19 @@ object TextQueries {
           (col("tok_start") / 96).cast("int").as("chunk_idx"),
           col("tok_start").cast("int").as("tok_start"),
           least(lit(128), col("n_tok") - col("tok_start")).cast("int").as("tok_len"))),
+
+    // BPE tokenization with a frozen merge vocabulary (the per-corpus
+    // production step; training is BpeSpec-verified). The native
+    // bpe_encode runs one fused merge loop per row; the oracle replays
+    // each sequential merge pass as a left-to-right non-overlapping
+    // string replace over a delimiter-bracketed symbol string ("low" →
+    // "|l||o||w|", rule (l,o) → replace "|l||o|" with "|lo|") — both
+    // are the same greedy pass, so token counts match exactly.
+    "q96_bpe_tokens" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(graft.operators.Bpe.encode(col("text"), BpeMerges))
+          .cast("bigint").as("n_tokens"),
+        size(words(col("text"))).cast("bigint").as("n_words"))),
 
     // order-independent table digest: per-row md5 over (id, content),
     // first 8 hex digits decoded to an integer, summed exactly in
@@ -449,6 +470,32 @@ object TextQueries {
          |       CAST(tok_start AS INT) AS tok_start,
          |       CAST(least(128, n_tok - tok_start) AS INT) AS tok_len
          |FROM c""".stripMargin,
+
+    // each merge pass = one replace() over the bracketed symbol repr;
+    // generated from the same BpeMerges constant as the Spark side
+    "q96_bpe_tokens" -> {
+      val replaced = BpeMerges.foldLeft("repr") { case (acc, (a, b)) =>
+        s"replace($acc, '|$a||$b|', '|$a$b|')"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         regexp_replace(word, '(.)', '|\\1|', 'g') AS repr
+         |  FROM w),
+         |t AS (
+         |  SELECT doc_id,
+         |         len(string_split(trim($replaced, '|'), '||')) AS n_tok
+         |  FROM s),
+         |agg AS (
+         |  SELECT doc_id, SUM(n_tok) AS n_tokens, COUNT(*) AS n_words
+         |  FROM t GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
 
     "q85_array_ops" ->
       """WITH topw AS (

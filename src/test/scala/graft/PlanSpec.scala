@@ -171,6 +171,35 @@ class PlanSpec extends SparkSpec {
       s"q94's join sides should reuse one exchange:\n$p")
   }
 
+  test("q92: HLL sketches partial-aggregate map-side; the merge sees buffers, not rows") {
+    val p = finalPlan("q92_hll_rollup")
+    // hll_sketch_agg is object-hash-aggregated with a partial pass, so
+    // the per-group exchange moves fixed-size sketch buffers — the
+    // whole point of the mergeable-rollup capability
+    assert(p.contains("partial_hll_sketch_agg"),
+      s"q92 lost map-side sketch partials:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q92 grew a heavyweight join:\n$p")
+  }
+
+  test("q93: the semantic-prune self-join hash-joins on the cluster key over one exchange") {
+    val p = finalPlan("q93_semantic_prune")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q93's per-cluster join must hash-join on the cluster key:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"q93's join sides should reuse one shuffle (corpus normed once):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q93 went all-pairs:\n$p")
+  }
+
+  test("q95: both batch partials aggregate map-side before the merge grid") {
+    val p = finalPlan("q95_incremental_agg")
+    // each partial() is a hash aggregate with a map-side partial pass;
+    // the merge then re-aggregates the tiny grid — no join anywhere
+    assert(p.contains("HashAggregate"), s"q95 lost hash aggregation:\n$p")
+    assert(!p.contains("Join"), s"q95 should be join-free:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
