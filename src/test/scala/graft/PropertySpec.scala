@@ -125,4 +125,64 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: IncrementalAgg merge of any split equals the one-shot aggregate") {
+    import graft.operators.IncrementalAgg
+    import graft.operators.IncrementalAgg.AggSpec
+    val rowG = for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.option(Gen.chooseNum(-1000, 1000))
+    } yield (k, v)
+    val aggs = Seq(AggSpec("n", "count", "*"), AggSpec("nv", "count", "v"),
+      AggSpec("s", "sum", "v"), AggSpec("mn", "min", "v"), AggSpec("mx", "max", "v"))
+    for (seed <- 1L to 5L) {
+      val rows = sample(Gen.listOfN(60, rowG), seed)
+      val cut = sample(Gen.chooseNum(0, rows.length), seed + 100)
+      val (r1, r2) = rows.splitAt(cut) // any split point, empty sides included
+      val all = rows.toDF("k", "v")
+      def part(r: Seq[(String, Option[Int])]) =
+        IncrementalAgg.partial(
+          if (r.isEmpty) all.limit(0) else r.toDF("k", "v"), Seq("k"), aggs)
+      val merged = IncrementalAgg.merge(part(r1), part(r2), Seq("k"), aggs)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val direct = IncrementalAgg.partial(all, Seq("k"), aggs)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(merged === direct, s"seed=$seed cut=$cut")
+    }
+  }
+
+  test("property: winnowPairs finds any planted shared span in random contexts") {
+    import graft.operators.Dedup
+    val letters = Gen.listOfN(60, Gen.alphaLowerChar).map(_.mkString)
+    for (seed <- 1L to 5L) {
+      // span of exactly w+k-1 = 23 chars; contexts are independent
+      // random strings (collision-free with the span w.h.p.)
+      val span = sample(Gen.listOfN(23, Gen.alphaLowerChar).map(_.mkString), seed)
+      val ctx = (1 to 4).map(i => sample(letters, seed * 31 + i))
+      val docs = Seq(
+        (1L, s"${ctx(0)} $span ${ctx(1)}"),
+        (2L, s"${ctx(2)} $span ${ctx(3)}"),
+        (3L, sample(letters, seed * 131))).toDF("id", "text")
+      val pairs = Dedup.winnowPairs(docs, "id", "text", k = 8, w = 16,
+        maxDocFreq = 100).select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(pairs.contains((1L, 2L)), s"seed=$seed lost the planted span")
+    }
+  }
+
+  test("property: BPE encode reconstructs the tokenized words byte-for-byte") {
+    import graft.operators.Bpe
+    val textG = Gen.listOfN(12,
+      Gen.oneOf(Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString),
+        Gen.oneOf("the", "then", "there", "an", "and", "in", "on")))
+      .map(_.mkString(" "))
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "i" -> "n", "o" -> "n")
+    for (seed <- 1L to 5L) {
+      val texts = sample(Gen.listOfN(20, textG), seed)
+      val bad = texts.toDF("t").select(
+        array_join(Bpe.encode(col("t"), merges), "").as("joined"),
+        array_join(graft.functions.TextFunctions.words(col("t")), "").as("raw"))
+        .filter(col("joined") =!= col("raw")).count()
+      assert(bad === 0L, s"seed=$seed")
+    }
+  }
 }
