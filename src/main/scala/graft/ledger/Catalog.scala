@@ -929,6 +929,60 @@ final class Catalog(val spark: SparkSession, val root: String,
     register(table)
   }
 
+  /** Size-aware compaction (the OPTIMIZE shape): fold only the commits
+    * whose on-disk size is under `smallBytes` into one clustered
+    * commit; every larger commit carries into the new manifest
+    * VERBATIM — zero read or write I/O for data that is already in
+    * healthy files. [[compact]] rewrites the whole table, which is
+    * right for restoring global clustering; this pass repays
+    * small-file debt (the steady drip of tiny per-batch appends) at a
+    * cost proportional to the debt, not the table — the only shape
+    * that stays affordable when the table is 100 TB and the debt is
+    * 100 MB. Same atomic manifest flip as every other write. Returns
+    * the number of commits folded (0 = nothing worth folding: fewer
+    * than two small commits). */
+  def compactSmall(table: String, smallBytes: Long,
+                   partitionBy: Seq[String] = Seq.empty,
+                   clusterBy: Seq[String] = Seq.empty): Int = {
+    val schema = Schemas.schemaOf(table)
+    requireClusterableLayout(table, partitionBy, clusterBy)
+    val base = writeBase(table)
+    if (base == 0) return 0
+    val live = commitsAt(table, base)
+    val small = live.filter(c => dirBytes(c) < smallBytes)
+    if (small.size < 2) return 0
+    val df = small.map { c =>
+      spark.read.schema(schema).option("basePath", c).parquet(c)
+        .select(schema.fieldNames.map(col): _*)
+    }.reduce(_.unionAll(_)).coalesce(1)
+    val clustered =
+      if (clusterBy.isEmpty) df
+      else df.sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
+    val dir = newCommitDir(table)
+    val w = clustered.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+    val smallSet = small.toSet
+    commit(table, live.filterNot(smallSet) :+ dir, base)
+    register(table)
+    small.size
+  }
+
+  /** Total bytes of data files under a commit dir (driver-side FS
+    * listing, the same metadata walk the footer readers do). */
+  private def dirBytes(dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    val files = fs.listFiles(p, true)
+    var n = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += f.getLen
+    }
+    n
+  }
+
   /** Delete commit dirs referenced by neither the LATEST manifest nor
     * the published snapshot (crashed writers, replaced/compacted
     * history). Assumes no reader is pinned to an older version — run

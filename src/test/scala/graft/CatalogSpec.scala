@@ -586,6 +586,28 @@ class CatalogSpec extends SparkSpec {
     assert(cat.tableAt("dim_tipo", 3).count() === 31)
   }
 
+  test("compactSmall folds only sub-threshold commits; big commits carry verbatim") {
+    val dir = Files.createTempDirectory("cat_optimize").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    def batch(ids: Range) = ids.map(i => (i, s"n$i")).toDF("id_tipo", "nome_tipo")
+    cat.appendDelta("dim_tipo", batch(1 to 5000))  // the "big" commit
+    cat.appendDelta("dim_tipo", batch(5001 to 5002))
+    cat.appendDelta("dim_tipo", batch(5003 to 5004))
+    cat.appendDelta("dim_tipo", batch(5005 to 5006))
+    val md = Paths.get(s"$dir/wh/dim_tipo/_manifests")
+    val preDirs = Files.readString(md.resolve("v4")).split("\n").filter(_.nonEmpty).toSeq
+
+    assert(cat.compactSmall("dim_tipo", smallBytes = 10000) === 3)
+    val postDirs = Files.readString(md.resolve("v5")).split("\n").filter(_.nonEmpty).toSeq
+    assert(postDirs.size === 2, s"3 small commits should fold to 1: $postDirs")
+    assert(postDirs.contains(preDirs.head), "the big commit must carry over verbatim")
+    assert(cat.table("dim_tipo").count() === 5006)
+
+    // idempotent maintenance: one small commit left → nothing to fold
+    assert(cat.compactSmall("dim_tipo", smallBytes = 10000) === 0)
+    assert(Files.readString(md.resolve("LATEST")).trim === "5")
+  }
+
   test("changes: row-level insert/delete feed between versions") {
     val dir = Files.createTempDirectory("cat_changes").toString
     val cat = new Catalog(spark, s"$dir/wh")
