@@ -929,6 +929,30 @@ final class Catalog(val spark: SparkSession, val root: String,
     register(table)
   }
 
+  /** Table statistics from parquet footers only (ANALYZE-lite): exact
+    * row count always; [min, max] for each requested integral column
+    * whose every populated row group carries usable stats (the same
+    * conservative rules as [[tableWhere]] pruning — a column that
+    * fails them is omitted from the map rather than reported wrong).
+    * Driver-side metadata reads, no data scan: what a table format
+    * serves from its manifest, and the numbers a query planner or
+    * data-quality dashboard wants without paying for a 100 TB pass. */
+  def stats(table: String, columns: Seq[String] = Seq.empty): Catalog.TableStats = {
+    val live = liveCommits(table)
+    val rows = live.map(footerRowCount).sum
+    val ranges = columns.flatMap { c =>
+      val per = live.map(d => commitRange(d, c))
+      if (per.exists(_.isEmpty)) None
+      else {
+        val defined = per.flatten
+          .filter(r => r._1 != Long.MaxValue || r._2 != Long.MinValue) // drop all-null commits
+        if (defined.isEmpty) None
+        else Some(c -> (defined.map(_._1).min, defined.map(_._2).max))
+      }
+    }.toMap
+    Catalog.TableStats(rows, ranges)
+  }
+
   /** Size-aware compaction (the OPTIMIZE shape): fold only the commits
     * whose on-disk size is under `smallBytes` into one clustered
     * commit; every larger commit carries into the new manifest
@@ -1021,4 +1045,9 @@ object Catalog {
     * manifest or snapshot version file: the commit was NOT published
     * and must be retried against the new table state. */
   final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+  /** Footer-derived table statistics: exact live row count, and
+    * [min, max] per requested column where every row group had usable
+    * stats (see [[Catalog.stats]]). */
+  final case class TableStats(rows: Long, ranges: Map[String, (Long, Long)])
 }

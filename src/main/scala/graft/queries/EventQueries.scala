@@ -99,12 +99,20 @@ object EventQueries {
     // retention cohorts: users bucketed by first-seen month × months in
     // which they were active, distinct-user counts.
     "q61_cohorts" -> ((s, d) => {
+      // one events shuffle, no join-back: per-user (cohort month,
+      // distinct active months) in a single aggregate — collect_set
+      // partial-merges map-side, so the exchange carries per-user
+      // month sets (bounded by the calendar, not by event count) —
+      // then explode the tiny per-user frame into (cohort, active)
+      // cells. The join formulation shuffled the events table twice.
       val e = ev(s, d).select(col("user_id"),
         to_date(date_trunc("month", timestamp_micros(col("tus")))).as("m"))
-      val cohort = e.groupBy(col("user_id")).agg(min(col("m")).as("cohort_month"))
-      e.join(cohort, "user_id")
-        .groupBy(col("cohort_month"), col("m").as("active_month"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
+      e.groupBy(col("user_id"))
+        .agg(min(col("m")).as("cohort_month"), collect_set(col("m")).as("ms"))
+        .select(col("user_id"), col("cohort_month"),
+          explode(col("ms")).as("active_month"))
+        .groupBy(col("cohort_month"), col("active_month"))
+        .agg(count(lit(1)).as("n_users"))
     }),
 
     // as-of join: for every event, the user's latest purchase at or

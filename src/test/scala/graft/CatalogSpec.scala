@@ -586,6 +586,25 @@ class CatalogSpec extends SparkSpec {
     assert(cat.tableAt("dim_tipo", 3).count() === 31)
   }
 
+  test("stats: footer-only row count and integral ranges equal the exact scan") {
+    val dir = Files.createTempDirectory("cat_stats").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.appendDelta("dim_tipo", Seq((3, "c"), (7, "g")).toDF("id_tipo", "nome_tipo"))
+    cat.appendDelta("dim_tipo", Seq((1, "a"), (5, "e")).toDF("id_tipo", "nome_tipo"))
+    val st = cat.stats("dim_tipo", Seq("id_tipo", "nome_tipo"))
+    assert(st.rows === 4)
+    assert(st.ranges("id_tipo") === (1L, 7L))
+    // string column: stats exist in footers but the integral-only
+    // contract omits it rather than surfacing raw binary bounds
+    assert(!st.ranges.contains("nome_tipo"))
+    // matches the exact scan
+    val (mn, mx) = cat.table("dim_tipo")
+      .agg(org.apache.spark.sql.functions.min("id_tipo"),
+        org.apache.spark.sql.functions.max("id_tipo"))
+      .as[(Int, Int)].head()
+    assert(st.ranges("id_tipo") === (mn.toLong, mx.toLong))
+  }
+
   test("compactSmall folds only sub-threshold commits; big commits carry verbatim") {
     val dir = Files.createTempDirectory("cat_optimize").toString
     val cat = new Catalog(spark, s"$dir/wh")
@@ -606,6 +625,32 @@ class CatalogSpec extends SparkSpec {
     // idempotent maintenance: one small commit left → nothing to fold
     assert(cat.compactSmall("dim_tipo", smallBytes = 10000) === 0)
     assert(Files.readString(md.resolve("LATEST")).trim === "5")
+  }
+
+  test("deleteWhere on a partitioned fact keeps the (ano, mes) layout in the rewrite") {
+    val dir = Files.createTempDirectory("cat_delete_part").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    def batch(ids: Seq[Long], mes: Int) = ids.map(i =>
+      (i, 1, 1, 1, 1, 1, s"d$i", new java.math.BigDecimal(s"$i.00"), s"h$i", 2024, mes))
+      .toDF(Schemas.fatoLancamento.fieldNames: _*)
+      .withColumn("valor", org.apache.spark.sql.functions.col("valor")
+        .cast(org.apache.spark.sql.types.DecimalType(15, 2)))
+    val layout = (Seq("ano", "mes"), Seq("id_lancamento"))
+    cat.appendDelta("fato_lancamento", batch(1L to 10L, 1), layout._1, layout._2)
+    cat.appendDelta("fato_lancamento", batch(11L to 20L, 2), layout._1, layout._2)
+    assert(cat.deleteWhere("fato_lancamento", "id_lancamento", 3, 5,
+      layout._1, layout._2) === 3)
+    assert(cat.table("fato_lancamento").count() === 17)
+    // only the id-range commit was rewritten, and the rewrite keeps the
+    // partition directory layout (month pruning still works)
+    val md = Paths.get(s"$dir/wh/fato_lancamento/_manifests")
+    val pre = Files.readString(md.resolve("v2")).split("\n").filter(_.nonEmpty).toSeq
+    val post = Files.readString(md.resolve("v3")).split("\n").filter(_.nonEmpty).toSeq
+    val rewritten = post.filterNot(pre.contains)
+    assert(rewritten.length === 1 && post.count(pre.contains) === 1)
+    assert(Files.exists(Paths.get(rewritten.head, "ano=2024")))
+    assert(cat.table("fato_lancamento")
+      .filter(org.apache.spark.sql.functions.col("mes") === 1).count() === 7)
   }
 
   test("changes: row-level insert/delete feed between versions") {
