@@ -123,6 +123,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup: the NEW BATCH against the EXISTING corpus —
+    * the add-a-day-of-crawl shape. Re-running corpus-wide [[nearDupPairs]]
+    * for every arriving batch re-pays the full self-join; here the
+    * batch's band keys BROADCAST, so the corpus is never shuffled at
+    * all: one streaming pass computes corpus signatures and probes the
+    * broadcast map, and the verify pass joins only the (tiny) candidate
+    * set back to both texts. Batch-internal duplicates are out of
+    * scope by design — run [[nearDupPairs]] on the batch alone for
+    * those (it is batch-sized, so that cost is trivial).
+    *
+    * Same md5 minhash/banding constants as [[nearDupPairs]]: a batch
+    * compared incrementally finds exactly the pairs the monolithic
+    * self-join would have found between old and new rows.
+    *
+    * Returns (corpus_id, batch_id, jaccard) with jaccard >= threshold.
+    */
+  def nearDupPairsAgainst(corpus: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    def bandKeys(df: DataFrame, outId: String): DataFrame = {
+      val sig = df.select(col(idCol).as(outId),
+        shingles(col(textCol), k).as("sh"))
+      val mins = sig.filter(size(col("sh")) > 0).select(col(outId),
+        graft.expressions.TextExpressions.minhashSigs(col("sh"), numHashes).as("ms"))
+      val bandCols = (0 until bands).map { b =>
+        md5(concat_ws("|",
+          lit(b.toString) +: (b * rows until (b + 1) * rows)
+            .map(h => element_at(col("ms"), h + 1)): _*))
+      }
+      mins.select(col(outId), explode(array(bandCols: _*)).as("bk"))
+    }
+    val candidates = bandKeys(corpus, "corpus_id")
+      .join(broadcast(bandKeys(batch, "batch_id")), "bk")
+      .select(col("corpus_id"), col("batch_id"))
+      .dropDuplicates("corpus_id", "batch_id")
+    val ca = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("txt_a"))
+    val cb = batch.select(col(idCol).as("batch_id"), col(textCol).as("txt_b"))
+    ca.join(candidates, "corpus_id")
+      .join(broadcast(cb), "batch_id")
+      .select(col("corpus_id"), col("batch_id"),
+        jaccard(shingles(col("txt_a"), k), shingles(col("txt_b"), k)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-CONTAINMENT pairs via an inverted shingle index — the dedup
     * signal Jaccard misses: a short document embedded in a longer one
     * has Jaccard ≈ |A|/|B| (tiny when B is long) but containment

@@ -156,6 +156,21 @@ object DedupQueries {
         maxDocFreq = 20, minShared = 3)
     }),
 
+    // incremental dedup: the arriving batch against the EXISTING
+    // corpus — the batch's band keys broadcast, the corpus is never
+    // shuffled (re-running the corpus-wide self-join per arriving
+    // batch re-pays the whole corpus each time). The planted batch is
+    // the same mutation set as q20, so the pairs found incrementally
+    // are exactly the old-vs-new pairs of the monolithic run.
+    "q97_incremental_dedup" -> ((s, d) => {
+      val corpus = docs(s, d)
+      val batch = corpus.filter(col("doc_id") % MutMod === 0).select(
+        (col("doc_id") + MutOff).as("doc_id"),
+        concat(col("text"), lit(MutSuffix)).as("text"))
+      Dedup.nearDupPairsAgainst(corpus, batch, "doc_id", "text",
+        k = K, numHashes = H, bands = B, threshold = Tau)
+    }),
+
     // SemDeDup-style semantic prune: the embeddings table's label
     // column stands in for the k-means assignment (the clustering step
     // is [[graft.operators.Ivf]]'s job and is covered by IvfSpec; a
@@ -433,6 +448,35 @@ object DedupQueries {
          |  WHERE a.vec_id < b.vec_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id FROM p WHERE cos > 0.999""".stripMargin,
+
+    // asymmetric replay of the q20 machinery: corpus and batch banded
+    // separately, candidates from the cross band join only
+    "q97_incremental_dedup" -> {
+      val mins = (1 to H).map(h =>
+        s"list_aggregate(list_transform(sh, s -> md5('$h:' || s)), 'min')")
+      val bandExprs = (0 until B).map { bi =>
+        val r = H / B
+        val parts = mins.slice(bi * r, (bi + 1) * r).mkString(" || '|' || ")
+        s"md5('$bi' || '|' || $parts)"
+      }
+      s"""WITH nb AS (
+         |  SELECT doc_id + $MutOff AS doc_id, text || '$MutSuffix' AS text
+         |  FROM documents WHERE doc_id % $MutMod = 0),
+         |wa AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+         |sha AS (SELECT doc_id, ${duckShingles(K)} AS sh FROM wa),
+         |bda AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS bk FROM sha),
+         |wb AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM nb),
+         |shb AS (SELECT doc_id, ${duckShingles(K)} AS sh FROM wb),
+         |bdb AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS bk FROM shb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+         |  FROM bda a JOIN bdb b ON a.bk = b.bk)
+         |SELECT c.corpus_id, c.batch_id, $duckJaccard AS jaccard
+         |FROM cand c
+         |JOIN sha sa ON sa.doc_id = c.corpus_id
+         |JOIN shb sb ON sb.doc_id = c.batch_id
+         |WHERE $duckJaccard >= $Tau""".stripMargin
+    },
 
     // full winnowing replay: md5 char-k-grams, window-of-w minima,
     // distinct, doc-freq drop, inverted-index pair join — the engine's

@@ -88,6 +88,40 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupPairsAgainst equals the monolithic self-join's old-vs-new pairs") {
+    val corpus = Tables(spark, sf001, "documents").select("doc_id", "text")
+      .filter(col("doc_id") < 100)
+    val batch = corpus.filter(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + 10000L).as("doc_id"),
+      concat(col("text"), lit(" zz qq tail")).as("text"))
+    val incremental = graft.operators.Dedup
+      .nearDupPairsAgainst(corpus, batch, "doc_id", "text")
+      .select(col("corpus_id").as("a_id"), col("batch_id").as("b_id"))
+      .as[(Long, Long)].collect().toSet
+    // monolithic run over corpus ∪ batch, restricted to cross pairs
+    val monolithic = graft.operators.Dedup
+      .nearDupPairs(corpus.unionAll(batch), "doc_id", "text")
+      .filter(col("a_id") < 10000L && col("b_id") >= 10000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(incremental === monolithic)
+    assert(incremental.nonEmpty, "planted mutations must match their originals")
+  }
+
+  test("nearDupPairsAgainst: the corpus side joins by broadcast, never a shuffle") {
+    val corpus = Tables(spark, sf001, "documents").select("doc_id", "text")
+    val batch = corpus.limit(5)
+    val plan = graft.operators.Dedup
+      .nearDupPairsAgainst(corpus, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch band keys must broadcast:\n$plan")
+    // the corpus-side scans feed broadcast joins directly: no exchange
+    // may repartition the corpus (candidate dedup + batch broadcasts
+    // are the only exchanges)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus side grew a heavyweight join:\n$plan")
+  }
+
   test("native winnow_fingerprints matches the composed builtin form on real docs") {
     val diff = Tables(spark, sf001, "documents")
       .select(graft.expressions.TextExpressions
