@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.ledger.{Catalog, Ingest, Validate, Warehouse}
 
@@ -153,6 +153,37 @@ object Streams {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         catalog.maintainAgg(table, batch, keys, aggs); ()
+      }
+      .start()
+
+  /** Dedup-on-ingest: each micro-batch is near-dup-checked AGAINST THE
+    * CORPUS TABLE with the incremental broadcast path
+    * ([[graft.operators.Dedup.nearDupPairsAgainst]] — the corpus
+    * streams once per batch and is never shuffled), and only documents
+    * with no corpus match append. The corpus read resolves per batch,
+    * so survivors of batch N are corpus for batch N+1 — exactly the
+    * accumulate-and-dedup loop a crawl ingestion runs, with
+    * at-least-once replay safe on the id level via the anti-join
+    * (replayed rows match their own already-appended copies ONLY if
+    * text matches, so pair ids dedup them; id-level exactness comes
+    * from the checkpoint as usual). */
+  def dedupIngestStream(docs: DataFrame, catalog: Catalog, table: String,
+                        checkpointDir: String, idCol: String = "doc_id",
+                        textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors =
+          if (!catalog.exists(table)) batch
+          else {
+            val dups = graft.operators.Dedup
+              .nearDupPairsAgainst(catalog.table(table), batch, idCol, textCol)
+              .select(col("batch_id").as(idCol)).distinct()
+            batch.join(dups, Seq(idCol), "left_anti")
+          }
+        catalog.appendDelta(table, survivors)
+        ()
       }
       .start()
 

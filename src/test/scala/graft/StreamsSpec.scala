@@ -199,6 +199,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngestStream: near-dups of already-ingested docs never land") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_dedup").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dedupIngestStream(mem.toDF().toDF("doc_id", "text"),
+      cat, "corpus_docs", s"$dir/cp")
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "completely different content about database engines and queries"))
+      q.processAllAvailable()
+      assert(cat.table("corpus_docs").count() === 2)
+      // batch 2: a near-dup of doc 1 (suffix mutation) and a new doc —
+      // only the new doc survives the corpus check
+      mem.addData(
+        (3L, "the quick brown fox jumps over the lazy dog again and again tail"),
+        (4L, "entirely novel text with no resemblance to anything stored before"))
+      q.processAllAvailable()
+      val ids = cat.table("corpus_docs").select("doc_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("ledgerUploadStream: files dropped in a dir flow through the warehouse, idempotently") {
     val dir = Files.createTempDirectory("stream_ledger").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
