@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{BloomMightContain, BpeEncode, DotProductFloat, LangId, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, WinnowFingerprints, WordShingles}
+import graft.expressions.{BloomMightContain, BpeEncode, DotProductFloat, TextStatsExpr, LangId, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, WinnowFingerprints, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MisraGries.registration)
     ext.injectFunction(WinnowFingerprints.registration)
     ext.injectFunction(BpeEncode.registration)
+    ext.injectFunction(TextStatsExpr.registration)
   }
 }

@@ -31,14 +31,28 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "q16_text_stats" -> ((s, d) =>
-      docs(s, d).select(
-        col("doc_id"),
-        wsTokenCount(col("text")).cast("bigint").as("n_ws_tokens"),
-        reTokenCount(col("text")).cast("bigint").as("n_tokens"),
-        punctCount(col("text")).cast("bigint").as("n_punct"),
-        punctRatio(col("text")).as("punct_ratio"),
-        qualityKeep(col("text")).as("keep"))),
+    // ONE fused pass (native text_stats struct) instead of four
+    // regexp/split passes over each document — this was the 10x
+    // bench's #2 cost, pure per-row CPU. The derived ratio/keep
+    // columns replay the composed arithmetic bit-for-bit (same
+    // int-count inputs, same single IEEE division, same thresholds),
+    // and TextFunctionsSpec pins the native struct against the
+    // composed forms, whitespace quirks included.
+    "q16_text_stats" -> ((s, d) => {
+      val ts = graft.expressions.TextExpressions.textStats(col("text"))
+      val ratio = when(col("ts.n_chars") === 0, lit(0.0))
+        .otherwise(col("ts.n_punct").cast("double") /
+          col("ts.n_chars").cast("double"))
+      docs(s, d).select(col("doc_id"), ts.as("ts"))
+        .select(
+          col("doc_id"),
+          col("ts.n_ws_tokens").cast("bigint").as("n_ws_tokens"),
+          col("ts.n_tokens").cast("bigint").as("n_tokens"),
+          col("ts.n_punct").cast("bigint").as("n_punct"),
+          ratio.as("punct_ratio"),
+          (col("ts.n_ws_tokens") >= MinKeepTokens &&
+            ratio < MaxPunctRatio).as("keep"))
+    }),
 
     "q17_lang_id" -> ((s, d) =>
       docs(s, d).select(

@@ -12,6 +12,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.toSeq === Seq(3, 0, 0, 0, 1))
   }
 
+  test("native text_stats matches the four composed forms, whitespace quirks included") {
+    import graft.expressions.TextExpressions.textStats
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val diff = df
+        .select(textStats(col("text")).as("ts"),
+          wsTokenCount(col("text")).as("ws"),
+          reTokenCount(col("text")).as("tk"),
+          punctCount(col("text")).as("pc"),
+          length(col("text")).as("nc"))
+        .filter(col("ts.n_ws_tokens") =!= col("ws") ||
+          col("ts.n_tokens") =!= col("tk") ||
+          col("ts.n_punct") =!= col("pc") ||
+          col("ts.n_chars") =!= col("nc"))
+      assert(diff.count() === 0, diff.collect().take(3).mkString("; "))
+    }
+    check(Tables(spark, sf001, "documents"))
+    // the quirk set: trim strips SPACES only, \s is ASCII-only, split
+    // keeps boundary empties — tabs at the trimmed edges and unicode
+    // whitespace must reproduce the composed counts exactly
+    check(Seq("", "   ", "\t", "\ta b", "a b\t", " \t a\tb \t ", "x",
+      "AÇÃO é! ótima?", "a b", "emoji 😀 end", "1a2b, 3c!")
+      .toDF("text"))
+  }
+
   test("langId picks the dominant stopword language, und when none") {
     val out = Seq(
       "the cat sat on the mat and it is fine",
