@@ -184,10 +184,19 @@ object TextQueries {
     // monitoring output. Thresholds compare doubles computed
     // identically on both engines.
     "q76_quality_filter" -> ((s, d) => {
-      val sig = docs(s, d).select(
+      // the ws-token / punct-ratio legs ride the fused text_stats
+      // struct (one scan instead of two regexp passes — same composed
+      // semantics, pinned in TextFunctionsSpec); the ratio replays
+      // punctRatio's exact guard and division
+      val sig = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          graft.expressions.TextExpressions.textStats(col("text")).as("ts"))
+        .select(
         col("doc_id"), col("lang"),
-        wsTokenCount(col("text")).as("n_ws"),
-        punctRatio(col("text")).as("pr"),
+        col("ts.n_ws_tokens").as("n_ws"),
+        when(col("ts.n_chars") === 0, lit(0.0))
+          .otherwise(col("ts.n_punct").cast("double") /
+            col("ts.n_chars").cast("double")).as("pr"),
         greatest(size(words(col("text"))) - 2, lit(0)).as("n3"),
         size(graft.operators.Dedup.shingles(col("text"), 3)).as("d3"),
         langId(col("text")).as("ld"))
