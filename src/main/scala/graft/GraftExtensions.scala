@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{BloomMightContain, BpeEncode, DotProductFloat, TextStatsExpr, LangId, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, WinnowFingerprints, WordShingles}
+import graft.expressions.{BloomMightContain, BpeEncode, DeletionVariants, DotProductFloat, TextStatsExpr, LangId, Lev1Dist, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, WinnowFingerprints, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -28,5 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(WinnowFingerprints.registration)
     ext.injectFunction(BpeEncode.registration)
     ext.injectFunction(TextStatsExpr.registration)
+    ext.injectFunction(Lev1Dist.registration)
+    ext.injectFunction(DeletionVariants.registration)
   }
 }

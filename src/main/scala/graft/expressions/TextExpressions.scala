@@ -719,6 +719,147 @@ object TextStatsExpr {
     })
 }
 
+/** Native SymSpell deletion neighborhood: the string plus every
+  * single-code-point-deletion variant, deduped in first-occurrence
+  * order — EXACTLY `array_distinct(concat(array(s), transform(...)))`
+  * over substr splices (the composed form survives as the FuzzyJoinSpec
+  * parity reference), but as one loop splicing UTF-8 byte ranges at
+  * code-point offsets instead of an interpreted per-element expression
+  * tree running two substrs per variant. Variant generation is the
+  * fuzzy join's dominant per-row cost; this is its fused path.
+  */
+case class DeletionVariants(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = DeletionVariants.name
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"${DeletionVariants.name} expects a string")
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    // code-point start offsets (same walk as winnow_fingerprints)
+    val offs = new Array[Int](bytes.length + 1)
+    var nChars = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) { offs(nChars) = b; nChars += 1 }
+      b += 1
+    }
+    offs(nChars) = bytes.length
+    val seen = mutable.LinkedHashSet.empty[UTF8String]
+    seen += UTF8String.fromBytes(bytes)
+    var j = 0
+    while (j < nChars) {
+      val out = new Array[Byte](bytes.length - (offs(j + 1) - offs(j)))
+      System.arraycopy(bytes, 0, out, 0, offs(j))
+      System.arraycopy(bytes, offs(j + 1), out, offs(j), bytes.length - offs(j + 1))
+      seen += UTF8String.fromBytes(out)
+      j += 1
+    }
+    // empty string: the composed form's degenerate transform emits the
+    // empty variant once; the identity element already covers it here
+    new GenericArrayData(seen.iterator.map(x => x: Any).toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionVariants =
+    copy(child = newChild)
+}
+
+object DeletionVariants {
+  val name = "deletion_variants"
+
+  def variants(s: Column): Column = call_function(name, s)
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[DeletionVariants].getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, s"$name takes 1 argument, got ${exprs.length}")
+      DeletionVariants(exprs.head)
+    })
+}
+
+/** Bounded edit distance for the fuzzy-join verify: 0 when equal, 1
+  * when exactly one code-point substitution/insertion/deletion apart,
+  * 2 meaning "more than 1" — so `lev1_dist(a,b) <= 1` filters
+  * identically to `levenshtein(a,b) <= 1` and every SURVIVING value
+  * equals the true distance, while the check runs one early-exit
+  * code-point walk instead of the O(n*m) DP (the full matrix answers
+  * "how far apart?", but the join only asks "within 1?"). Code-point
+  * semantics match Spark's levenshtein (a two-char surrogate pair is
+  * one edit).
+  */
+case class Lev1Dist(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = Lev1Dist.name
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"${Lev1Dist.name} expects (string, string)")
+
+  override def nullSafeEval(aAny: Any, bAny: Any): Any = {
+    val ua = aAny.asInstanceOf[UTF8String]
+    val ub = bAny.asInstanceOf[UTF8String]
+    if (ua.equals(ub)) return 0
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.codePointCount(0, a.length)
+    val lb = b.codePointCount(0, b.length)
+    if (math.abs(la - lb) > 1) return 2
+    if (la == lb) {
+      // substitution: exactly one mismatching code point
+      var i = 0; var j = 0; var diff = 0
+      while (i < a.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) { diff += 1; if (diff > 1) return 2 }
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      1 // not equal (checked above), so exactly one mismatch
+    } else {
+      // insertion/deletion: skip one code point of the longer side at
+      // the first mismatch; the suffixes must then match exactly
+      val (lng, sht) = if (la > lb) (a, b) else (b, a)
+      var i = 0; var j = 0; var skipped = false
+      while (j < sht.length || i < lng.length) {
+        if (j < sht.length && i < lng.length &&
+            lng.codePointAt(i) == sht.codePointAt(j)) {
+          i += Character.charCount(lng.codePointAt(i))
+          j += Character.charCount(sht.codePointAt(j))
+        } else {
+          if (skipped) return 2
+          skipped = true
+          i += Character.charCount(lng.codePointAt(i))
+        }
+      }
+      1
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Lev1Dist =
+    copy(left = newLeft, right = newRight)
+}
+
+object Lev1Dist {
+  val name = "lev1_dist"
+
+  def dist(a: Column, b: Column): Column = call_function(name, a, b)
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[Lev1Dist].getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"$name takes 2 arguments, got ${exprs.length}")
+      Lev1Dist(exprs.head, exprs(1))
+    })
+}
+
 object TextExpressions {
   /** Distinct k-shingles of [a-z] word runs, fused native loop. */
   def wordShingles(text: Column, k: Int): Column =

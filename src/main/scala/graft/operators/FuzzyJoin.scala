@@ -25,8 +25,15 @@ object FuzzyJoin {
 
   /** `s` plus all |s| single-deletion variants, as an array column.
     * Duplicate variants (repeated chars) are deduped — they'd only
-    * manufacture duplicate candidate pairs for the same verify. */
+    * manufacture duplicate candidate pairs for the same verify.
+    * Native fused loop ([[graft.expressions.DeletionVariants]]). */
   def deletionVariants(s: Column): Column =
+    graft.expressions.DeletionVariants.variants(s)
+
+  /** Pure-builtin composition — parity reference for the native
+    * [[deletionVariants]] (two interpreted substr evaluations per
+    * variant; spec-scale only). */
+  def deletionVariantsComposed(s: Column): Column =
     array_distinct(concat(
       array(s),
       // greatest(…, 0): empty strings yield one degenerate variant
@@ -50,17 +57,26 @@ object FuzzyJoin {
   def lev1Join(left: DataFrame, right: DataFrame,
                leftId: String, rightId: String, strCol: String): DataFrame = {
     require(leftId != rightId, s"id columns must differ, both are $leftId")
+    // the variant index shuffles 64-bit hashes, not the variant
+    // strings (~4x less exchange volume on real names); a hash
+    // collision only mints a candidate pair the exact verify rejects,
+    // and equal variants always hash equal, so recall is unaffected
     val lv = left.select(col(strCol).as("__ls")).distinct()
-      .select(col("__ls"), explode(deletionVariants(col("__ls"))).as("__v"))
+      .select(col("__ls"),
+        explode(deletionVariants(col("__ls"))).as("__v0"))
+      .select(col("__ls"), xxhash64(col("__v0")).as("__v"))
     val rv = right.select(col(strCol).as("__rs")).distinct()
-      .select(col("__rs"), explode(deletionVariants(col("__rs"))).as("__v"))
-    // variant keys grow with the corpus — hash join, never sort-merge
-    // compute the O(len²) distance ONCE — filter and projection are
-    // separate physical operators, so repeating the call in both would
-    // run the DP twice per surviving candidate
+      .select(col("__rs"),
+        explode(deletionVariants(col("__rs"))).as("__v0"))
+      .select(col("__rs"), xxhash64(col("__v0")).as("__v"))
+    // variant keys grow with the corpus — hash join, never sort-merge.
+    // verify with the native bounded check (one early-exit code-point
+    // walk), not the O(len²) levenshtein DP: the join only asks
+    // "within 1?", and lev1_dist answers with the exact distance for
+    // every pair that survives (FuzzyJoinSpec pins DP parity)
     val strPairs = lv.join(rv.hint("shuffle_hash"), "__v")
       .select(col("__ls"), col("__rs"),
-        levenshtein(col("__ls"), col("__rs")).cast("int").as("dist"))
+        graft.expressions.Lev1Dist.dist(col("__ls"), col("__rs")).as("dist"))
       .where(col("dist") <= 1)
       .distinct()
     // re-attach ids; (id → string) is many-to-one and strPairs is

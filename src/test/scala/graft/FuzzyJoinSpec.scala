@@ -39,6 +39,47 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 10L, 0), (2L, 10L, 1), (3L, 10L, 1), (4L, 10L, 1)))
   }
 
+  test("native deletion_variants matches the composed substr form") {
+    val edge = Seq("", "a", "aa", "abc", "ação", "a😀b", "kettle").toDF("s")
+    val d1 = edge.select(
+      FuzzyJoin.deletionVariants(col("s")).as("fast"),
+      FuzzyJoin.deletionVariantsComposed(col("s")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(d1.count() === 0, d1.collect().mkString("; "))
+    val d2 = Tables(spark, sf0001, "part").select(col("p_name").as("s"))
+      .select(FuzzyJoin.deletionVariants(col("s")).as("fast"),
+        FuzzyJoin.deletionVariantsComposed(col("s")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(d2.count() === 0)
+  }
+
+  test("native lev1_dist: min(levenshtein, 2) on adversarial pairs and real names") {
+    import graft.expressions.Lev1Dist
+    // edges: equality, substitution/insert/delete at every position,
+    // repeats that tempt a double-skip, surrogate pairs (one code
+    // point = one edit, matching Spark's levenshtein), and empties
+    val pairs = Seq(
+      ("abc", "abc"), ("abc", "xbc"), ("abc", "axc"), ("abc", "abx"),
+      ("abc", "ab"), ("abc", "bc"), ("abc", "ac"), ("ab", "abc"),
+      ("aaa", "aa"), ("aaaa", "aa"), ("abab", "ab"), ("", ""), ("", "a"),
+      ("", "ab"), ("abc", "abcd"), ("abc", "abcde"), ("abc", "xyz"),
+      ("ação", "acao"), ("a😀b", "ab"), ("a😀b", "a😀😀b"), ("😀", "😀"),
+      ("kettle", "kettles"), ("kettle", "cattle"))
+      .toDF("a", "b")
+    val diff = pairs.select(
+      Lev1Dist.dist(col("a"), col("b")).as("fast"),
+      least(levenshtein(col("a"), col("b")), lit(2)).cast("int").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() === 0, diff.collect().mkString("; "))
+    // and across all variant-collision candidates of real part names
+    val names = Tables(spark, sf0001, "part").select(col("p_name")).distinct()
+    val d2 = names.as("x").crossJoin(names.as("y")).limit(20000)
+      .select(Lev1Dist.dist(col("x.p_name"), col("y.p_name")).as("fast"),
+        least(levenshtein(col("x.p_name"), col("y.p_name")), lit(2)).cast("int").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(d2.count() === 0)
+  }
+
   test("lev1Join result equals the brute-force cross check on real names") {
     val part = Tables(spark, sf0001, "part")
     val clean = part.select(col("p_partkey").as("clean_id"), col("p_name"))

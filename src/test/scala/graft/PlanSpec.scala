@@ -90,7 +90,7 @@ class PlanSpec extends SparkSpec {
     val p = finalPlan("q79_fuzzy_join")
     assert(!p.contains("CartesianProduct"), s"q79 grew a cartesian:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"q79 grew a nested loop:\n$p")
-    assert(p.contains("levenshtein"), s"q79 lost its exact verify:\n$p")
+    assert(p.contains("lev1_dist"), s"q79 lost its exact verify:\n$p")
   }
 
   test("q85: the vocabulary top-k is a distributed TakeOrdered, not a global window") {
