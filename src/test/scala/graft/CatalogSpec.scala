@@ -669,6 +669,18 @@ class CatalogSpec extends SparkSpec {
     assert(feed(2, 2) === Seq.empty)
   }
 
+  test("changes: compaction is content-neutral — the feed between pre and post is empty") {
+    val dir = Files.createTempDirectory("cat_changes_compact").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.appendDelta("dim_tipo", Seq((1, "a"), (2, "b")).toDF("id_tipo", "nome_tipo"))
+    cat.appendDelta("dim_tipo", Seq((3, "c")).toDF("id_tipo", "nome_tipo"))
+    cat.compact("dim_tipo")
+    val vs = cat.versions("dim_tipo")
+    // a downstream incremental consumer can skip compaction versions
+    // entirely: the multiset diff across the fold is empty
+    assert(cat.changes("dim_tipo", vs(vs.size - 2), vs.last).count() === 0)
+  }
+
   test("maintainAgg: refreshes equal the one-shot aggregate; schema stable; versioned") {
     import graft.operators.IncrementalAgg
     import graft.operators.IncrementalAgg.AggSpec
