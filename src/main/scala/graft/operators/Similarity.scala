@@ -135,13 +135,36 @@ object Similarity {
     * the right tool when no bounded clustering exists.
     *
     * Norms are projected BEFORE the self-join (the join blocks
-    * projection collapse) so each pair costs one fused dot product. */
+    * projection collapse) so each pair costs one fused dot product.
+    *
+    * `maxClusterSize > 0` arms a LOUD guard (the RangeJoin span-guard
+    * discipline): a cluster above the bound raises with the cluster
+    * key and size instead of letting one degenerate cluster go
+    * quadratic silently. The count is a window over the SAME
+    * shuffle-by-cluster exchange the join consumes — arming it costs
+    * no extra pass. */
   def semanticPrune(df: DataFrame, idCol: String, vecCol: String,
-                    clusterCol: String, threshold: Double): DataFrame = {
-    val e = df.select(col(idCol).as("id"), col(clusterCol).as("ck"),
+                    clusterCol: String, threshold: Double,
+                    maxClusterSize: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(clusterCol).as("ck"),
       col(vecCol).as("v"),
       sqrt(dotD(col(vecCol), col(vecCol))).as("__n"))
       .repartition(col("ck"))
+    val e =
+      if (maxClusterSize <= 0) base
+      else {
+        // the assert rides the kept norm column — a free-standing
+        // guard column would be pruned away with its error unraised
+        val wc = Window.partitionBy(col("ck"))
+        val msg = concat(lit("semanticPrune: cluster "),
+          col("ck").cast("string"), lit(" has "), col("__cn").cast("string"),
+          lit(s" rows > maxClusterSize=$maxClusterSize — fix the upstream " +
+            "clustering; per-cluster work is quadratic by contract"))
+        base.withColumn("__cn", count(lit(1)).over(wc))
+          .withColumn("__n", when(
+            assert_true(col("__cn") <= maxClusterSize, msg).isNull, col("__n")))
+          .drop("__cn")
+      }
     val a = e.as("a").hint("shuffle_hash")
     val b = e.as("b").hint("shuffle_hash")
     val dropped = a.join(b,

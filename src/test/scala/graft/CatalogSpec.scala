@@ -669,6 +669,24 @@ class CatalogSpec extends SparkSpec {
     assert(feed(2, 2) === Seq.empty)
   }
 
+  test("deleteWhere inside an aborted transaction is rolled back like any write") {
+    val dir = Files.createTempDirectory("cat_del_txn").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.transaction {
+      cat.appendDelta("dim_tipo",
+        (1 to 10).map(i => (i, s"n$i")).toDF("id_tipo", "nome_tipo"))
+    }
+    intercept[RuntimeException](cat.transaction {
+      assert(cat.deleteWhere("dim_tipo", "id_tipo", 3, 7) === 5)
+      sys.error("crash after delete, before publish")
+    })
+    // a fresh transaction begin heals the crashed head; the delete
+    // never became visible
+    cat.transaction { () }
+    assert(cat.table("dim_tipo").count() === 10,
+      "aborted deleteWhere leaked into the published state")
+  }
+
   test("changes: compaction is content-neutral — the feed between pre and post is empty") {
     val dir = Files.createTempDirectory("cat_changes_compact").toString
     val cat = new Catalog(spark, s"$dir/wh")

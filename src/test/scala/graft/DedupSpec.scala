@@ -174,6 +174,23 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(10, 10, 10, 20, 20))
   }
 
+  test("semanticPrune: the armed cluster-size guard fails loudly, names the cluster") {
+    val rows = (1 to 30).map(i => (i.toLong, Seq(1f, 0f), 10))
+      .toDF("id", "vec", "ck")
+    val e = intercept[Exception] {
+      Similarity.semanticPrune(rows, "id", "vec", "ck", 0.9,
+        maxClusterSize = 5).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxClusterSize") && msg.contains("10"),
+      s"guard must name the hot cluster: $e")
+    // unarmed (default) and under-the-bound runs are unaffected
+    val ok = Similarity.semanticPrune(rows, "id", "vec", "ck", 0.9,
+      maxClusterSize = 64)
+    assert(ok.count() === 30)
+  }
+
   test("native simhash_bits matches the composed builtin form on real docs") {
     val diff = Tables(spark, sf001, "documents")
       .select(Dedup.simhashBits(col("text")).as("fast"),
