@@ -628,7 +628,7 @@ object WinnowFingerprints {
   *   — `trim` strips SPACES only, `\s` is ASCII-only, and split with
   *   Spark's -1 limit keeps boundary empties, so a trimmed text that
   *   starts or ends with a tab contributes an empty segment (counted
-  *   here as leading/trailing increments — DedupSpec pins the edges).
+  *   here as leading/trailing increments — TextFunctionsSpec pins the edges).
   * - n_tokens = `size(regexp_extract_all(lower(c), "[a-z0-9]+|[^a-z0-9\\s]"))`
   *   — alnum runs count once, every other non-ASCII-ws code point
   *   (including accented letters and unicode spaces) counts alone.

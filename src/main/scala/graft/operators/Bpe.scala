@@ -38,7 +38,7 @@ object Bpe {
     * array, as a builtin aggregate fold (greedy, non-overlapping:
     * "aaa" under (a,a) → ["aa", "a"]). The trainer's state-update
     * step; [[graft.expressions.BpeEncode]] runs the same pass
-    * natively for corpus-scale encoding, and DedupSpec pins the two
+    * natively for corpus-scale encoding, and BpeSpec pins the two
     * equal. */
   private[graft] def applyMerge(symbols: Column, a: String, b: String): Column =
     aggregate(symbols, array().cast("array<string>"), (acc, x) =>
