@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{BloomMightContain, BpeEncode, DeletionVariants, DotProductFloat, TextStatsExpr, LangId, Lev1Dist, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, WinnowFingerprints, WordShingles}
+import graft.expressions.{BloomMightContain, BpeEncode, DeletionVariants, DotProductFloat, TextStatsExpr, LangId, Lev1Dist, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, TopKStrings, WinnowFingerprints, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SignBucketKeys.registration)
     ext.injectFunction(BloomMightContain.registration)
     ext.injectFunction(MisraGries.registration)
+    ext.injectFunction(TopKStrings.registration)
     ext.injectFunction(WinnowFingerprints.registration)
     ext.injectFunction(BpeEncode.registration)
     ext.injectFunction(TextStatsExpr.registration)

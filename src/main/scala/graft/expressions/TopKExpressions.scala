@@ -1,0 +1,180 @@
+package graft.expressions
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.util.Comparator
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Grouped top-k as a native MERGEABLE aggregate: per group, the `k`
+  * payloads ranked best by (ord DESC, payload ASC), evaluated to the
+  * payload array in that rank order.
+  *
+  * Why not a window: `row_number() OVER (PARTITION BY g ORDER BY o DESC)
+  * <= k` shuffles and SORTS every row of every group to keep k of them
+  * — at 100 TB the sort-exchange of the whole input is the cost, and
+  * the k survivors are noise. This aggregate keeps an O(k) bounded
+  * heap per group per partial; what crosses the wire per map task is
+  * at most k (ord, payload) pairs per group — map-side combine does
+  * the pruning, the same reason partial sums beat sorting (q10's
+  * window remains the right call for rank COLUMNS on all rows; this
+  * is for top-k RESULTS).
+  *
+  * Determinism under any partitioning/merge order: ranking is total —
+  * ord desc then payload asc — so the surviving set is a function of
+  * the group's multiset alone. Duplicate (ord, payload) rows are real
+  * rows and each occupies a slot (matching what the window form
+  * emits). The ordinal is LONG (exact): callers rank by float scores
+  * at their own precision risk; int/bigint/hash ordinals — the common
+  * cases — compare exactly. NULL ord or payload rows are skipped (SQL
+  * aggregates skip nulls; a null never outranks a value).
+  *
+  * Doubles as DETERMINISTIC per-group sampling: rank by
+  * `xxhash64(id)` and the k survivors are a uniform, seed-stable,
+  * partition-independent sample of each group (TopKSpec pins it).
+  */
+case class TopKStrings(first: Expression, second: Expression,
+                       third: Expression,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[(Long, String)]]
+  with TernaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = TopKStrings.name
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (first.dataType != LongType)
+      return TypeCheckResult.TypeCheckFailure(
+        s"${TopKStrings.name} expects a LONG ordinal (exact comparison; " +
+          s"cast int ordinals up), got ${first.dataType.simpleString}")
+    if (second.dataType != StringType)
+      return TypeCheckResult.TypeCheckFailure(
+        s"${TopKStrings.name} expects a string payload, got ${second.dataType.simpleString}")
+    if (third.dataType != IntegerType || !third.foldable)
+      return TypeCheckResult.TypeCheckFailure(
+        s"${TopKStrings.name}: k must be a foldable int")
+    third.eval(null) match {
+      case i: java.lang.Integer if i >= 1 && i <= 1000000 =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"${TopKStrings.name}: k must be in [1, 1000000], got $other")
+    }
+  }
+
+  @transient private lazy val k: Int = third.eval(null).asInstanceOf[Int]
+
+  /** Heap comparator: WORST entry first (so poll() evicts it when the
+    * buffer overflows k). Worst = smallest ord, then LARGEST payload —
+    * the exact inverse of the output ranking. */
+  private object WorstFirst extends Comparator[(Long, String)] {
+    override def compare(a: (Long, String), b: (Long, String)): Int = {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c else b._2.compareTo(a._2)
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[(Long, String)] =
+    new java.util.PriorityQueue[(Long, String)](WorstFirst)
+
+  private def offer(buf: java.util.PriorityQueue[(Long, String)],
+                    e: (Long, String)): Unit =
+    if (buf.size < k) buf.add(e)
+    else if (WorstFirst.compare(e, buf.peek()) > 0) { buf.poll(); buf.add(e) }
+
+  override def update(buf: java.util.PriorityQueue[(Long, String)],
+                      input: InternalRow): java.util.PriorityQueue[(Long, String)] = {
+    val o = first.eval(input)
+    val p = second.eval(input)
+    if (o != null && p != null)
+      offer(buf, (o.asInstanceOf[Long], p.asInstanceOf[UTF8String].toString))
+    buf
+  }
+
+  override def merge(b1: java.util.PriorityQueue[(Long, String)],
+                     b2: java.util.PriorityQueue[(Long, String)]): java.util.PriorityQueue[(Long, String)] = {
+    val it = b2.iterator()
+    while (it.hasNext) offer(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.PriorityQueue[(Long, String)]): Any = {
+    val arr = new Array[(Long, String)](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    // output rank order: best first (ord desc, payload asc)
+    java.util.Arrays.sort(arr, WorstFirst.reversed())
+    new GenericArrayData(arr.map(e => UTF8String.fromString(e._2): Any))
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[(Long, String)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeLong(e._1)
+      val bytes = e._2.getBytes("UTF-8")
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(Long, String)] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val o = in.readLong()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.add((o, new String(b, "UTF-8")))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStrings =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStrings =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): TopKStrings =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object TopKStrings {
+  val name = "topk_str"
+
+  /** Column wrapper: top-`k` `payload`s per group by (`ord` desc,
+    * payload asc), as an array in rank order. Requires
+    * [[graft.GraftExtensions]] on the session. */
+  def topk(ord: Column, payload: Column, k: Int): Column =
+    call_function(name, ord.cast("long"), payload, lit(k))
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[TopKStrings].getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        s"$name takes 3 arguments (ord, payload, k), got ${exprs.length}")
+      TopKStrings(exprs.head, exprs(1), exprs(2))
+    })
+}

@@ -162,7 +162,10 @@ object Dedup {
       .dropDuplicates("corpus_id", "batch_id")
     val ca = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("txt_a"))
     val cb = batch.select(col(idCol).as("batch_id"), col(textCol).as("txt_b"))
-    ca.join(candidates, "corpus_id")
+    // the candidate set is batch-bounded (each pair names a batch row),
+    // so it broadcasts EXPLICITLY — at real corpus scale the optimizer's
+    // size estimate for a join output is not trusted to pick this
+    ca.join(broadcast(candidates), "corpus_id")
       .join(broadcast(cb), "batch_id")
       .select(col("corpus_id"), col("batch_id"),
         jaccard(shingles(col("txt_a"), k), shingles(col("txt_b"), k)).as("jaccard"))

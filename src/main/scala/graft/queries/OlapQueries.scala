@@ -205,7 +205,24 @@ object OlapQueries {
         .groupBy(col("l_orderkey"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sum(dec(col("l_extendedprice"))).cast("double").as("total"))
-    })
+    }),
+
+    // grouped top-k through the native mergeable k-heap aggregate
+    // (expressions.TopKStrings): per returnflag, the 8 best order keys
+    // by (quantity desc, key asc). The window form the oracle uses
+    // shuffles AND sorts every lineitem row; the aggregate's map-side
+    // partials each carry at most k pairs per group (PlanSpec pins the
+    // no-Window/no-Sort plan). Payloads are zero-padded so STRING rank
+    // order == numeric order on both engines — the tie-break is part
+    // of the operator's determinism contract, so the oracle must rank
+    // by the exact same total order.
+    "q98_group_topk" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(array_join(graft.expressions.TopKStrings.topk(
+          col("l_quantity").cast("long"),
+          lpad(col("l_orderkey").cast("string"), 10, "0"), 8), ",")
+          .as("top_keys")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -307,6 +324,25 @@ object OlapQueries {
         | COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the direct window definition — rank by the same (quantity desc,
+    // zero-padded key asc) total order the aggregate uses, then emit in
+    // rank order. Duplicate (q, key) rows at the cut line carry
+    // identical content, so row_number's arbitrary choice between them
+    // cannot change the output.
+    "q98_group_topk" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |         lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS pk,
+        |         l_quantity AS q,
+        |         row_number() OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_quantity DESC,
+        |                    lpad(CAST(l_orderkey AS VARCHAR), 10, '0')) AS rn
+        |  FROM lineitem)
+        |SELECT l_returnflag, string_agg(pk, ',' ORDER BY q DESC, pk) AS top_keys
+        |FROM r WHERE rn <= 8
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -115,11 +115,12 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"batch band keys must broadcast:\n$plan")
-    // the corpus-side scans feed broadcast joins directly: no exchange
-    // may repartition the corpus (candidate dedup + batch broadcasts
-    // are the only exchanges)
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
-      s"corpus side grew a heavyweight join:\n$plan")
+    // the corpus-side scans feed broadcast joins directly: no join may
+    // repartition the corpus (candidate dedup is the only shuffle, and
+    // it exchanges the batch-bounded candidate set, not the corpus)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct")
+      && !plan.contains("ShuffledHashJoin"),
+      s"corpus side grew a shuffled join:\n$plan")
   }
 
   test("native winnow_fingerprints matches the composed builtin form on real docs") {

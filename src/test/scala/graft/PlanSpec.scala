@@ -200,6 +200,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q95 should be join-free:\n$p")
   }
 
+  test("q98: grouped top-k is one object-hash aggregate — no window, no sort") {
+    val p = finalPlan("q98_group_topk")
+    // the whole point of the mergeable k-heap: map-side partials prune
+    // to k pairs per group, so no row-level sort-exchange ever happens
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topk_str"),
+      s"q98 lost the map-side k-heap partial:\n$p")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"q98 regressed to a window/sort plan:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
