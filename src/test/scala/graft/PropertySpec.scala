@@ -185,4 +185,28 @@ class PropertySpec extends SparkSpec {
       assert(bad === 0L, s"seed=$seed")
     }
   }
+
+  test("property: grouped top-k equals the sorted-take reference on arbitrary multisets") {
+    import graft.expressions.TopKStrings
+    // small domains force heavy ord ties and duplicate (ord, payload)
+    // rows — exactly where a heap with a non-total ordering would
+    // diverge from the reference under partition shuffling
+    val rowG = for {
+      g <- Gen.oneOf("g1", "g2", "g3")
+      o <- Gen.chooseNum(0L, 5L)
+      p <- Gen.oneOf("a", "b", "c", "d")
+    } yield (g, o, p)
+    for (seed <- 1L to 8L; k <- Seq(1, 3, 7)) {
+      val rows = sample(Gen.listOfN(60, rowG), seed)
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3))
+          .sortBy { case (o, p) => (-o, p) }.take(k).map(_._2)
+      }
+      val got = rows.toDF("g", "o", "p").repartition(5)
+        .groupBy(col("g"))
+        .agg(TopKStrings.topk(col("o"), col("p"), k).as("top"))
+        .as[(String, Seq[String])].collect().toMap
+      assert(got === want, s"seed=$seed k=$k")
+    }
+  }
 }
