@@ -259,6 +259,28 @@ object DedupQueries {
             col("p_name").substr(lit(7), length(col("p_name")))).as("p_name"))
       graft.operators.FuzzyJoin.lev1Join(dirty, clean,
         "dirty_id", "clean_id", "p_name")
+    }),
+
+    // int8-range scalar quantization of the embedding corpus
+    // (operators.Quantize): one map-side-combined bounds aggregate,
+    // broadcast bounds, row-local encode in explicit DOUBLE arithmetic
+    // (bit-identical on any IEEE engine — the oracle replays the same
+    // formula). recon_ok verdicts each engine's own codes against the
+    // half-step error bound with 20% margin (the q30 discipline).
+    "q99_embed_quant" -> ((s, d) => {
+      val q = graft.operators.Quantize.quantized(
+        Tables(s, d, "embeddings"), "embedding")
+      val recon = graft.operators.Quantize
+        .decode(col("codes"), col("__lo"), col("__hi"))
+      q.select(col("vec_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), ",")
+          .as("codes_str"),
+        forall(zip_with(col("embedding"),
+          zip_with(recon, zip_with(col("__lo"), col("__hi"),
+            (l, h) => (h - l) / lit(510.0) * lit(1.2) + lit(1e-12)),
+            (r, b) => struct(r.as("r"), b.as("b"))),
+          (x, rb) => abs(x.cast("double") - rb.getField("r")) <= rb.getField("b")),
+          identity).as("recon_ok"))
     })
   )
 
@@ -600,6 +622,33 @@ object DedupQueries {
          |       CAST(levenshtein(ds, cs) AS INT) AS dist
          |FROM dv JOIN cv USING (v)
          |WHERE levenshtein(ds, cs) <= 1""".stripMargin
-    }
+    },
+
+    // replays the exact DOUBLE quantization formula; the lateral
+    // `codes` alias is reused for both the joined string and the
+    // reconstruction verdict
+    "q99_embed_quant" ->
+      """WITH e AS (
+        |  SELECT unnest(generate_series(1, len(embedding))) AS i,
+        |         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        |  FROM embeddings),
+        |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),
+        |b AS (SELECT list(mn ORDER BY i) AS lo, list(mx ORDER BY i) AS hi FROM mm)
+        |SELECT vec_id, codes_str, recon_ok FROM (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(1, len(embedding)),
+        |      i -> CASE WHEN b.hi[i] = b.lo[i] THEN CAST(0 AS BIGINT)
+        |           ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - b.lo[i])
+        |                           * 255.0 / (b.hi[i] - b.lo[i]) + 0.5)
+        |                AS BIGINT) END) AS codes,
+        |    array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',')
+        |      AS codes_str,
+        |    len(list_filter(generate_series(1, len(embedding)),
+        |      i -> abs(CAST(embedding[i] AS DOUBLE)
+        |               - (b.lo[i] + CAST(codes[i] AS DOUBLE)
+        |                            * (b.hi[i] - b.lo[i]) / 255.0))
+        |           > ((b.hi[i] - b.lo[i]) / 510.0 * 1.2 + 1e-12))) = 0
+        |      AS recon_ok
+        |  FROM embeddings, b)""".stripMargin
   )
 }
