@@ -59,6 +59,43 @@ class TopKSpec extends SparkSpec {
     assert(got("g2") === Seq("x"))
   }
 
+  test("non-BMP ties break in UTF8String binary order, matching the window form") {
+    // U+1F600 (GRINNING FACE, supplementary plane, 4-byte UTF-8) vs
+    // U+FF01 (FULLWIDTH !, 3-byte UTF-8) at EQUAL ord: code-point
+    // order puts U+FF01 first, but Java UTF-16 code-unit order puts
+    // the surrogate pair (D83D DE00) first — the two orders DISAGREE
+    // here, so this pins that the aggregate uses Spark's binary
+    // StringType order, not String.compareTo.
+    val emoji = "😀" // U+1F600
+    val fullw = "！"       // U+FF01
+    assert(emoji.compareTo(fullw) < 0, "precondition: UTF-16 order disagrees")
+    val df = Seq(("g", 7L, emoji), ("g", 7L, fullw), ("g", 1L, "loser"))
+      .toDF("g", "o", "p")
+    val got = df.groupBy(col("g"))
+      .agg(TopKStrings.topk(col("o"), col("p"), 2).as("top"))
+      .as[(String, Seq[String])].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("o").desc, col("p"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("g"))
+      .agg(transform(sort_array(collect_list(struct(col("rn"), col("p")))),
+        e => e.getField("p")).as("top"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got === want)
+    assert(got("g") === Seq(fullw, emoji)) // code-point order, not UTF-16
+  }
+
+  test("non-integral ordinal dtypes are rejected at analysis, not truncated") {
+    val df = Seq(("g", 1.5, "a")).toDF("g", "o", "p")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy(col("g"))
+        .agg(TopKStrings.topk(col("o"), col("p"), 2).as("top"))
+        .collect()
+    }
+    assert(e.getMessage.contains("INTEGRAL"))
+  }
+
   test("null ord or payload rows are skipped; under-full groups return what exists") {
     val df = Seq(("g", Some(3L), Some("a")), ("g", None, Some("skip")),
       ("g", Some(9L), None), ("g", Some(1L), Some("b")))
