@@ -37,6 +37,15 @@ import graft.operators.{MergeIgnore, SurrogateKeys}
   * `ON CONFLICT DO NOTHING` (app/etl.py:129; the reference winner is
   * arbitrary — we pick min id_tempo so the state is reproducible).
   */
+object Warehouse {
+  /** Batches at or under this many rows (from footer metadata) take the
+    * single-window [[SurrogateKeys.assignBounded]] fact-id path; larger
+    * ones take [[SurrogateKeys.assignScalable]]. A few million short
+    * rows through one window task is well under a second — cheaper than
+    * the three extra jobs the scalable path schedules. */
+  val boundedIdBatchRows: Long = 4L * 1000 * 1000
+}
+
 final class Warehouse(catalog: Catalog, strictQuirks: Boolean = false) {
 
   private def staging: DataFrame = catalog.table("staging_lancamentos")
@@ -155,9 +164,19 @@ final class Warehouse(catalog: Catalog, strictQuirks: Boolean = false) {
         existingFactForMerge(months)
       }
     val delta = MergeIgnore.newRows(candidates, existing, Seq("id_hash"))
-    // Fact-scale id assignment: assignScalable (no single-task window,
-    // native long — the int-cast assign is reserved for dimension tables).
-    val keyed = SurrogateKeys.assignScalable(delta, "id_lancamento", Seq("id_hash"), offset)
+    // Size-aware id assignment (AQE-style, decided from table-format
+    // FOOTER row counts — metadata only, no extra job): the delta is at
+    // most the staged batch, so a bounded batch (the month-upload
+    // cadence this pipeline serves) takes the one-job single-window
+    // path; anything larger — a backfill, a migration — pays
+    // assignScalable's two-pass scheme and keeps every task bounded.
+    val batchRows = catalog.stats("staging_lancamentos").rows
+    val assigned =
+      if (batchRows <= Warehouse.boundedIdBatchRows)
+        SurrogateKeys.assignBounded(delta, "id_lancamento", Seq("id_hash"), offset)
+      else
+        SurrogateKeys.assignScalable(delta, "id_lancamento", Seq("id_hash"), offset)
+    val keyed = assigned
       .select(Schemas.fatoLancamento.fieldNames.map(col): _*)
     // Cluster rows by the dimension hierarchy inside each written file
     // (no extra shuffle — ids are already assigned): parquet row-group

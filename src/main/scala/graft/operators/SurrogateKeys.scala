@@ -25,6 +25,21 @@ object SurrogateKeys {
     df.withColumn(idCol, (row_number().over(w) + lit(offset)).cast("int"))
   }
 
+  /** Dense LONG ids through one global window — the BOUNDED-batch
+    * fast path. Same ids as [[assignScalable]] (both realize
+    * row_number over the identical total order, offset-shifted), but
+    * one job instead of four (no range-sample, no checkpoint
+    * materialization, no counts collect). The single funnel task is
+    * the point, not a bug: for a batch already known to be bounded
+    * (e.g. from table-format footer counts — a metadata read, no job)
+    * a few million rows through one task costs less than the
+    * scheduling latency assignScalable pays to avoid it. Callers that
+    * cannot bound the input must use [[assignScalable]]. */
+  def assignBounded(df: DataFrame, idCol: String, orderBy: Seq[String], offset: Long = 0L): DataFrame = {
+    val w = Window.orderBy(orderBy.map(col): _*)
+    df.withColumn(idCol, row_number().over(w).cast("long") + lit(offset))
+  }
+
   /** Dense LONG ids at fact scale: range-repartition + sort by `orderBy`,
     * then per-partition row_number + exclusive prefix-sum of partition
     * sizes. Two passes, no single-task window, no 32-bit overflow.

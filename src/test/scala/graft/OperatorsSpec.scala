@@ -191,4 +191,17 @@ class OperatorsSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(ids.toSeq === (6L to 1005L))
   }
+
+  test("SurrogateKeys.assignBounded: identical (key, id) mapping to assignScalable") {
+    // the bounded one-job path must assign the SAME dense long ids as
+    // the scalable two-pass path — the Warehouse switches between them
+    // on batch size, so they must be interchangeable row-for-row
+    val df = (1 to 2000).map(i => s"name_${i % 997}_$i").toDF("nome").repartition(13)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("nome", "id").as[(String, Long)].collect().toMap
+    val bounded = pairs(SurrogateKeys.assignBounded(df, "id", Seq("nome"), offset = 42))
+    val scalable = pairs(SurrogateKeys.assignScalable(df, "id", Seq("nome"), offset = 42))
+    assert(bounded === scalable)
+    assert(bounded.values.min === 43L && bounded.values.max === 2042L)
+  }
 }
