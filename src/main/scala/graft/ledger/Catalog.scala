@@ -723,13 +723,54 @@ final class Catalog(val spark: SparkSession, val root: String,
     * sums back), so the maintained schema is stable across arbitrarily
     * many refreshes. */
   def maintainAgg(table: String, batch: DataFrame, keys: Seq[String],
-                  aggs: Seq[graft.operators.IncrementalAgg.AggSpec]): Unit = {
+                  aggs: Seq[graft.operators.IncrementalAgg.AggSpec],
+                  batchId: Option[Long] = None): Unit = {
+    // Replay guard for at-least-once callers (Structured Streaming's
+    // foreachBatch commits its checkpoint AFTER the batch function
+    // returns, so a crash in between re-delivers the batch): the
+    // applied batch id rides INSIDE the rollup's commit directory, so
+    // "rollup folded" and "batch id recorded" publish in the same
+    // atomic manifest flip — a replayed id is skipped instead of
+    // double-counted. Ids are per-checkpoint monotonic; a FRESH
+    // checkpoint replays the whole source, so it must maintain a fresh
+    // table (documented at the stream wrapper).
+    batchId.foreach { id =>
+      if (appliedBatchId(table).exists(_ >= id)) return
+    }
     val p = graft.operators.IncrementalAgg.partial(batch, keys, aggs)
     val merged =
       if (!exists(table)) p
       else graft.operators.IncrementalAgg.merge(this.table(table), p, keys, aggs)
-    replace(table, merged)
+    val base = writeBase(table)
+    val dir = newCommitDir(table)
+    merged.write.mode(SaveMode.Overwrite).parquet(dir)
+    batchId.foreach { id =>
+      val marker = new org.apache.hadoop.fs.Path(dir, AppliedBatchIdMarker)
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(marker, true)
+      try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    }
+    commit(table, Seq(dir), base)
+    register(table)
   }
+
+  private val AppliedBatchIdMarker = "_applied_batch_id"
+
+  /** The last micro-batch id folded into `table` by [[maintainAgg]],
+    * read from the marker inside the live commit (metadata-only). */
+  def appliedBatchId(table: String): Option[Long] =
+    liveCommits(table).flatMap { dir =>
+      val marker = new org.apache.hadoop.fs.Path(dir, AppliedBatchIdMarker)
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try {
+          val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          Some(s.toLong)
+        } finally in.close()
+      }
+    }.sorted.lastOption
 
   /** Append a pre-computed delta (already deduped/anti-joined) as a new
     * commit. The delta plan may read `table` itself; it materializes

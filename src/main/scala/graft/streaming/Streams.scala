@@ -141,9 +141,16 @@ object Streams {
     * batch plus the rollup grid; the stream's history is never
     * rescanned, and each refresh publishes as one atomic replace
     * commit, so readers of the rollup always see a consistent state.
-    * Batch replay double-counts sums, so the source must be
-    * checkpoint-tracked (exactly-once micro-batches — the standard
-    * Structured Streaming contract foreachBatch sinks rely on). */
+    *
+    * Replay safety: foreachBatch is AT-LEAST-ONCE — the engine commits
+    * its checkpoint offsets AFTER the batch function returns, so a
+    * crash in between re-delivers the batch on restart. Folding a sum
+    * twice is permanent corruption, so the batch id is passed through
+    * to maintainAgg, which records it INSIDE the rollup's atomic
+    * commit and skips ids it has already applied — the fold is
+    * idempotent per batch id. The guard is per-CHECKPOINT: ids restart
+    * at 0 with a fresh checkpoint (which replays the whole source), so
+    * a fresh checkpoint must maintain a fresh rollup table. */
   def maintainedAggStream(df: DataFrame, catalog: Catalog, table: String,
                           keys: Seq[String],
                           aggs: Seq[graft.operators.IncrementalAgg.AggSpec],
@@ -151,22 +158,28 @@ object Streams {
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        catalog.maintainAgg(table, batch, keys, aggs); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        catalog.maintainAgg(table, batch, keys, aggs, batchId = Some(batchId)); ()
       }
       .start()
 
-  /** Dedup-on-ingest: each micro-batch is near-dup-checked AGAINST THE
-    * CORPUS TABLE with the incremental broadcast path
+  /** Dedup-on-ingest: each micro-batch is first near-dup-checked
+    * AGAINST ITSELF ([[graft.operators.Dedup.nearDupPairs]] on the
+    * batch alone — batch-sized, so the self-join is trivial; crawl
+    * re-fetch bursts arrive as in-batch near-dups, the common case),
+    * then the in-batch survivors are checked AGAINST THE CORPUS TABLE
+    * with the incremental broadcast path
     * ([[graft.operators.Dedup.nearDupPairsAgainst]] — the corpus
     * streams once per batch and is never shuffled), and only documents
-    * with no corpus match append. The corpus read resolves per batch,
-    * so survivors of batch N are corpus for batch N+1 — exactly the
-    * accumulate-and-dedup loop a crawl ingestion runs, with
-    * at-least-once replay safe on the id level via the anti-join
-    * (replayed rows match their own already-appended copies ONLY if
-    * text matches, so pair ids dedup them; id-level exactness comes
-    * from the checkpoint as usual). */
+    * with no match on either level append. In-batch pruning uses the
+    * min-id keep rule (a doc matching a smaller-id batch doc drops),
+    * the same convention as the semantic prune. The corpus read
+    * resolves per batch, so survivors of batch N are corpus for batch
+    * N+1 — exactly the accumulate-and-dedup loop a crawl ingestion
+    * runs, with at-least-once replay safe on the id level via the
+    * anti-join (replayed rows match their own already-appended copies
+    * ONLY if text matches, so pair ids dedup them; id-level exactness
+    * comes from the checkpoint as usual). */
   def dedupIngestStream(docs: DataFrame, catalog: Catalog, table: String,
                         checkpointDir: String, idCol: String = "doc_id",
                         textCol: String = "text"): StreamingQuery =
@@ -174,13 +187,17 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inBatchDups = graft.operators.Dedup
+          .nearDupPairs(batch, idCol, textCol)
+          .select(col("b_id").as(idCol)).distinct()
+        val inBatchSurvivors = batch.join(inBatchDups, Seq(idCol), "left_anti")
         val survivors =
-          if (!catalog.exists(table)) batch
+          if (!catalog.exists(table)) inBatchSurvivors
           else {
             val dups = graft.operators.Dedup
-              .nearDupPairsAgainst(catalog.table(table), batch, idCol, textCol)
+              .nearDupPairsAgainst(catalog.table(table), inBatchSurvivors, idCol, textCol)
               .select(col("batch_id").as(idCol)).distinct()
-            batch.join(dups, Seq(idCol), "left_anti")
+            inBatchSurvivors.join(dups, Seq(idCol), "left_anti")
           }
         catalog.appendDelta(table, survivors)
         ()

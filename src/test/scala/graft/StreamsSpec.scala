@@ -199,6 +199,60 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainAgg: a replayed batch id is skipped, not double-counted") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg.AggSpec
+    val dir = Files.createTempDirectory("rollup_replay").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val aggs = Seq(AggSpec("n", "count", "*"), AggSpec("s", "sum", "v"))
+    val b0 = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    cat.maintainAgg("rollup_r", b0, Seq("k"), aggs, batchId = Some(0L))
+    // the crash-between-commit-and-checkpoint shape: the SAME batch id
+    // is delivered again — the fold must be a no-op
+    cat.maintainAgg("rollup_r", b0, Seq("k"), aggs, batchId = Some(0L))
+    val after = cat.table("rollup_r").select("k", "n", "s")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(after.toSeq === Seq(("a", 1L, 1L), ("b", 1L, 2L)))
+    assert(cat.appliedBatchId("rollup_r") === Some(0L))
+    // the NEXT id folds normally
+    cat.maintainAgg("rollup_r", Seq(("a", 10)).toDF("k", "v"), Seq("k"),
+      aggs, batchId = Some(1L))
+    val next = cat.table("rollup_r").select("k", "n", "s")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(next.toSeq === Seq(("a", 2L, 11L), ("b", 1L, 2L)))
+    assert(cat.appliedBatchId("rollup_r") === Some(1L))
+  }
+
+  test("dedupIngestStream: in-batch near-dups prune before the corpus check") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_dedup_inbatch").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dedupIngestStream(mem.toDF().toDF("doc_id", "text"),
+      cat, "corpus_docs2", s"$dir/cp")
+    try {
+      // the FIRST batch (no corpus yet) carries a crawl-refetch burst:
+      // docs 1 and 2 are near-dups of each other; min-id keeps 1
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again tail"),
+        (3L, "completely different content about database engines and queries"))
+      q.processAllAvailable()
+      val ids = cat.table("corpus_docs2").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 3L))
+      // a later batch with an in-batch pair AND a corpus match: 4 dups
+      // corpus doc 3, 5/6 are an in-batch pair — only 5 survives
+      mem.addData(
+        (4L, "completely different content about database engines and queries extra"),
+        (5L, "brand new topic entirely unrelated to anything stored so far today"),
+        (6L, "brand new topic entirely unrelated to anything stored so far today plus"))
+      q.processAllAvailable()
+      val ids2 = cat.table("corpus_docs2").select("doc_id").as[Long].collect().sorted
+      assert(ids2.toSeq === Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("dedupIngestStream: near-dups of already-ingested docs never land") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
