@@ -635,12 +635,26 @@ object WinnowFingerprints {
   * - n_punct = `size(regexp_extract_all(lower(c), "[^a-z0-9\\s]"))`.
   * - n_chars = `length(c)` (code points).
   * Lowercasing uses the same UTF8String.toLowerCase as `lower`.
+  *
+  * NULL text yields the ZERO struct, not NULL: the composed q16/q76
+  * forms this expression replaced mapped NULL through
+  * `when(c.isNull, 0)` — counts 0, quality gate "too_short" — and a
+  * fused rewrite must not silently change the pipeline's verdict on a
+  * nullable corpus. (This intentionally diverges from bare `length(c)`
+  * on NULL; callers wanting SQL NULL propagation can guard with
+  * `c.isNull` themselves.)
   */
 case class TextStatsExpr(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = TextStatsExpr.schema
   override def prettyName: String = TextStatsExpr.name
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextStatsExpr.zeroRow else nullSafeEval(v)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -702,6 +716,11 @@ case class TextStatsExpr(child: Expression)
 
 object TextStatsExpr {
   val name = "text_stats"
+
+  /** The NULL-input result: all counts zero (see class doc). */
+  private[expressions] val zeroRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0, 0, 0, 0))
 
   val schema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

@@ -36,6 +36,24 @@ class TextFunctionsSpec extends SparkSpec {
       .toDF("text"))
   }
 
+  test("text_stats on NULL text returns the zero struct (composed-contract parity)") {
+    import graft.expressions.TextExpressions.textStats
+    // the composed q16/q76 forms mapped NULL through when(c.isNull, 0);
+    // the fused expression must keep that — NULL counts and a NULL keep
+    // flag would silently change a nullable corpus's quality verdicts
+    val out = Seq(Some("a b"), None).toDF("text")
+      .select(col("text"), textStats(col("text")).as("ts"))
+      .select(col("ts.n_ws_tokens"), col("ts.n_tokens"),
+        col("ts.n_punct"), col("ts.n_chars"))
+      .as[(Int, Int, Int, Int)].collect()
+    assert(out(0) === ((2, 2, 0, 3)))
+    assert(out(1) === ((0, 0, 0, 0)))
+    // and the composed wsTokenCount agrees on NULL
+    val ws = Seq(Option.empty[String]).toDF("t")
+      .select(wsTokenCount(col("t"))).as[Int].collect()
+    assert(ws.toSeq === Seq(0))
+  }
+
   test("langId picks the dominant stopword language, und when none") {
     val out = Seq(
       "the cat sat on the mat and it is fine",
