@@ -304,11 +304,24 @@ object Dedup {
     * DOUBLES per round (2^rounds nodes — planner OOM on deep chains
     * long before data size matters).
     *
+    * localCheckpoint truncates lineage but stores blocks on executors
+    * — NON-reliable: lose an executor mid-loop and the labels cannot
+    * be recomputed (the lineage is gone), so a deep-graph run on a
+    * real cluster dies at the first eviction. `checkpointEvery`
+    * hardens that: when the session has a checkpoint directory set
+    * (`sc.setCheckpointDir` — HDFS/object store on a cluster), every
+    * Nth round writes a RELIABLE checkpoint instead, bounding the
+    * work lost to executor failure to N rounds. Rounds in between
+    * stay on the cheap local path. With no checkpoint dir configured
+    * (local iteration), every round is local — same behavior as
+    * before.
+    *
     * Returns (id, rep). Only nodes appearing in at least one pair are
     * labeled (singletons are not clusters).
     */
   def dupClusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-                  maxIter: Int = 50): DataFrame = {
+                  maxIter: Int = 50, checkpointEvery: Int = 10): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     // Self-loops fold each node's OWN label into the neighbor-min
     // aggregate, so a round is one join + one aggregate — the previous
     // formulation needed a second (left) join per round to re-merge the
@@ -336,11 +349,18 @@ object Dedup {
     // localCheckpoint action) — each round is exactly ONE driver
     // action; the previous separate fingerprint job per round was the
     // single largest cost of the loop (round-3 verdict task 2).
-    def materialize(df: DataFrame): (DataFrame, Option[Long]) = {
+    val reliableAvailable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame, reliable: Boolean = false): (DataFrame, Option[Long]) = {
       val obs = org.apache.spark.sql.Observation()
-      val out = df.observe(obs, bit_xor(xxhash64(col("id").cast("string"),
+      val observed = df.observe(obs, bit_xor(xxhash64(col("id").cast("string"),
         col("rep").cast("string"))).as("fp"))
-        .localCheckpoint(true) // truncate lineage; blocks freed by the cleaner
+      // reliable: survives executor loss (written to the configured
+      // checkpoint dir); local: lineage truncation only, blocks freed
+      // by the cleaner
+      val out =
+        if (reliable) observed.checkpoint(eager = true)
+        else observed.localCheckpoint(true)
       (out, Option(obs.get("fp")).map(_.asInstanceOf[Long]))
     }
     // initial labels = the self-loop rows (id, rep=id), read from the
@@ -355,7 +375,8 @@ object Dedup {
       val (next, s) = materialize(
         edges.join(labels, edges("y") === labels("id"))
           .groupBy(col("x")).agg(min(col("rep")).as("rep"))
-          .select(col("x").as("id"), col("rep")))
+          .select(col("x").as("id"), col("rep")),
+        reliable = reliableAvailable && (iter + 1) % checkpointEvery == 0)
         labels = next
         done = s == prevSum
         prevSum = s

@@ -499,6 +499,37 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("dim_tipo").count() === 2)
   }
 
+  test("two catalogs, one root, two tables: concurrent writers both land (per-table ownership)") {
+    // the documented multi-process deployment shape: one writer OWNS
+    // each table; different-table writers under the same warehouse
+    // root must not interfere (manifests are per-table). Two Catalog
+    // instances append to two tables concurrently, several commits
+    // each — both sequences must land completely and read back exactly.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cat_twotables").toString
+    val catA = new Catalog(spark, s"$dir/wh")
+    val catB = new Catalog(spark, s"$dir/wh")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def writer(cat: Catalog, table: String, tag: String) = new Thread(() => {
+      try {
+        (1 to 4).foreach { i =>
+          cat.appendDelta(table, Seq((i.toLong, s"${tag}_$i")).toDF("id", "v"))
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val ta = writer(catA, "owned_by_a", "a")
+    val tb = writer(catB, "owned_by_b", "b")
+    ta.start(); tb.start(); ta.join(60000); tb.join(60000)
+    assert(errs.isEmpty, s"concurrent different-table writers failed: ${errs.peek()}")
+    val a = catB.table("owned_by_a").as[(Long, String)].collect().sortBy(_._1)
+    val b = catA.table("owned_by_b").as[(Long, String)].collect().sortBy(_._1)
+    assert(a.toSeq === (1 to 4).map(i => (i.toLong, s"a_$i")))
+    assert(b.toSeq === (1 to 4).map(i => (i.toLong, s"b_$i")))
+    // four commits each — no writer lost a commit to the other's flips
+    assert(catA.versions("owned_by_a").size === 4)
+    assert(catB.versions("owned_by_b").size === 4)
+  }
+
   test("tableWhere prunes commits by footer range and still answers exactly") {
     val dir = Files.createTempDirectory("cat_skip").toString
     val cat = new Catalog(spark, s"$dir/wh")

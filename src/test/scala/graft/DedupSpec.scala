@@ -81,6 +81,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters: diameter-35 path with reliable checkpoint cadence converges, no plan blowup") {
+    // a path graph needs ~diameter propagation rounds — the deep-graph
+    // shape where (a) an unbounded lineage would double the plan per
+    // round and (b) a lost executor would kill a local-only checkpoint
+    // run. With a checkpoint dir configured, every 5th round writes a
+    // RELIABLE checkpoint; the result must be identical either way.
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val path = (0L until 35L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      val out = Dedup.dupClusters(path, maxIter = 50, checkpointEvery = 5)
+        .as[(Long, Long)].collect()
+      assert(out.length === 36 && out.forall(_._2 == 0L))
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("dupClusters: multi-hop chains converge to the min id") {
     // chain 1-2-3-4 (diameter 3 → several propagation rounds) + isolated pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
