@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.OlapQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.BreadthQueries.queries
+      graft.queries.BreadthQueries.queries ++
+      graft.queries.PipelineQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,7 +26,8 @@ object SparkEntry {
       graft.queries.OlapQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.BreadthQueries.oracleSql
+      graft.queries.BreadthQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
   /** Queries intentionally without oracle SQL (non-SQL-expressible in
     * DuckDB; driver records a weaker rows-only check). Empty since
     * round 4: q30 now emits an engine-agnostic accuracy verdict
