@@ -56,6 +56,12 @@ object PipelineQueries {
   private val NdSuffix = " zz qq extra mutated tail"
   private val SeqTokens = 512
   private val CosTau = 0.999
+  /** ScaleUp's per-replica key stride: the corpus/batch split below is
+    * taken WITHIN the replica key space (`doc_id % ReplicaK`), so the
+    * pipeline keeps its shape — planted ids are the batch, real ids
+    * the corpus — on the scaled bench dirs too. On driver testdata
+    * (ids < 10⁹) the modulo is the identity. */
+  private val ReplicaK = 1000000000L
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
@@ -113,8 +119,8 @@ object PipelineQueries {
       // ---- stage 4: incremental near-dup, batch vs corpus (q97
       // machinery: planted ids are the "new arrivals", the original
       // id range is the standing corpus; batch band keys broadcast)
-      val corp = ded.filter(col("doc_id") < NdOff)
-      val btch = ded.filter(col("doc_id") >= NdOff)
+      val corp = ded.filter(col("doc_id") % ReplicaK < NdOff)
+      val btch = ded.filter(col("doc_id") % ReplicaK >= NdOff)
       val ndDrops = Dedup.nearDupPairsAgainst(corp, btch, "doc_id", "text")
         .select(col("batch_id").as("doc_id")).distinct()
       val nd = ded.join(ndDrops, Seq("doc_id"), "left_anti")
@@ -238,8 +244,8 @@ object PipelineQueries {
          |ded AS (SELECT t.doc_id, t.text, t.lang FROM qf t
          |        JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM qf GROUP BY fp) m
          |          ON t.fp = m.fp AND t.doc_id = m.doc_id),
-         |corp AS (SELECT * FROM ded WHERE doc_id < $NdOff),
-         |btch AS (SELECT * FROM ded WHERE doc_id >= $NdOff),
+         |corp AS (SELECT * FROM ded WHERE doc_id % $ReplicaK < $NdOff),
+         |btch AS (SELECT * FROM ded WHERE doc_id % $ReplicaK >= $NdOff),
          |wa AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM corp),
          |sha AS (SELECT doc_id, ${duckShingles(K)} AS sh FROM wa),
          |bda AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS bk FROM sha),
