@@ -178,15 +178,23 @@ final class Warehouse(catalog: Catalog, strictQuirks: Boolean = false) {
         SurrogateKeys.assignScalable(delta, "id_lancamento", Seq("id_hash"), offset)
     val keyed = assigned
       .select(Schemas.fatoLancamento.fieldNames.map(col): _*)
-    // Cluster rows by the dimension hierarchy inside each written file
-    // (no extra shuffle — ids are already assigned): parquet row-group
-    // min/max stats then prune category-filtered BI scans, on top of
-    // the (ano, mes) directory pruning. The sort MUST lead with the
-    // write-partition columns: the partitioned writer requires an
-    // (ano, mes) ordering and would otherwise insert its own sort on
-    // top, destroying the clustering it sits above.
-    val clustered = keyed.sortWithinPartitions(
-      "ano", "mes", "id_tipo", "id_grupo", "id_categoria")
+    // Cluster rows by the dimension hierarchy inside each written file:
+    // parquet row-group min/max stats then prune category-filtered BI
+    // scans, on top of the (ano, mes) directory pruning. The range
+    // repartition leads with the write-partition columns, so each task
+    // owns a CONTIGUOUS (ano, mes) span: the partitioned writer opens
+    // ~1 directory per task in parallel instead of one task grinding
+    // through every month serially (the bounded-id path funnels through
+    // one window task) or every task touching every month (tasks ×
+    // months tiny files — the small-files antipattern at scale). Big
+    // months split across tasks by the range boundaries; the sort MUST
+    // lead with the partition columns or the writer stacks its own
+    // sort on top, destroying the clustering it sits above.
+    val clustered = keyed
+      .repartitionByRange(col("ano"), col("mes"),
+        col("id_tipo"), col("id_grupo"), col("id_categoria"))
+      .sortWithinPartitions(
+        "ano", "mes", "id_tipo", "id_grupo", "id_categoria")
     catalog.appendDelta("fato_lancamento", clustered, partitionBy = Seq("ano", "mes"),
       clusterBy = Seq("id_tipo", "id_grupo", "id_categoria"))
   }
