@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   *     upstream clustering step yields MORE clusters of BOUNDED size
   *     as the corpus grows, not ever-fatter clusters, so the
   *     within-cluster (SemDeDup) contract stays bounded by design;
-  *   - document text maps through a replica-specific two-factor
-  *     character permutation — vowels rotate by (i mod 5), a 20-letter
-  *     consonant set by (i div 5): 100 distinct injective maps, so
-  *     within-replica shingle Jaccard is preserved exactly while
-  *     cross-replica shingle sets are (essentially) disjoint;
+  *   - document text AND part names map through a replica-specific
+  *     two-factor character permutation — vowels rotate by (i mod 5), a
+  *     20-letter consonant set by (i div 5): 100 distinct injective
+  *     maps, so within-replica shingle Jaccard and edit distances are
+  *     preserved exactly while cross-replica shingle/name sets are
+  *     (essentially) disjoint — the fuzzy-join and containment
+  *     workloads grow with the corpus instead of multiplying each
+  *     value's match set by the replica count;
   *   - event users/ids shift so session and funnel cardinalities scale
   *     linearly (same per-user history length).
   * region/nation stay fixed (dimensions don't grow with fact volume).
@@ -81,8 +84,18 @@ object ScaleUp {
       d.withColumn("c_custkey", shift("c_custkey", i))), "customer")
     w(replicate(t("supplier"), n)((d, i) =>
       d.withColumn("s_suppkey", shift("s_suppkey", i))), "supplier")
+    // p_name maps through the same per-replica character permutation as
+    // document text: an injective char map preserves every WITHIN-replica
+    // edit distance exactly (and '#', digits, spaces are fixed points),
+    // while cross-replica names become disjoint. Without this, all n
+    // replicas share one name space and the fuzzy join's matched-pair
+    // output is quadratic in n — the sf10ish run measured 14.5× time for
+    // 10× data purely from materializing that n²-sized output. Distinct
+    // names growing with the corpus is also the realistic shape: larger
+    // part catalogs draw from a combinatorially larger name space.
     w(replicate(t("part"), n)((d, i) =>
-      d.withColumn("p_partkey", shift("p_partkey", i))), "part")
+      d.withColumn("p_partkey", shift("p_partkey", i))
+        .withColumn("p_name", permuteText(col("p_name"), i))), "part")
     w(replicate(t("orders"), n)((d, i) =>
       d.withColumn("o_orderkey", shift("o_orderkey", i))
         .withColumn("o_custkey", shift("o_custkey", i))), "orders")

@@ -356,6 +356,43 @@ class DedupSpec extends SparkSpec {
       ch.size.toDouble / (pa.toSet ++ ch.toSet).size < 0.5)
   }
 
+  test("containmentPairs prefix filter: bit-identical to the brute-force pair scan, incl. the exact-boundary pair") {
+    // k = 1 makes the shingle set the word set, so pair overlap is
+    // controlled surgically. Corpus mixes: an exact-threshold pair
+    // (9 of A's 10 words in B → 9/10 == 0.9, must PASS — pins the
+    // ceil/epsilon prefix bound), a just-below pair (8/10), full
+    // containment, df-filtered vocabulary (w0 appears in 8 docs >
+    // maxDocFreq=5 → dropped everywhere), and random-overlap noise.
+    // letters only: words() keeps [a-z]+ runs, so digits would silently
+    // merge distinct test words into one
+    def w(p: String, i: Int) = s"$p${('a' + i % 26).toChar}${('a' + i / 26).toChar}"
+    val aWords = (0 until 10).map(w("a", _))
+    val docs = Seq(
+      1 -> aWords,                                    // the min side
+      2 -> (aWords.take(9) ++ (0 until 20).map(w("b", _))), // 9/10 = θ exactly
+      3 -> (aWords.take(8) ++ (0 until 20).map(w("c", _))), // 8/10 < θ
+      4 -> aWords.take(10),                           // identical → 1.0
+      5 -> (0 until 40).map(w("d", _)),               // disjoint
+      6 -> ((0 until 30).map(w("d", _)) ++ Seq("ea", "eb")) // 30/32 ≥ .9 vs 5
+    ) ++ (0 until 8).map(i => (10 + i) -> (Seq("wz") ++ (0 until 6).map(j => w(s"u${('a' + i).toChar}", j))))
+    val df = docs.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("id", "text")
+    val got = Dedup.containmentPairs(df, "id", "text",
+      k = 1, threshold = 0.9, maxDocFreq = 5)
+      .as[(Int, Int, Double)].collect().toSet
+    // brute force over the SAME df-filtered sets, no prefix logic
+    val sets0 = docs.map { case (id, ws) => id -> ws.distinct.toSet }
+    val dfreq = sets0.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val sets = sets0.map { case (id, s) => id -> s.filter(dfreq(_) <= 5) }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty && sb.nonEmpty
+      c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.9
+    } yield (a, b, c)).toSet
+    assert(got === want)
+    assert(want.exists { case (a, b, c) => Set(a, b) == Set(1, 2) && c == 0.9 },
+      "the exact-boundary pair must be part of what the test exercises")
+  }
+
   test("containmentPairs: ubiquitous shingles are dropped, so shared boilerplate is not containment") {
     // 10 docs = same 5-word boilerplate + a unique tail word. All
     // boilerplate shingles have doc-frequency 10 > maxDocFreq and are
