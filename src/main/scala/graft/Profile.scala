@@ -1,13 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.functions._
 
 /** Scratch profiler for hot queries (not part of the driver contract). */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf10ish")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
@@ -16,26 +15,17 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(100000).selectExpr("sum(id)").collect()
 
-    val memSpill = new AtomicLong(0)
-    val diskSpill = new AtomicLong(0)
-    val shufWrite = new AtomicLong(0)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val m = sc.stageInfo.taskMetrics
-        memSpill.addAndGet(m.memoryBytesSpilled)
-        diskSpill.addAndGet(m.diskBytesSpilled)
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        if (m.memoryBytesSpilled > 0)
-          println(f"SPILL stage=${sc.stageInfo.stageId} mem=${m.memoryBytesSpilled / 1e9}%.2f GB disk=${m.diskBytesSpilled / 1e9}%.2f GB")
-      }
-    })
-
-    val t0 = System.nanoTime()
-    SparkEntry.queries("q89_containment")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    println(f"PROF q89 full ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-      f"memSpill=${memSpill.get / 1e9}%.2f GB diskSpill=${diskSpill.get / 1e9}%.2f GB " +
-      f"shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    for (r <- 1 to 3) {
+      time(s"run$r q68 full")(
+        SparkEntry.queries("q68_warehouse_e2e")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 }

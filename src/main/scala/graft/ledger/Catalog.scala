@@ -838,24 +838,31 @@ final class Catalog(val spark: SparkSession, val root: String,
 
   /** Sum of row counts from the parquet footers under `dir` — what a
     * table format records at commit time. Driver-side metadata reads
-    * only (one footer per data file). */
+    * only (one footer per data file), fanned across a parallel
+    * collection: a partitioned append writes one file per directory
+    * (80 months = 80 footers), and at ~15 ms per open a serial loop
+    * charges every append a directory-count tax (measured 1.5 s/commit
+    * on the warehouse e2e — the single biggest fixed cost of its fact
+    * append). Footer opens are independent reads; parallelism is
+    * bounded by the common pool. */
   private def footerRowCount(dir: String): Long = {
+    import scala.collection.parallel.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return 0L
     val files = fs.listFiles(p, true)
-    var n = 0L
+    val paths = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
     while (files.hasNext) {
       val f = files.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
-        try n += reader.getRecordCount
-        finally reader.close()
-      }
+      if (f.getPath.getName.endsWith(".parquet")) paths += f.getPath
     }
-    n
+    paths.par.map { fp =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, conf))
+      try reader.getRecordCount
+      finally reader.close()
+    }.sum
   }
 
   /** Row-level DELETE WHERE with commit-granular file skipping: removes

@@ -190,13 +190,30 @@ final class Warehouse(catalog: Catalog, strictQuirks: Boolean = false) {
     // months split across tasks by the range boundaries; the sort MUST
     // lead with the partition columns or the writer stacks its own
     // sort on top, destroying the clustering it sits above.
-    val clustered = keyed
-      .repartitionByRange(col("ano"), col("mes"),
-        col("id_tipo"), col("id_grupo"), col("id_categoria"))
-      .sortWithinPartitions(
-        "ano", "mes", "id_tipo", "id_grupo", "id_categoria")
-    catalog.appendDelta("fato_lancamento", clustered, partitionBy = Seq("ano", "mes"),
-      clusterBy = Seq("id_tipo", "id_grupo", "id_categoria"))
+    //
+    // Range partitioning SAMPLES its input, which executes the whole
+    // fact plan (five broadcast joins, the anti-join, the serial id
+    // window) once for boundaries and again for the write. On the
+    // bounded path the delta is ≤ boundedIdBatchRows by the same
+    // contract that chose the one-window id assignment, so persist it:
+    // the sampling pass materializes the cache and the write reads it —
+    // one execution instead of two. The scalable path (backfills,
+    // migrations) must NOT pin a table-sized delta in executor memory;
+    // it keeps the recompute, which is parallel there (assignScalable
+    // has no single-task stage).
+    val cached =
+      if (batchRows <= Warehouse.boundedIdBatchRows)
+        keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else keyed
+    try {
+      val clustered = cached
+        .repartitionByRange(col("ano"), col("mes"),
+          col("id_tipo"), col("id_grupo"), col("id_categoria"))
+        .sortWithinPartitions(
+          "ano", "mes", "id_tipo", "id_grupo", "id_categoria")
+      catalog.appendDelta("fato_lancamento", clustered, partitionBy = Seq("ano", "mes"),
+        clusterBy = Seq("id_tipo", "id_grupo", "id_categoria"))
+    } finally if (cached ne keyed) cached.unpersist(blocking = false)
   }
 
   /** The existing-fact side of the id_hash anti-join, restricted to the

@@ -273,8 +273,16 @@ object CoreQueries {
       // % 17 keeps the batch big enough to exercise every loader path
       // while holding the e2e's share of the bench artifact down (the
       // build's ~100 jobs of fixed overhead dominate, but the star-join
-      // and hash work still scale with the batch)
-      val src = t(s, d, "orders").filter(col("o_orderkey") % 17 === 0)
+      // and hash work still scale with the batch). The 3-year date
+      // bound caps the batch's MONTH span (36 partitions): a batch
+      // upload covers a bounded date range at the pipeline's documented
+      // month-upload cadence, and each (ano, mes) directory the fact
+      // append touches costs a fixed write+footer price, so an 80-month
+      // batch was paying ~2× the partition-dir tax of any realistic
+      // upload while exercising nothing extra (oracle bound in
+      // lockstep below).
+      val src = t(s, d, "orders").filter(col("o_orderkey") % 17 === 0 &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
       val csvish = src.select(
         concat(lit("pedido "), col("o_orderkey")).as("Descrição"),
         col("o_orderpriority").as("Tipo"),
@@ -466,7 +474,8 @@ object CoreQueries {
         |         'cl' || CAST(o_orderkey % 4 AS VARCHAR) AS classificacao,
         |         strftime(o_orderdate, '%m/%Y') AS data,
         |         replace(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR), '.', ',') AS valor_raw
-        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |  FROM orders WHERE o_orderkey % 17 = 0
+        |    AND o_orderdate < DATE '1998-01-01'),
         |stg AS (
         |  SELECT descricao, tipo, grupo, categoria, classificacao, data, valor_raw,
         |         CAST(replace(replace(valor_raw, '.', ''), ',', '.') AS DECIMAL(15,2)) AS valor,

@@ -169,6 +169,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: containmentPairs equals the brute-force pair scan on random corpora") {
+    import graft.operators.Dedup
+    // small vocabulary forces real overlap, shared shingles, and df
+    // filtering; doc lengths straddle the prefix-length boundary cases
+    // (1-shingle docs up to ~25-shingle docs)
+    val vocab = (0 until 30).map(i => s"w${('a' + i % 26).toChar}${('a' + i / 26).toChar}")
+    val docG = Gen.chooseNum(1, 26).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    for (seed <- 1L to 5L) {
+      val texts = sample(Gen.listOfN(25, docG), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      val got = Dedup.containmentPairs(docs.toDF("id", "text"), "id", "text",
+        k = 1, threshold = 0.8, maxDocFreq = 10)
+        .as[(Int, Int, Double)].collect().toSet
+      val sets0 = docs.map { case (id, t) => id -> t.split(" ").toSet }
+      val dfreq = sets0.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      val sets = sets0.map { case (id, s) => id -> s.filter(dfreq(_) <= 10) }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+        if c >= 0.8
+      } yield (a, b, c)).toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("property: BPE encode reconstructs the tokenized words byte-for-byte") {
     import graft.operators.Bpe
     val textG = Gen.listOfN(12,
