@@ -325,11 +325,25 @@ object TextQueries {
         .select(col("bg").as("bigram"), col("cab"),
           ((d38(col("cab")) * d38(col("nn"))).cast("double") /
             (d38(col("c1")) * d38(col("c2"))).cast("double")).as("pmi_ratio"))
-    })
+    }),
+
+    // n-gram-LM coverage gate — the exactly-replayable core of
+    // perplexity quality filtering (CCNet-style): a doc keeps when >=
+    // LmMinPct% of its bigram occurrences are corpus bigrams seen >=
+    // LmMinCount times. Integer counts + integer comparison, so the
+    // verdict is bit-identical on any engine; operators.NgramLm (one
+    // gram exchange shared by the corpus count and the hit flags).
+    "q101_lm_gate" -> ((s, d) =>
+      graft.operators.NgramLm.coverageGate(docs(s, d), "doc_id", "text",
+        minCount = LmMinCount, minPct = LmMinPct))
   )
 
   /** q83 digest fold modulus (2⁶² — headroom below BIGINT max). */
   private val DigestMod = 4611686018427387904L
+
+  // q101 LM-gate parameters (shared by Spark + oracle SQL)
+  private val LmMinCount = 2
+  private val LmMinPct = 60
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -575,6 +589,24 @@ object TextQueries {
         |   '[0-9]+', '#', 'g') AS masked,
         | regexp_matches(text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com ref 12345',
         |                '@example\.com') AS had_email
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // full replay: bigram occurrence stream → corpus counts → per-doc
+    // coverage → integer keep verdict; docs without bigrams keep 0/0
+    "q101_lm_gate" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+         |big AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+         |                              i -> ws[i + 1] || ' ' || ws[i + 2])) AS g
+         |        FROM w),
+         |cnt AS (SELECT g, COUNT(*) AS c FROM big GROUP BY 1),
+         |per AS (SELECT b.doc_id,
+         |               CAST(COUNT(*) AS BIGINT) AS bi_total,
+         |               CAST(SUM(CASE WHEN c.c >= $LmMinCount THEN 1 ELSE 0 END) AS BIGINT) AS bi_hits
+         |        FROM big b JOIN cnt c USING (g) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(p.bi_total, 0) AS bi_total,
+         |       COALESCE(p.bi_hits, 0) AS bi_hits,
+         |       COALESCE(p.bi_hits, 0) * 100 >= COALESCE(p.bi_total, 0) * $LmMinPct AS keep
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
   )
 }

@@ -169,6 +169,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: lev1Join equals the brute-force edit-distance scan on random strings") {
+    import graft.operators.FuzzyJoin
+    // tiny alphabet + short strings force shared deletion variants
+    // between strings at true distance 2 (the candidates the exact
+    // verify must reject) and repeated values (the id re-expansion
+    // path); empty strings exercise the degenerate variant
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strG = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (seed <- 1L to 5L) {
+      val ls = sample(Gen.listOfN(15, strG), seed).zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }
+      val rs = sample(Gen.listOfN(15, strG), seed * 7 + 1).zipWithIndex
+        .map { case (s, i) => (i.toLong + 100, s) }
+      val got = FuzzyJoin.lev1Join(
+        ls.toDF("lid", "s"), rs.toDF("rid", "s"), "lid", "rid", "s")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (lid, a) <- ls; (rid, b) <- rs
+        d = lev(a, b) if d <= 1
+      } yield (lid, rid, d)).toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("property: containmentPairs equals the brute-force pair scan on random corpora") {
     import graft.operators.Dedup
     // small vocabulary forces real overlap, shared shingles, and df
