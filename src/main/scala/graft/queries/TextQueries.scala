@@ -335,7 +335,16 @@ object TextQueries {
     // gram exchange shared by the corpus count and the hit flags).
     "q101_lm_gate" -> ((s, d) =>
       graft.operators.NgramLm.coverageGate(docs(s, d), "doc_id", "text",
-        minCount = LmMinCount, minPct = LmMinPct))
+        minCount = LmMinCount, minPct = LmMinPct)),
+
+    // per-doc top terms by quantized tf-idf — idf enters as the exact
+    // BIGINT quotient (scale·N) div df, so the ranking is bit-identical
+    // on any engine; operators.TfIdf (token stream collapses to
+    // (doc, term, tf) map-side before the one term exchange; per-doc
+    // top-k via the mergeable O(k) topk_str aggregate, never a sort)
+    "q102_tfidf_terms" -> ((s, d) =>
+      graft.operators.TfIdf.topTerms(docs(s, d), "doc_id", "text",
+        k = TfIdfK, idfScale = TfIdfScale))
   )
 
   /** q83 digest fold modulus (2⁶² — headroom below BIGINT max). */
@@ -344,6 +353,10 @@ object TextQueries {
   // q101 LM-gate parameters (shared by Spark + oracle SQL)
   private val LmMinCount = 2
   private val LmMinPct = 60
+
+  // q102 tf-idf parameters (shared by Spark + oracle SQL)
+  private val TfIdfK = 5
+  private val TfIdfScale = 10000L
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -607,6 +620,29 @@ object TextQueries {
          |       COALESCE(p.bi_total, 0) AS bi_total,
          |       COALESCE(p.bi_hits, 0) AS bi_hits,
          |       COALESCE(p.bi_hits, 0) * 100 >= COALESCE(p.bi_total, 0) * $LmMinPct AS keep
-         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // full replay: token stream → (doc, term, tf) → df → exact-integer
+    // quantized idf → top-k per doc by (score desc, term asc);
+    // // is DuckDB floor division (all values positive ⇒ identical to
+    // Spark's DIV truncation)
+    "q102_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+         |             FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.term,
+         |             tf.tf * (($TfIdfScale * n.n) // dfreq.df) AS score
+         |      FROM tf CROSS JOIN n JOIN dfreq USING (term)),
+         |r AS (SELECT doc_id, term, score,
+         |             row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY score DESC, term) AS rn
+         |      FROM s),
+         |top AS (SELECT doc_id,
+         |               string_agg(term, ',' ORDER BY score DESC, term) AS top_terms
+         |        FROM r WHERE rn <= $TfIdfK GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(t.top_terms, '') AS top_terms
+         |FROM documents d LEFT JOIN top t USING (doc_id)""".stripMargin
   )
 }
