@@ -210,6 +210,31 @@ class PlanSpec extends SparkSpec {
       s"q98 regressed to a window/sort plan:\n$p")
   }
 
+  test("q101: LM gate counts and flags share one gram exchange; bounded shuffles") {
+    val p = finalPlan("q101_lm_gate")
+    // corpus count is a window OVER the gram repartition, not a separate
+    // count-table aggregate joined back — so the occurrence stream moves
+    // once: gram exchange + per-doc agg + the docs join side
+    assert(shuffles(p) <= 4, s"q101 grew extra shuffles:\n$p")
+    assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"q101's doc join must stay shuffle-hash:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q101 grew a cartesian:\n$p")
+  }
+
+  test("q102: tf-idf reduces the token stream map-side and top-ks without a sort") {
+    val p = finalPlan("q102_tfidf_terms")
+    // token stream collapses to (doc, term, tf) via a partial/final pair
+    // BEFORE the term exchange; df is a window over that exchange; the
+    // per-doc top-k is the mergeable O(k) heap, never a ranking sort
+    assert(shuffles(p) <= 4, s"q102 grew extra shuffles:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topk_str"),
+      s"q102 lost the map-side k-heap partial:\n$p")
+    assert(count(p, "Window") == 1,
+      s"q102 must have exactly the df window, no ranking window:\n$p")
+    assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"q102's doc join must stay shuffle-hash:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
