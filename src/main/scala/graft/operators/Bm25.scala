@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 query-against-corpus retrieval ranking — the IR face of the
+  * text stack (eval-set contamination triage, reference-corpus data
+  * selection, "find me the docs about X" over a curated dump).
+  *
+  * Same two-face design as [[TfIdf]]/[[NgramLm]]: [[rank]] is the
+  * DISCRETE oracle-able face — with k1 = 6/5 and b = 3/4 the BM25
+  * term fraction `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` equals the
+  * integer rational `22·T·tf / (10·T·tf + 3·T + 9·dl·N)` (multiply
+  * through by 10·T; avgdl = T/N), which quantizes to exact BIGINT via
+  * one floor division, and idf enters as the [[TfIdf]] quotient
+  * `(idfScale·N) div df`; per-doc scores are exact integer SUMS, so
+  * the whole ranking is bit-identical on any engine. [[scoredLn]] is
+  * the continuous `ln`-idf face for scoring use, engine-specific.
+  *
+  * Shape at scale: the query term set broadcasts (it is a handful of
+  * strings inside an `isin`), so the token stream prunes to query-term
+  * occurrences at the SCAN before anything aggregates; doc lengths are
+  * a row-local `size(words)` (no second token-stream pass); df rides
+  * the one term exchange of the pruned tf table; the final ranking is
+  * a distributed TakeOrdered over per-doc integer sums, never a global
+  * sort. Driver actions: ONE bounded aggregate (N docs + T tokens,
+  * a single row).
+  *
+  * Caller owns `fracScale · 22 · T · max(tf)` staying under 2^63 —
+  * at the default 10^6 scale that is T·tf ≲ 4e11 doc-tokens; shrink
+  * `fracScale` for larger corpora (the knob trades rank granularity
+  * for headroom).
+  */
+object Bm25 {
+
+  /** Top-k docs for `queryTerms` by quantized BM25. Returns
+    * (rank, idCol, score): rank 1..k by (score desc, id asc); only
+    * docs containing at least one query term participate (fewer than
+    * k rows when the query is rare). */
+  def rank(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k: Int = 10,
+           idfScale: Long = 10000L, fracScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val lens = df.select(col(idCol).as("__id"),
+      size(graft.functions.TextFunctions.words(col(textCol))).cast("long").as("__dl"))
+    // one bounded driver action: corpus size + total tokens (one row)
+    val firstRow = lens.agg(count(lit(1)), sum(col("__dl"))).first()
+    val n = firstRow.getLong(0)
+    val t = firstRow.getLong(1)
+    val tf = df.select(col(idCol).as("__id"), explode(
+        graft.functions.TextFunctions.words(col(textCol))).as("term"))
+      .where(col("term").isin(queryTerms: _*)) // prunes at the scan
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.repartition(col("term"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(lens.hint("shuffle_hash"), Seq("__id"))
+      .withColumn("__sc",
+        expr(s"((${idfScale}L * ${n}L) DIV __df) * " +
+          s"((${fracScale}L * 22L * ${t}L * tf) DIV " +
+          s"(10L * ${t}L * tf + 3L * ${t}L + 9L * __dl * ${n}L))"))
+    val ranked = scored.groupBy(col("__id"))
+      .agg(sum(col("__sc")).as("score"))
+      .orderBy(col("score").desc, col("__id"))
+      .limit(k) // TakeOrdered — distributed partial top-k, no global sort
+    ranked
+      .withColumn("rank", row_number().over( // k rows — trivially bounded
+        Window.orderBy(col("score").desc, col("__id"))))
+      .select(col("rank"), col("__id").as(idCol), col("score"))
+  }
+
+  /** Continuous BM25 with the standard `ln(1 + (N−df+0.5)/(df+0.5))`
+    * idf and real-valued saturation — (idCol, score) for every doc
+    * with a query-term hit, unranked. ln() is engine-specific at the
+    * last bit, so this face is not SQL-oracled; [[rank]] is the
+    * oracle-checked face of the same scoring. */
+  def scoredLn(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String],
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lens = df.select(col(idCol).as("__id"),
+      size(graft.functions.TextFunctions.words(col(textCol))).cast("long").as("__dl"))
+    val firstRow = lens.agg(count(lit(1)), sum(col("__dl"))).first()
+    val n = firstRow.getLong(0).toDouble
+    val avgdl = firstRow.getLong(1).toDouble / n
+    df.select(col(idCol).as("__id"), explode(
+        graft.functions.TextFunctions.words(col(textCol))).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .repartition(col("term"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("term")))
+        .cast("double"))
+      .join(lens.hint("shuffle_hash"), Seq("__id"))
+      .withColumn("__sc",
+        log(lit(1.0) + (lit(n) - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__dl").cast("double") / avgdl)))
+      .groupBy(col("__id")).agg(sum(col("__sc")).as("score"))
+      .withColumnRenamed("__id", idCol)
+  }
+}

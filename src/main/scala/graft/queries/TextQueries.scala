@@ -344,7 +344,15 @@ object TextQueries {
     // top-k via the mergeable O(k) topk_str aggregate, never a sort)
     "q102_tfidf_terms" -> ((s, d) =>
       graft.operators.TfIdf.topTerms(docs(s, d), "doc_id", "text",
-        k = TfIdfK, idfScale = TfIdfScale))
+        k = TfIdfK, idfScale = TfIdfScale)),
+
+    // BM25 retrieval: top-k docs for a term query, scored in exact
+    // BIGINT arithmetic (k1=6/5, b=3/4 fold into the integer rational
+    // 22·T·tf / (10·T·tf + 3·T + 9·dl·N); idf = the q102 quotient) so
+    // the ranking replays bit-identically; operators.Bm25
+    "q103_bm25" -> ((s, d) =>
+      graft.operators.Bm25.rank(docs(s, d), "doc_id", "text",
+        Bm25Query, k = Bm25K))
   )
 
   /** q83 digest fold modulus (2⁶² — headroom below BIGINT max). */
@@ -357,6 +365,12 @@ object TextQueries {
   // q102 tf-idf parameters (shared by Spark + oracle SQL)
   private val TfIdfK = 5
   private val TfIdfScale = 10000L
+
+  // q103 BM25 parameters (shared by Spark + oracle SQL). "dup" is a
+  // generator-rare term (df ~5% of docs), the others corpus-common —
+  // real idf spread in the ranking.
+  private val Bm25Query = Seq("dup", "spark", "vector")
+  private val Bm25K = 10
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -643,6 +657,32 @@ object TextQueries {
          |               string_agg(term, ',' ORDER BY score DESC, term) AS top_terms
          |        FROM r WHERE rn <= $TfIdfK GROUP BY 1)
          |SELECT d.doc_id, COALESCE(t.top_terms, '') AS top_terms
-         |FROM documents d LEFT JOIN top t USING (doc_id)""".stripMargin
+         |FROM documents d LEFT JOIN top t USING (doc_id)""".stripMargin,
+
+    // full replay of the integer BM25: doc lengths → pruned tf → df →
+    // quantized term scores → exact integer sums → (score desc, id)
+    // top-k with rank. // is floor division (all values positive).
+    "q103_bm25" ->
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+         |        FROM documents),
+         |dl AS (SELECT d.doc_id, CAST(COALESCE(c.c, 0) AS BIGINT) AS dl
+         |       FROM documents d LEFT JOIN (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY 1) c
+         |       USING (doc_id)),
+         |t AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN (${Bm25Query.map(q => s"'$q'").mkString(", ")}) GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |             ((10000 * n.n) // dfreq.df) *
+         |             ((1000000 * 22 * t.t * tf.tf) //
+         |              (10 * t.t * tf.tf + 3 * t.t + 9 * dl.dl * n.n)) AS sc
+         |      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+         |           CROSS JOIN n CROSS JOIN t),
+         |d AS (SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS score FROM s GROUP BY 1),
+         |top AS (SELECT doc_id, score FROM d ORDER BY score DESC, doc_id LIMIT $Bm25K)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+         |       doc_id, score
+         |FROM top""".stripMargin
   )
 }

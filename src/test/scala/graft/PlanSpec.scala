@@ -235,6 +235,16 @@ class PlanSpec extends SparkSpec {
       s"q102's doc join must stay shuffle-hash:\n$p")
   }
 
+  test("q103: BM25 ranks via a distributed TakeOrdered, never a global sort") {
+    val p = finalPlan("q103_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q103 lost the distributed top-k (global sort would ship every doc):\n$p")
+    assert(shuffles(p) <= 4, s"q103 grew extra shuffles:\n$p")
+    assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"q103's length join must stay shuffle-hash:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q103 grew a cartesian:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
