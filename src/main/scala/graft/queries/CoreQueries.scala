@@ -315,12 +315,11 @@ object CoreQueries {
     }),
 
     // time-windowed aggregation over the events table (batch analog of
-    // the M4 streaming query). Raw int64 nanos (read boundary owned by
-    // Tables.events) converted with integer division — a double division
-    // would lose precision above 2^53 ns.
+    // the M4 streaming query). `tus` = epoch micros, normalized by
+    // Tables.events at the read boundary.
     "q15_events_hourly" -> ((s, d) => {
       graft.Tables.events(s, d)
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_utc", timestamp_micros(col("tus")))
         .groupBy(
           date_trunc("hour", col("ts_utc")).as("hour_start"),
           col("event_type"))

@@ -17,10 +17,10 @@ object EventQueries {
 
   private val SessionGapUs: Long = 2L * 3600 * 1000000 // 2 hours
 
-  /** events with ts as epoch micros (nanos parquet → long via
-    * [[Tables.events]], which owns the legacy-conf read boundary). */
+  /** events with `tus` = epoch micros as BIGINT ([[Tables.events]]
+    * owns the physical-type normalization at the read boundary). */
   private def ev(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+    Tables.events(s, d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
