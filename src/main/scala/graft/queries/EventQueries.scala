@@ -22,6 +22,47 @@ object EventQueries {
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
 
+  /** Per-user funnel stage times in ONE pass, ONE shuffle, ZERO joins:
+    * the sequential funnel (first view, then first click after it, then
+    * first purchase after that) is a per-user fold over the time-ordered
+    * event list — collect_list partial-aggregates map-side, the single
+    * exchange moves each user's events once, and the fold replays them
+    * in (tus, event_type) order. A join formulation re-shuffles the
+    * events table once per stage (4 big exchanges — the 10x bench's top
+    * ratio at 13.7x before this shape); this is what funnel engines
+    * actually use. Shared by q60 (stage counts) and q105 (latencies).
+    *
+    * Tie discipline: sort_array orders equal timestamps by event_type
+    * ("click" < "purchase" < "view"), so an equal-time click precedes
+    * the view that would qualify it and is correctly ignored —
+    * bit-for-bit the strict-`>` semantics of the oracle's
+    * min-after-min join formulation.
+    *
+    * Returns (user_id, st: struct(v, c, p)) — epoch-µs of each stage's
+    * qualifying first event, null where the stage was not reached. */
+  private def funnelStages(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("user_id"), col("event_type"), col("tus"))
+    def f(acc: org.apache.spark.sql.Column, field: String) = acc.getField(field)
+    e.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("tus"), col("event_type").as("et")))).as("evs"))
+      .select(col("user_id"), aggregate(col("evs"),
+        struct(lit(null).cast("long").as("v"), lit(null).cast("long").as("c"),
+          lit(null).cast("long").as("p")),
+        (acc, x) => {
+          val t = x.getField("tus"); val et = x.getField("et")
+          struct(
+            when(f(acc, "v").isNull && et === "view", t)
+              .otherwise(f(acc, "v")).as("v"),
+            when(f(acc, "c").isNull && et === "click" &&
+                f(acc, "v").isNotNull && t > f(acc, "v"), t)
+              .otherwise(f(acc, "c")).as("c"),
+            when(f(acc, "p").isNull && et === "purchase" &&
+                f(acc, "c").isNotNull && t > f(acc, "c"), t)
+              .otherwise(f(acc, "p")).as("p"))
+        }).as("st"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // gap-based sessionization via lag + running sum (batch twin of the
@@ -52,48 +93,63 @@ object EventQueries {
     // ordered funnel view → click → purchase: per user, each stage's
     // first event must follow the previous stage's first event; count
     // users per deepest stage reached. All comparisons on epoch-µs ints.
-    "q60_funnel" -> ((s, d) => {
-      // ONE pass, ONE shuffle, ZERO joins: the sequential funnel (first
-      // view, then first click after it, then first purchase after
-      // that) is a per-user fold over the time-ordered event list —
-      // collect_list partial-aggregates map-side, the single exchange
-      // moves each user's events once, and the fold replays them in
-      // (tus, event_type) order. The former join formulation
-      // re-shuffled the events table once per stage (4 big exchanges —
-      // the 10x bench's top ratio at 13.7x); this is the shape funnel
-      // engines actually use.
-      //
-      // Tie discipline: sort_array orders equal timestamps by
-      // event_type ("click" < "purchase" < "view"), so an equal-time
-      // click precedes the view that would qualify it and is correctly
-      // ignored — bit-for-bit the strict-`>` semantics of the oracle's
-      // min-after-min join formulation.
-      val e = ev(s, d).select(col("user_id"), col("event_type"), col("tus"))
-      def f(acc: org.apache.spark.sql.Column, field: String) = acc.getField(field)
-      val folded = e.groupBy(col("user_id"))
-        .agg(sort_array(collect_list(
-          struct(col("tus"), col("event_type").as("et")))).as("evs"))
-        .select(aggregate(col("evs"),
-          struct(lit(null).cast("long").as("v"), lit(null).cast("long").as("c"),
-            lit(null).cast("long").as("p")),
-          (acc, x) => {
-            val t = x.getField("tus"); val et = x.getField("et")
-            struct(
-              when(f(acc, "v").isNull && et === "view", t)
-                .otherwise(f(acc, "v")).as("v"),
-              when(f(acc, "c").isNull && et === "click" &&
-                  f(acc, "v").isNotNull && t > f(acc, "v"), t)
-                .otherwise(f(acc, "c")).as("c"),
-              when(f(acc, "p").isNull && et === "purchase" &&
-                  f(acc, "c").isNotNull && t > f(acc, "c"), t)
-                .otherwise(f(acc, "p")).as("p"))
-          }).as("st"))
-      folded.select(
+    "q60_funnel" -> ((s, d) =>
+      funnelStages(s, d).select(
           when(col("st.p").isNotNull, 3)
             .when(col("st.c").isNotNull, 2)
             .when(col("st.v").isNotNull, 1)
             .otherwise(0).as("stage"))
-        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))),
+
+    // funnel conversion latency: for every fully-converted user, the
+    // epoch-µs of the qualifying first view and first purchase and the
+    // end-to-end latency — all integer arithmetic on the shared
+    // one-shuffle funnel fold (q60's plan), no extra exchange.
+    "q105_conversion_latency" -> ((s, d) =>
+      funnelStages(s, d)
+        .filter(col("st.p").isNotNull)
+        .select(col("user_id"),
+          col("st.v").as("view_us"),
+          col("st.p").as("purchase_us"),
+          (col("st.p") - col("st.v")).as("latency_us"))),
+
+    // event-rate anomaly flags: per (event_type, hour-bucket) counts
+    // against the sum of the 24 preceding OBSERVED hour-buckets (rows
+    // frame — empty hours are absent rows, identically in both
+    // engines). The burst test is pure integer cross-multiplication
+    // (n * 24 > 2 * prior) — no rolling mean/stddev floats to drift.
+    // One shuffle on (event_type, hour); the window partitions by
+    // event_type, a handful of series each bounded by the calendar,
+    // never by event volume.
+    "q106_rate_anomaly" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(col("event_type"), expr("tus div 3600000000").as("hus"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hus"))
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("prior_n", sum(col("n")).over(w))
+        .withColumn("prior_hours", count(col("n")).over(w).cast("int"))
+        .withColumn("is_burst",
+          col("prior_hours") === 24 && col("n") * 24 > col("prior_n") * 2)
+    }),
+
+    // first-order Markov transition matrix over each user's event
+    // sequence: lead() within (user_id) ordered by (tus, event_id),
+    // transition counts, and each row's probability as ONE division of
+    // exact counts (IEEE-identical across engines). One shuffle on
+    // user_id for the window, then a tiny |types|² aggregate.
+    "q107_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val trans = ev(s, d)
+        .select(col("user_id"), col("event_type"), col("tus"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy(col("from_type"))
+      trans
+        .withColumn("p", col("n").cast("double") / sum(col("n")).over(wt))
     }),
 
     // retention cohorts: users bucketed by first-seen month × months in
@@ -182,6 +238,42 @@ object EventQueries {
         |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ptus, MAX(value) AS purchase_value
         |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, p.ptus AS last_purchase_us, p.purchase_value
-        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus >= p.ptus""".stripMargin
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus >= p.ptus""".stripMargin,
+
+    "q105_conversion_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |v AS (SELECT user_id, MIN(tus) AS v_t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(tus) AS c_t FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND tus > v_t GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(tus) AS p_t FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND tus > c_t GROUP BY 1)
+        |SELECT p.user_id, v.v_t AS view_us, p.p_t AS purchase_us,
+        |       p.p_t - v.v_t AS latency_us
+        |FROM p JOIN v USING (user_id)""".stripMargin,
+
+    "q106_rate_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS hus,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hus, n,
+        |  SUM(n) OVER w AS prior_n,
+        |  CAST(COUNT(n) OVER w AS INT) AS prior_hours,
+        |  COALESCE(COUNT(n) OVER w = 24 AND n * 24 > SUM(n) OVER w * 2, FALSE) AS is_burst
+        |FROM h
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hus
+        |             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "q107_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts) // 1000, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+        |FROM c""".stripMargin
   )
 }

@@ -352,8 +352,56 @@ object TextQueries {
     // the ranking replays bit-identically; operators.Bm25
     "q103_bm25" -> ((s, d) =>
       graft.operators.Bm25.rank(docs(s, d), "doc_id", "text",
-        Bm25Query, k = Bm25K))
+        Bm25Query, k = Bm25K)),
+
+    // stratified corpus sampling with exact per-stratum quotas, WITHOUT
+    // a per-stratum sort: the O(k)-heap topk_str aggregate carries only
+    // k candidates per (lang, source) stratum through the exchange,
+    // where the q64 window form's row_number sorts every stratum in
+    // full. The ordinal is the negated 60-bit md5 prefix of a salted
+    // id, so "top-k by ord desc" = "k smallest hashes" — a uniform,
+    // reproducible, re-seedable sample (change the salt, get an
+    // independent draw). At 100 TB this is the only stratified-sample
+    // shape that works: the exchange moves |strata|·k rows, not the
+    // corpus.
+    "q104_stratified_sample" -> ((s, d) => {
+      val h = md5(concat(lit("q104:"), col("doc_id").cast("string")))
+      val ord = -conv(substring(h, 1, 15), 16, 10).cast("long")
+      docs(s, d)
+        .select(col("lang"), col("source"), ord.as("ord"),
+          lpad(col("doc_id").cast("string"), 10, "0").as("pk"))
+        .groupBy(col("lang"), col("source"))
+        .agg(graft.expressions.TopKStrings.topk(
+          col("ord"), col("pk"), StratQuota).as("pks"))
+        .select(col("lang"), col("source"),
+          posexplode(col("pks")).as(Seq("pos", "pk")))
+        .select(col("lang"), col("source"),
+          (col("pos") + 1).cast("int").as("rn"),
+          col("pk").cast("long").as("doc_id"))
+    }),
+
+    // term burstiness (collection frequency / document frequency):
+    // terms that cluster densely in few documents (cf/df high) are
+    // boilerplate/template signals; even spread (cf/df ≈ 1) is organic
+    // vocabulary. First groupBy (w, doc_id) partial-aggregates
+    // map-side so the exchange carries per-doc term counts, then the
+    // second shuffle is vocab-sized. The ratio is ONE division of
+    // exact counts.
+    "q108_term_burstiness" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"))
+        .filter(col("cf") >= BurstMinCf)
+        .withColumn("burstiness", col("cf").cast("double") / col("df")))
   )
+
+  /** q104 per-stratum sample quota (shared by Spark + oracle SQL). */
+  private val StratQuota = 5
+
+  /** q108 minimum collection frequency (shared by Spark + oracle SQL). */
+  private val BurstMinCf = 20
 
   /** q83 digest fold modulus (2⁶² — headroom below BIGINT max). */
   private val DigestMod = 4611686018427387904L
@@ -683,6 +731,29 @@ object TextQueries {
          |top AS (SELECT doc_id, score FROM d ORDER BY score DESC, doc_id LIMIT $Bm25K)
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
          |       doc_id, score
-         |FROM top""".stripMargin
+         |FROM top""".stripMargin,
+
+    // same selection rule as the aggregate: k smallest salted-md5
+    // 60-bit prefixes per stratum; fixed-width lowercase hex compares
+    // identically as string and as number, and prefix ties break on
+    // the zero-padded id exactly like the heap's payload order.
+    "q104_stratified_sample" ->
+      s"""SELECT lang, source, rn, doc_id FROM (
+         |  SELECT lang, source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY substring(md5('q104:' || CAST(doc_id AS VARCHAR)), 1, 15),
+         |               lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS INT) AS rn
+         |  FROM documents)
+         |WHERE rn <= $StratQuota""".stripMargin,
+
+    "q108_term_burstiness" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |             FROM documents),
+         |pd AS (SELECT w, doc_id, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT w, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS cf,
+         |       CAST(SUM(c) AS DOUBLE) / COUNT(*) AS burstiness
+         |FROM pd GROUP BY 1
+         |HAVING CAST(SUM(c) AS BIGINT) >= $BurstMinCf""".stripMargin
   )
 }

@@ -245,6 +245,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q103 grew a cartesian:\n$p")
   }
 
+  test("q104: stratified sample is one k-heap aggregate — no per-stratum sort") {
+    val p = finalPlan("q104_stratified_sample")
+    // the exchange carries |strata|*k candidates (heap partials), never
+    // the corpus; a Window/row_number formulation would sort every
+    // stratum in full
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topk_str"),
+      s"q104 lost the map-side k-heap partial:\n$p")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"q104 regressed to a window/sort plan:\n$p")
+    assert(shuffles(p) <= 1, s"q104 should shuffle once (the stratum agg):\n$p")
+  }
+
+  test("q105/q60: conversion latency reuses the one-shuffle funnel fold") {
+    for (q <- Seq("q60_funnel", "q105_conversion_latency")) {
+      val p = finalPlan(q)
+      assert(!p.contains("Join"), s"$q regressed to a join-per-stage funnel:\n$p")
+      assert(shuffles(p) <= 2,
+        s"$q should shuffle the events once (plus the tiny stage agg):\n$p")
+    }
+  }
+
+  test("q108: burstiness collapses tokens map-side before the vocab exchange") {
+    val p = finalPlan("q108_term_burstiness")
+    assert(p.contains("HashAggregate"), s"q108 lost hash aggregation:\n$p")
+    assert(shuffles(p) <= 2,
+      s"q108 should shuffle (w,doc) partials then the vocab frame only:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"q108 grew a window or cartesian:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
