@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{BloomMightContain, BpeEncode, DeletionVariants, DotProductFloat, TextStatsExpr, LangId, Lev1Dist, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, TopKStrings, WinnowFingerprints, WordShingles}
+import graft.expressions.{BloomMightContain, BpeEncode, CmsEstimate, CmsSketch, DeletionVariants, DotProductFloat, TextStatsExpr, LangId, Lev1Dist, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, TopKStrings, WinnowFingerprints, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TextStatsExpr.registration)
     ext.injectFunction(Lev1Dist.registration)
     ext.injectFunction(DeletionVariants.registration)
+    ext.injectFunction(CmsSketch.registration)
+    ext.injectFunction(CmsEstimate.registration)
   }
 }

@@ -394,7 +394,32 @@ object TextQueries {
         .groupBy(col("w"))
         .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"))
         .filter(col("cf") >= BurstMinCf)
-        .withColumn("burstiness", col("cf").cast("double") / col("df")))
+        .withColumn("burstiness", col("cf").cast("double") / col("df"))),
+
+    // Count-Min point frequencies over the token stream: ONE pass
+    // builds the fixed depth×width grid (what crosses the wire per map
+    // task is O(d·w) longs, cardinality-independent); the top-probe
+    // words are then point-queried against the single-row broadcast
+    // sketch. Verdict-style oracle (the q30/q90 pattern — DuckDB has
+    // no CMS, so each engine verdicts its OWN sketch): the estimate
+    // must never undercount, and its excess must stay within
+    // 8·N/width — probabilistic over hash choice in the theorem, but
+    // with seeds fixed it is a deterministic property of this data.
+    "q109_cms_freq" -> ((s, d) => {
+      val tok = docs(s, d).select(explode(words(col("text"))).as("w"))
+      val top = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("n").desc, col("w"))).cast("int"))
+        .filter(col("rnk") <= CmsProbes)
+      val sk = tok.agg(graft.expressions.CmsSketch.cms(
+        col("w"), CmsDepth, CmsWidth).as("sk"))
+      top.join(broadcast(sk))
+        .withColumn("est", graft.expressions.CmsEstimate.estimate(col("sk"), col("w")))
+        .select(col("w"), col("rnk"), col("n"),
+          (col("est") >= col("n")).as("no_undercount"),
+          (col("est") - col("n") <= expr(s"8L * element_at(sk, 3) div $CmsWidth"))
+            .as("within_bound"))
+    })
   )
 
   /** q104 per-stratum sample quota (shared by Spark + oracle SQL). */
@@ -402,6 +427,11 @@ object TextQueries {
 
   /** q108 minimum collection frequency (shared by Spark + oracle SQL). */
   private val BurstMinCf = 20
+
+  // q109 CMS shape + probe count (shared by Spark + oracle SQL)
+  private val CmsDepth = 4
+  private val CmsWidth = 8192
+  private val CmsProbes = 20
 
   /** q83 digest fold modulus (2⁶² — headroom below BIGINT max). */
   private val DigestMod = 4611686018427387904L
@@ -754,6 +784,17 @@ object TextQueries {
          |SELECT w, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS cf,
          |       CAST(SUM(c) AS DOUBLE) / COUNT(*) AS burstiness
          |FROM pd GROUP BY 1
-         |HAVING CAST(SUM(c) AS BIGINT) >= $BurstMinCf""".stripMargin
+         |HAVING CAST(SUM(c) AS BIGINT) >= $BurstMinCf""".stripMargin,
+
+    // exact top-probe counts; the sketch verdict booleans are the
+    // engine-agnostic contract (TRUE here = "your sketch, your check")
+    "q109_cms_freq" ->
+      s"""SELECT w, rnk, n, TRUE AS no_undercount, TRUE AS within_bound FROM (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(row_number() OVER (ORDER BY COUNT(*) DESC, w) AS INT) AS rnk
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |        FROM documents)
+         |  GROUP BY 1)
+         |WHERE rnk <= $CmsProbes""".stripMargin
   )
 }

@@ -275,6 +275,16 @@ class PlanSpec extends SparkSpec {
       s"q108 grew a window or cartesian:\n$p")
   }
 
+  test("q109: CMS builds map-side grid partials; probes join the broadcast sketch") {
+    val p = finalPlan("q109_cms_freq")
+    // the token stream collapses into O(d*w) grid partials before any
+    // exchange — the sketch side never shuffles token rows
+    assert(p.contains("partial_cms_sketch"),
+      s"q109 lost the map-side CMS partial:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"q109's single-row sketch must broadcast to the probes:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
