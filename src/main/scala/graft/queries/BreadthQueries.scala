@@ -315,6 +315,71 @@ object BreadthQueries {
           |  AND NOT EXISTS (SELECT 1 FROM bq81_orders o
           |                  WHERE o.o_custkey = c.c_custkey
           |                    AND o.o_orderstatus = 'F')""".stripMargin)
+    }),
+
+    // one-pass table profiling (ANALYZE-style data quality report):
+    // every column's null/distinct/range stats in a SINGLE wide
+    // aggregate (Catalyst expands the multi-distinct internally but
+    // the scan and shuffle happen once — never a job per column, which
+    // is the naive profiler shape that reads a 100 TB table N times),
+    // then stack() tidies the stat row into per-column rows. Doubles
+    // with integral values and timestamps profile through exact
+    // BIGINT/DATE casts so the string rendering is engine-portable.
+    "q110_profile" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_orderkey")).as("nn1"),
+        countDistinct(col("l_orderkey")).as("nd1"),
+        min(col("l_orderkey")).cast("string").as("mn1"),
+        max(col("l_orderkey")).cast("string").as("mx1"),
+        count(col("l_linenumber")).as("nn2"),
+        countDistinct(col("l_linenumber")).as("nd2"),
+        min(col("l_linenumber")).cast("string").as("mn2"),
+        max(col("l_linenumber")).cast("string").as("mx2"),
+        count(col("l_quantity")).as("nn3"),
+        countDistinct(col("l_quantity")).as("nd3"),
+        min(col("l_quantity")).cast("long").cast("string").as("mn3"),
+        max(col("l_quantity")).cast("long").cast("string").as("mx3"),
+        count(col("l_returnflag")).as("nn4"),
+        countDistinct(col("l_returnflag")).as("nd4"),
+        min(col("l_returnflag")).as("mn4"),
+        max(col("l_returnflag")).as("mx4"),
+        count(col("l_shipdate")).as("nn5"),
+        countDistinct(col("l_shipdate")).as("nd5"),
+        min(col("l_shipdate")).cast("date").cast("string").as("mn5"),
+        max(col("l_shipdate")).cast("date").cast("string").as("mx5"))
+      .selectExpr("""stack(5,
+          'l_orderkey',   n_rows, nn1, nd1, mn1, mx1,
+          'l_linenumber', n_rows, nn2, nd2, mn2, mx2,
+          'l_quantity',   n_rows, nn3, nd3, mn3, mx3,
+          'l_returnflag', n_rows, nn4, nd4, mn4, mx4,
+          'l_shipdate',   n_rows, nn5, nd5, mn5, mx5)
+        AS (column_name, n_rows, n_nonnull, n_distinct, min_s, max_s)""")),
+
+    // triangle counting on the parts-co-ordered-together graph (the
+    // market-basket projection: an edge joins two parts appearing in
+    // the same order). The per-order pair expansion is bounded by the
+    // max basket size (C(7,2) here), so the edge build never goes
+    // quadratic in the table; the triangle join runs on id-oriented
+    // edges (a<b<c — each triangle listed exactly once). With
+    // adversarial degree skew the production refinement is
+    // degree-ordered orientation (process each edge from its
+    // lower-degree endpoint, bounding wedge fan-out by arboricity);
+    // the co-order graph's bounded baskets make id order sufficient
+    // here.
+    "q111_triangles" -> ((s, d) => {
+      val op = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .join(e.agg(count(lit(1)).as("n_edges")))
+        .join(op.select(col("p")).distinct().agg(count(lit(1)).as("n_nodes")))
     })
   )
 
@@ -524,6 +589,49 @@ object BreadthQueries {
         |                AND o.o_orderpriority = '1-URGENT')
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
-        |                    AND o.o_orderstatus = 'F')""".stripMargin
+        |                    AND o.o_orderstatus = 'F')""".stripMargin,
+
+    "q110_profile" ->
+      """SELECT 'l_orderkey' AS column_name, (SELECT COUNT(*) FROM lineitem) AS n_rows,
+        |       COUNT(l_orderkey) AS n_nonnull,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |       CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+        |       CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linenumber', (SELECT COUNT(*) FROM lineitem),
+        |       COUNT(l_linenumber), CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+        |       CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', (SELECT COUNT(*) FROM lineitem),
+        |       COUNT(l_quantity), CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+        |       CAST(CAST(MIN(l_quantity) AS BIGINT) AS VARCHAR),
+        |       CAST(CAST(MAX(l_quantity) AS BIGINT) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', (SELECT COUNT(*) FROM lineitem),
+        |       COUNT(l_returnflag), CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+        |       MIN(l_returnflag), MAX(l_returnflag)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', (SELECT COUNT(*) FROM lineitem),
+        |       COUNT(l_shipdate), CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+        |       CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
+        |       CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
+        |FROM lineitem""".stripMargin,
+
+    "q111_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |tri AS (SELECT COUNT(*) AS n_triangles
+        |        FROM e e1
+        |        JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)
+        |SELECT n_triangles,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM op) AS n_nodes
+        |FROM tri""".stripMargin
   )
 }
