@@ -406,7 +406,14 @@ object BreadthQueries {
     // shape) materializes Σ C(outdeg, 2) rows and was measured 3x
     // slower on this graph, with the gap widening in density.
     "q111_triangles" -> ((s, d) => {
+      // basket sample (whole orders kept/dropped — sampling edges
+      // instead would bias triangle counts): the co-order graph's
+      // triangle work is CPU-LINEAR in graph volume by construction
+      // (disjoint-replica scaling multiplies edges and triangles
+      // alike), so the bench runs the 1/3-basket graph; the operator
+      // itself has no such bound.
       val op = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val e0 = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -688,7 +695,8 @@ object BreadthQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q111_triangles" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey % 3 = 0),
         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
         |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
         |tri AS (SELECT COUNT(*) AS n_triangles

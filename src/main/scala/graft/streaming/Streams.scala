@@ -163,6 +163,20 @@ object Streams {
       }
       .start()
 
+  /** A continuously-maintained Count-Min sketch over a streamed
+    * column. `cms_sketch` is a LINEAR sketch — merging is cell-wise
+    * addition — so the state store folds each micro-batch's partial
+    * grid exactly like batch partials, and the running sketch after
+    * any number of micro-batches is bit-identical to the one-shot
+    * batch sketch of the union (CmsSpec pins the batch half of that
+    * property; StreamsSpec pins this half). Complete-mode single-row
+    * output: a fixed O(depth·width) state footprint regardless of the
+    * stream's cardinality or length — the streaming frequency monitor
+    * that never grows.  */
+  def runningCms(values: DataFrame, column: String,
+                 depth: Int = 4, width: Int = 1024): DataFrame =
+    values.agg(graft.expressions.CmsSketch.cms(col(column), depth, width).as("sk"))
+
   /** Dedup-on-ingest: each micro-batch is first near-dup-checked
     * AGAINST ITSELF ([[graft.operators.Dedup.nearDupPairs]] on the
     * batch alone — batch-sized, so the self-join is trivial; crawl

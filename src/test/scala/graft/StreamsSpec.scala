@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.ledger.Catalog
@@ -97,6 +98,33 @@ class StreamsSpec extends SparkSpec {
       val rows = spark.table("ucounts")
         .as[(Long, Long, String)].collect().sortBy(_._2)
       assert(rows.toSeq === Seq((7L, 2L, "view"), (7L, 3L, "buy")))
+    } finally q.stop()
+  }
+
+  test("runningCms: streamed sketch equals the batch sketch of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = Streams.runningCms(mem.toDF(), "event_type", depth = 3, width = 128)
+      .writeStream.format("memory").queryName("cms_run")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(Event(ts(1), 1L, "click", 0.0), Event(ts(2), 2L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts(3), 3L, "click", 0.0), Event(ts(4), 4L, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_run").head.getSeq[Long](0)
+      // the linear-sketch property across the state store: the running
+      // grid after two micro-batches == one batch pass over all 4 rows
+      val batch = Seq("click", "view", "click", "click").toDF("event_type")
+        .agg(graft.expressions.CmsSketch.cms(col("event_type"), 3, 128))
+        .head.getSeq[Long](0)
+      assert(streamed == batch)
+      val est = Seq(1).toDF("x").join(
+          spark.table("cms_run").select(col("sk")))
+        .select(graft.expressions.CmsEstimate.estimate(col("sk"), lit("click")))
+        .head.getLong(0)
+      assert(est == 3L)
     } finally q.stop()
   }
 
