@@ -171,6 +171,32 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // session path analysis: the top navigation sequences (first 5
+    // event types of each gap-defined session, joined with '>') and
+    // how many sessions walk each one — the clickstream report behind
+    // "what do users actually do". Session ids ride the same lag +
+    // running-sum window as q33; each session's ordered prefix folds
+    // in ONE aggregate (sort_array on the (tus, event_id)-unique
+    // struct replays the window order); the final top-20 is a
+    // distributed TakeOrdered on (count desc, path), never a global
+    // sort.
+    "q113_session_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .withColumn("ns",
+          when(lag(col("tus"), 1).over(w).isNull ||
+            col("tus") - lag(col("tus"), 1).over(w) > SessionGapUs, 1).otherwise(0))
+        .withColumn("sid", sum(col("ns")).over(cum))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(sort_array(collect_list(struct(
+          col("tus"), col("event_id"), col("event_type").as("et")))).as("evs"))
+        .select(concat_ws(">",
+          slice(transform(col("evs"), x => x.getField("et")), 1, 5)).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    }),
+
     // as-of join: for every event, the user's latest purchase at or
     // before that moment (null if none yet).
     "q35_asof_join" -> ((s, d) => {
@@ -263,6 +289,23 @@ object EventQueries {
         |FROM h
         |WINDOW w AS (PARTITION BY event_type ORDER BY hus
         |             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "q113_session_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type AS et,
+         |                  epoch_ns(ts) // 1000 AS tus FROM events),
+         |m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+         |                       OR tus - lag(tus) OVER w > $SessionGapUs
+         |                     THEN 1 ELSE 0 END AS ns
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                              ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+         |                                   ORDER BY tus, event_id) AS rn FROM s),
+         |p AS (SELECT user_id, sid,
+         |             string_agg(et, '>' ORDER BY tus, event_id) AS path
+         |      FROM r WHERE rn <= 5 GROUP BY 1, 2)
+         |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "q107_markov_transitions" ->
       """WITH t AS (

@@ -285,6 +285,13 @@ class PlanSpec extends SparkSpec {
       s"q109's single-row sketch must broadcast to the probes:\n$p")
   }
 
+  test("q113: session paths end in a distributed TakeOrdered, never a global sort") {
+    val p = finalPlan("q113_session_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q113 lost the distributed top-k (a global sort ships every path):\n$p")
+    assert(!p.contains("CartesianProduct"), s"q113 grew a cartesian:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
