@@ -56,4 +56,54 @@ object AsOfJoin {
       df.withColumn(name, col("__p").getField(p))
     }.drop("__p")
   }
+
+  /** Nearest-event join: for each left row, the right row whose time is
+    * CLOSEST in either direction (ties break backward — the
+    * at-or-before row wins, which also makes an exactly-equal-time
+    * match unambiguous since both directions name the same row).
+    *
+    * Same shape as [[lastAtOrBefore]] — one union, ONE shuffle on the
+    * keys, and the backward/forward carries are two frames over the
+    * SAME sort order, so Catalyst reuses the exchange and sort rather
+    * than re-partitioning per direction. `rightTime` must be in
+    * `payload` (the arbitration reads it back for the distance). */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String,
+              payload: Seq[String]): DataFrame = {
+    require(payload.contains(rightTime),
+      s"nearest: payload must carry rightTime ($rightTime) for arbitration")
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__p", struct(payload.map(col): _*))
+      .select((keys ++ Seq("__t", "__side", "__p")).map(col): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left at equal __t, so the backward frame
+    // sees equal-time matches (distance 0) and the forward frame only
+    // strictly-later ones — no double arbitration at distance 0
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned
+      .withColumn("__pb", last(col("__p"), ignoreNulls = true).over(wb))
+      .withColumn("__pf", first(col("__p"), ignoreNulls = true).over(wf))
+    val db = col("__t") - col("__pb").getField(rightTime)
+    val df_ = col("__pf").getField(rightTime) - col("__t")
+    val picked = carried
+      .filter(col("__side") === 1)
+      .withColumn("__p",
+        when(col("__pb").isNull, col("__pf"))
+          .when(col("__pf").isNull, col("__pb"))
+          .when(df_ < db, col("__pf"))
+          .otherwise(col("__pb")))
+      .drop("__t", "__side", "__pb", "__pf")
+    payload.foldLeft(picked) { (df, p) =>
+      val name = if (left.columns.contains(p)) s"right_$p" else p
+      df.withColumn(name, col("__p").getField(p))
+    }.drop("__p")
+  }
 }

@@ -370,6 +370,37 @@ object BreadthQueries {
           col("n_distinct"), col("min_s"), col("max_s"))
     }),
 
+    // 2D skyline (Pareto front): the (price, date) points of each
+    // priority class no other point dominates (≤ in both dims, < in
+    // one). Shape: collapse to distinct (price, date) points first
+    // (min orderkey as representative), then the O(n log n) sweep —
+    // sort each class by (price, date), keep a point iff its date
+    // strictly beats the running minimum date of everything before
+    // it. Per-class partitions sort in parallel (never a global
+    // sort), and never the O(n²) dominance anti-join the oracle
+    // replays. Integer cents and epoch days keep every comparison
+    // exact; after the distinct-point collapse, the sweep's
+    // strictly-before order makes "dominated" coincide with the
+    // NOT EXISTS strict/non-strict mix term for term.
+    "q114_skyline" -> ((s, d) => {
+      val price = (dec(col("o_totalprice")) * 100).cast("bigint")
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("bigint")
+      val pts = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          price.as("price_c"), day.as("day_n"))
+        .groupBy(col("o_orderpriority"), col("price_c"), col("day_n"))
+        .agg(min(col("o_orderkey")).as("o_orderkey"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_c"), col("day_n"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts
+        .withColumn("best_prev", min(col("day_n")).over(w))
+        .filter(col("best_prev").isNull || col("day_n") < col("best_prev"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("price_c"), col("day_n"))
+    }),
+
     // robust dispersion statistics: median absolute deviation (the
     // two-level median — inherently a second pass over the data, with
     // the tiny per-group medians BROADCAST back) and interquartile
@@ -681,6 +712,21 @@ object BreadthQueries {
         |       CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
         |       CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
         |FROM lineitem""".stripMargin,
+
+    "q114_skyline" ->
+      """WITH pts AS (
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_n,
+        |         MIN(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT r.o_orderkey, r.o_orderpriority, r.price_c, r.day_n
+        |FROM pts r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts p
+        |  WHERE p.o_orderpriority = r.o_orderpriority
+        |    AND p.price_c <= r.price_c AND p.day_n <= r.day_n
+        |    AND (p.price_c < r.price_c OR p.day_n < r.day_n))""".stripMargin,
 
     "q112_robust_stats" ->
       """WITH m AS (

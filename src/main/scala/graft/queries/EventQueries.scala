@@ -134,6 +134,31 @@ object EventQueries {
           col("prior_hours") === 24 && col("n") * 24 > col("prior_n") * 2)
     }),
 
+    // CUSUM-style change-point detection over each event type's hourly
+    // series: the running sum of deviations from the series' own mean,
+    // kept EXACT by scaling counts by the bucket count H instead of
+    // dividing (Dev_i = n_i*H - total, so Cum_j = H * classical
+    // cusum_j) — a sustained rate shift accumulates |Cum| past 10% of
+    // total mass (10*|Cum| > total*H), while symmetric noise cancels.
+    // Pure BIGINT window arithmetic; one shuffle on (type, hour), then
+    // calendar-bounded windows per type.
+    "q116_change_points" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(col("event_type"), expr("tus div 3600000000").as("hus"))
+        .agg(count(lit(1)).as("n"))
+      val whole = Window.partitionBy(col("event_type"))
+      val cum = Window.partitionBy(col("event_type")).orderBy(col("hus"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly
+        .withColumn("total", sum(col("n")).over(whole))
+        .withColumn("h", count(col("n")).over(whole))
+        .withColumn("cum_dev_scaled",
+          sum(col("n") * col("h") - col("total")).over(cum))
+        .select(col("event_type"), col("hus"), col("n"), col("cum_dev_scaled"),
+          (abs(col("cum_dev_scaled")) * 10 > col("total") * col("h"))
+            .as("is_shift"))
+    }),
+
     // first-order Markov transition matrix over each user's event
     // sequence: lead() within (user_id) ordered by (tus, event_id),
     // transition counts, and each row's probability as ONE division of
@@ -195,6 +220,26 @@ object EventQueries {
           slice(transform(col("evs"), x => x.getField("et")), 1, 5)).as("path"))
         .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    }),
+
+    // nearest-event join: for every event, the user's CLOSEST purchase
+    // in either direction (ties break backward). One union, one
+    // shuffle; the backward/forward carries share the sort
+    // (operators.AsOfJoin.nearest). The oracle replays it as two
+    // DuckDB ASOF joins (>= backward, <= forward) plus the same
+    // integer-distance arbitration.
+    "q115_nearest_event" -> ((s, d) => {
+      val e = ev(s, d).select(col("event_id"), col("user_id"), col("tus"))
+      val purchases = ev(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tus").as("ptus"))
+        .agg(max(col("value")).as("purchase_value"))
+      AsOfJoin.nearest(e, purchases, Seq("user_id"),
+        leftTime = "tus", rightTime = "ptus",
+        payload = Seq("ptus", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          col("ptus").as("nearest_purchase_us"), col("purchase_value"),
+          abs(col("tus") - col("ptus")).as("dist_us"))
     }),
 
     // as-of join: for every event, the user's latest purchase at or
@@ -290,6 +335,26 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY event_type ORDER BY hus
         |             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""".stripMargin,
 
+    "q115_nearest_event" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ptus, MAX(value) AS purchase_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (SELECT e.event_id, e.user_id, e.tus, p.ptus AS b_t, p.purchase_value AS b_v
+        |      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus >= p.ptus),
+        |f AS (SELECT e.event_id, p.ptus AS f_t, p.purchase_value AS f_v
+        |      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus <= p.ptus)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN b_t IS NULL THEN f_t
+        |       WHEN f_t IS NULL THEN b_t
+        |       WHEN f_t - tus < tus - b_t THEN f_t ELSE b_t END AS nearest_purchase_us,
+        |  CASE WHEN b_t IS NULL THEN f_v
+        |       WHEN f_t IS NULL THEN b_v
+        |       WHEN f_t - tus < tus - b_t THEN f_v ELSE b_v END AS purchase_value,
+        |  abs(tus - CASE WHEN b_t IS NULL THEN f_t
+        |                 WHEN f_t IS NULL THEN b_t
+        |                 WHEN f_t - tus < tus - b_t THEN f_t ELSE b_t END) AS dist_us
+        |FROM b JOIN f USING (event_id)""".stripMargin,
+
     "q113_session_paths" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type AS et,
          |                  epoch_ns(ts) // 1000 AS tus FROM events),
@@ -306,6 +371,22 @@ object EventQueries {
          |      FROM r WHERE rn <= 5 GROUP BY 1, 2)
          |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
          |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q116_change_points" ->
+      """WITH h AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS hus,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT *,
+        |        SUM(n) OVER (PARTITION BY event_type) AS total,
+        |        COUNT(n) OVER (PARTITION BY event_type) AS hh
+        |      FROM h)
+        |SELECT event_type, hus, n,
+        |  CAST(SUM(n * hh - total) OVER (PARTITION BY event_type ORDER BY hus
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_dev_scaled,
+        |  abs(CAST(SUM(n * hh - total) OVER (PARTITION BY event_type ORDER BY hus
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT)) * 10 > total * hh AS is_shift
+        |FROM g""".stripMargin,
 
     "q107_markov_transitions" ->
       """WITH t AS (

@@ -25,6 +25,34 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 15L, Some(9.0))))
   }
 
+  test("nearest picks the closer side; ties and exact hits break backward") {
+    val quotes = Seq( // key, time, price
+      ("A", 10L, 1.0), ("A", 30L, 3.0),
+      ("B", 50L, 5.0)).toDF("sym", "qt", "price")
+    val trades = Seq(
+      ("A", 12L),  // closer to 10 (backward)
+      ("A", 28L),  // closer to 30 (forward)
+      ("A", 20L),  // exact tie 10 vs 30 -> backward (10)
+      ("A", 30L),  // exact hit -> that row
+      ("A", 5L),   // before all -> forward only
+      ("B", 99L),  // after all -> backward only
+      ("C", 1L)    // keyless -> no match
+    ).toDF("sym", "tt")
+    val out = AsOfJoin.nearest(trades, quotes, Seq("sym"),
+      leftTime = "tt", rightTime = "qt", payload = Seq("qt", "price"))
+      .select("sym", "tt", "qt", "price")
+      .as[(String, Long, Option[Long], Option[Double])].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("A", 5L, Some(10L), Some(1.0)),
+      ("A", 12L, Some(10L), Some(1.0)),
+      ("A", 20L, Some(10L), Some(1.0)),
+      ("A", 28L, Some(30L), Some(3.0)),
+      ("A", 30L, Some(30L), Some(3.0)),
+      ("B", 99L, Some(50L), Some(5.0)),
+      ("C", 1L, None, None)))
+  }
+
   test("a matched right row is attached whole — null fields included, never blended") {
     // right row at t=20 has a null aux; the match at t=25 must carry
     // (2.0, null), NOT blend aux=9 from the older t=10 row.
