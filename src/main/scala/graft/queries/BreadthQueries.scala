@@ -370,6 +370,34 @@ object BreadthQueries {
           col("n_distinct"), col("min_s"), col("max_s"))
     }),
 
+    // grouped least-squares trend: the OLS slope of price-vs-date per
+    // priority class (is this segment's order value drifting up or
+    // down?), from the five decomposable sums every distributed
+    // regression reduces to — one shuffle, map-side partials. The
+    // closed form n·Σxy − Σx·Σy over n·Σx² − (Σx)² runs in
+    // DECIMAL(38,0) (HUGEINT on the DuckDB side: day·cents products
+    // overflow BIGINT at fact scale), then ONE double division;
+    // degenerate groups (all orders on one day) yield NULL, not 0/0.
+    "q119_trend_slope" -> ((s, d) => {
+      val x = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("bigint")
+      val y = (dec(col("o_totalprice")) * 100).cast("bigint")
+      def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), x.as("x"), y.as("y"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+          sum(d38(col("x")) * d38(col("x"))).as("sxx"))
+        .select(col("o_orderpriority"), col("n"),
+          when(d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx")) =!= 0,
+            (d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy"))).cast("double") /
+              (d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx"))).cast("double"))
+            .otherwise(lit(null).cast("double"))
+            .as("slope_cents_per_day"))
+    }),
+
     // 2D skyline (Pareto front): the (price, date) points of each
     // priority class no other point dominates (≤ in both dims, < in
     // one). Shape: collapse to distinct (price, date) points first
@@ -712,6 +740,24 @@ object BreadthQueries {
         |       CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
         |       CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
         |FROM lineitem""".stripMargin,
+
+    "q119_trend_slope" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |g AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |      FROM p GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+        |       ELSE CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |            / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |  END AS slope_cents_per_day
+        |FROM g""".stripMargin,
 
     "q114_skyline" ->
       """WITH pts AS (

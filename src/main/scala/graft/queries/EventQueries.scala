@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.AsOfJoin
@@ -222,6 +223,30 @@ object EventQueries {
         .orderBy(col("n_sessions").desc, col("path")).limit(20)
     }),
 
+    // time-weighted average (TWAP): each event's value holds until the
+    // user's next event, so the average weights each value by its
+    // holding duration — the step-function integral every pricing /
+    // metering pipeline computes. Exact: values quantize to cents
+    // (DECIMAL(12,2)·100 → BIGINT), per-segment products accumulate in
+    // DECIMAL(38,0) (cents × µs overflows BIGINT at fact scale), and
+    // the single final division is IEEE-deterministic. One shuffle on
+    // user_id; the lead() rides the same partitioning as the sum.
+    "q118_twap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("tus"), col("event_id"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("bigint").as("v_c"))
+        .withColumn("dur", coalesce(lead(col("tus"), 1).over(w) - col("tus"), lit(0L)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("dur")).as("held_us"),
+          sum(col("v_c").cast(DecimalType(38, 0)) * col("dur")).as("__wv"))
+        .filter(col("held_us") > 0)
+        .select(col("user_id"), col("n_events"), col("held_us"),
+          (col("__wv").cast("double") / col("held_us").cast("double"))
+            .as("twap_cents"))
+    }),
+
     // nearest-event join: for every event, the user's CLOSEST purchase
     // in either direction (ties break backward). One union, one
     // shuffle; the backward/forward carries share the sort
@@ -334,6 +359,20 @@ object EventQueries {
         |FROM h
         |WINDOW w AS (PARTITION BY event_type ORDER BY hus
         |             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "q118_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_c
+        |           FROM events),
+        |d AS (SELECT user_id, v_c,
+        |        COALESCE(lead(tus) OVER (PARTITION BY user_id
+        |                   ORDER BY tus, event_id) - tus, 0) AS dur
+        |      FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(dur) AS BIGINT) AS held_us,
+        |       CAST(SUM(CAST(v_c AS HUGEINT) * dur) AS DOUBLE)
+        |         / CAST(SUM(dur) AS DOUBLE) AS twap_cents
+        |FROM d GROUP BY 1 HAVING SUM(dur) > 0""".stripMargin,
 
     "q115_nearest_event" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events),

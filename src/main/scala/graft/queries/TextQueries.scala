@@ -396,6 +396,26 @@ object TextQueries {
         .filter(col("cf") >= BurstMinCf)
         .withColumn("burstiness", col("cf").cast("double") / col("df"))),
 
+    // weight-proportional systematic sampling (the PPS scheme loaders
+    // use to draw a token-budget-proportional subcorpus): within each
+    // lang stratum, rows sit on a cumulative-weight axis (n_chars) and
+    // every crossing of a step boundary (step = stratum total div 10)
+    // selects the crossing row. Fully integer-exact (no RNG, no
+    // floats), reproducible, and one partitioned window — cumulative
+    // weights never need a global sort.
+    "q117_systematic_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("lang"))
+      docs(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("step", expr("sum(n_chars) over (partition by lang) div 10"))
+        .filter(col("step") > 0 &&
+          expr("cum div step") > expr("(cum - n_chars) div step"))
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("cum"))
+    }),
+
     // Count-Min point frequencies over the token stream: ONE pass
     // builds the fixed depth×width grid (what crosses the wire per map
     // task is O(d·w) longs, cardinality-independent); the top-probe
@@ -785,6 +805,17 @@ object TextQueries {
          |       CAST(SUM(c) AS DOUBLE) / COUNT(*) AS burstiness
          |FROM pd GROUP BY 1
          |HAVING CAST(SUM(c) AS BIGINT) >= $BurstMinCf""".stripMargin,
+
+    "q117_systematic_sample" ->
+      """WITH c AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n_chars) OVER (PARTITION BY lang) // 10 AS step
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars, CAST(cum AS BIGINT) AS cum
+        |FROM c
+        |WHERE step > 0 AND cum // step > (cum - n_chars) // step""".stripMargin,
 
     // exact top-probe counts; the sketch verdict booleans are the
     // engine-agnostic contract (TRUE here = "your sketch, your check")
