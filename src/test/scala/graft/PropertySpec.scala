@@ -87,6 +87,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: nearest join equals the naive min-distance scan, ties backward") {
+    import graft.operators.AsOfJoin
+    val rightGen = Gen.listOfN(25, for {
+      k <- Gen.oneOf("A", "B", "C")
+      t <- Gen.chooseNum(0L, 50L)
+      price <- Gen.chooseNum(1, 999).map(_.toDouble)
+    } yield (k, t, price))
+    val leftGen = Gen.listOfN(40, for {
+      k <- Gen.oneOf("A", "B", "C", "D") // D: keyless side
+      t <- Gen.chooseNum(0L, 60L)
+    } yield (k, t))
+    for (seed <- 1L to 5L) {
+      val rights = sample(rightGen, seed)
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val lefts = sample(leftGen, seed + 100).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val out = AsOfJoin.nearest(
+        lefts.toDF("lid", "k", "t"),
+        rights.toDF("k", "rt", "price"),
+        Seq("k"), leftTime = "t", rightTime = "rt",
+        payload = Seq("rt", "price"))
+        .select("lid", "rt", "price")
+        .as[(Long, Option[Long], Option[Double])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val expected = lefts.map { case (lid, k, t) =>
+        val cands = rights.filter(_._1 == k)
+        val m =
+          if (cands.isEmpty) None
+          // min distance; tie -> the earlier (backward) candidate
+          else Some(cands.minBy(r => (math.abs(r._2 - t), r._2)))
+        lid -> (m.map(_._2), m.map(_._3))
+      }.toMap
+      assert(out === expected, s"seed=$seed")
+    }
+  }
+
   test("property: warehouse build is idempotent and FK-complete for any batch") {
     for (seed <- 1L to 3L) {
       val rows = sample(Gen.listOfN(20, rowGen), seed)
