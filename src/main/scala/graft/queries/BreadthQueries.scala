@@ -370,6 +370,54 @@ object BreadthQueries {
           col("n_distinct"), col("min_s"), col("max_s"))
     }),
 
+    // weighted median (lower): the smallest quantity whose cumulative
+    // revenue weight reaches half the group's total — "the quantity at
+    // which half the money sits at or below". Integer-exact by
+    // construction: weights are cents, the half-total test is a
+    // cross-multiplication (2·cum ≥ total), no interpolation. Shape:
+    // collapse to one row per (group, value) FIRST (bounded by the
+    // value domain, not the table), then a tiny per-group window.
+    "q120_weighted_median" -> ((s, d) => {
+      val q = col("l_quantity").cast("bigint")
+      val wc = (dec(col("l_extendedprice")) * 100).cast("bigint")
+      val byVal = t(s, d, "lineitem")
+        .select(col("l_returnflag"), q.as("q"), wc.as("w_c"))
+        .groupBy(col("l_returnflag"), col("q"))
+        .agg(sum(col("w_c")).as("w"))
+      val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("l_returnflag"))
+      byVal
+        .withColumn("cum", sum(col("w")).over(cum))
+        .withColumn("total", sum(col("w")).over(whole))
+        .filter(col("cum") * 2 >= col("total") &&
+          (col("cum") - col("w")) * 2 < col("total"))
+        .select(col("l_returnflag"), col("q").as("weighted_median_qty"),
+          col("total").as("total_cents"))
+    }),
+
+    // gaps-and-islands: each customer's longest streak of consecutive
+    // order DAYS (distinct days collapse first, so the streak is over
+    // the calendar, not row multiplicity). The classic row_number
+    // difference groups consecutive days into islands with two
+    // partitioned windows and zero joins; per-customer output keeps
+    // the driver compare exact.
+    "q121_order_streaks" -> ((s, d) => {
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("bigint")
+      val days = t(s, d, "orders")
+        .select(col("o_custkey"), day.as("day_n")).distinct()
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_n"))
+      days
+        .withColumn("island", col("day_n") - row_number().over(w))
+        .groupBy(col("o_custkey"), col("island"))
+        .agg(count(lit(1)).as("len"), min(col("day_n")).as("start_day"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("len")).cast("bigint").as("longest_streak"),
+          count(lit(1)).as("n_islands"))
+        .filter(col("longest_streak") >= 2)
+    }),
+
     // grouped least-squares trend: the OLS slope of price-vs-date per
     // priority class (is this segment's order value drifting up or
     // down?), from the five decomposable sums every distributed
@@ -740,6 +788,36 @@ object BreadthQueries {
         |       CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
         |       CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
         |FROM lineitem""".stripMargin,
+
+    "q120_weighted_median" ->
+      """WITH bv AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, q, w,
+        |        CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY q
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |        CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+        |      FROM bv)
+        |SELECT l_returnflag, q AS weighted_median_qty, total AS total_cents
+        |FROM c
+        |WHERE cum * 2 >= total AND (cum - w) * 2 < total""".stripMargin,
+
+    "q121_order_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT o_custkey,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_n
+        |  FROM orders),
+        |isl AS (
+        |  SELECT o_custkey,
+        |         day_n - row_number() OVER (PARTITION BY o_custkey ORDER BY day_n) AS island,
+        |         day_n
+        |  FROM days),
+        |g AS (SELECT o_custkey, island, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |       CAST(COUNT(*) AS BIGINT) AS n_islands
+        |FROM g GROUP BY 1
+        |HAVING CAST(MAX(len) AS BIGINT) >= 2""".stripMargin,
 
     "q119_trend_slope" ->
       """WITH p AS (
