@@ -135,6 +135,24 @@ object EventQueries {
           col("prior_hours") === 24 && col("n") * 24 > col("prior_n") * 2)
     }),
 
+    // behavioral diversity per user: Gini impurity of the event-type
+    // distribution, 1 − Σ(nᵢ/N)² = (N² − Σnᵢ²)/N² — an exact rational
+    // of integer counts (entropy would drag in libm logs and
+    // cross-engine drift). Two-level aggregate: (user, type) counts
+    // collapse map-side, then one user-sized frame; one shuffle.
+    "q122_event_diversity" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("n") * col("n")).as("__n2"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          ((col("n_events") * col("n_events") - col("__n2")).cast("double") /
+            (col("n_events") * col("n_events")).cast("double"))
+            .as("gini_impurity"))),
+
     // CUSUM-style change-point detection over each event type's hourly
     // series: the running sum of deviations from the series' own mean,
     // kept EXACT by scaling counts by the bucket count H instead of
@@ -410,6 +428,15 @@ object EventQueries {
          |      FROM r WHERE rn <= 5 GROUP BY 1, 2)
          |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
          |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q122_event_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(SUM(n) * SUM(n) - SUM(n * n) AS DOUBLE)
+        |         / CAST(SUM(n) * SUM(n) AS DOUBLE) AS gini_impurity
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q116_change_points" ->
       """WITH h AS (

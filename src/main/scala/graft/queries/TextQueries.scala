@@ -396,6 +396,24 @@ object TextQueries {
         .filter(col("cf") >= BurstMinCf)
         .withColumn("burstiness", col("cf").cast("double") / col("df"))),
 
+    // corpus accounting (the dataset-card table): per (source, lang)
+    // cell — documents, characters, whitespace tokens, and each cell's
+    // exact share of the corpus token budget in basis points (integer
+    // floor division — no float percentages to drift). ONE aggregate
+    // over the corpus plus a broadcast of the single-row total.
+    "q123_corpus_report" -> ((s, d) => {
+      val cells = docs(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(wsTokenCount(col("text")).cast("bigint")).as("n_tokens"))
+      cells.join(broadcast(
+          cells.agg(sum(col("n_tokens")).as("__total"))))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+          col("n_tokens"),
+          expr("n_tokens * 10000 div __total").as("share_bp"))
+    }),
+
     // weight-proportional systematic sampling (the PPS scheme loaders
     // use to draw a token-budget-proportional subcorpus): within each
     // lang stratum, rows sit on a cumulative-weight axis (n_chars) and
@@ -805,6 +823,17 @@ object TextQueries {
          |       CAST(SUM(c) AS DOUBLE) / COUNT(*) AS burstiness
          |FROM pd GROUP BY 1
          |HAVING CAST(SUM(c) AS BIGINT) >= $BurstMinCf""".stripMargin,
+
+    "q123_corpus_report" ->
+      s"""WITH cells AS (
+         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |         CAST(SUM($duckWsTokens) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM cells)
+         |SELECT source, lang, n_docs, n_chars, n_tokens,
+         |       n_tokens * 10000 // total AS share_bp
+         |FROM cells CROSS JOIN t""".stripMargin,
 
     "q117_systematic_sample" ->
       """WITH c AS (
