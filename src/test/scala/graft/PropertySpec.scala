@@ -123,6 +123,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: skyline sweep equals the brute-force dominance filter") {
+    import org.apache.spark.sql.expressions.Window
+    val ptGen = Gen.listOfN(60, for {
+      g <- Gen.oneOf("P1", "P2")
+      x <- Gen.chooseNum(0L, 20L)
+      y <- Gen.chooseNum(0L, 20L)
+    } yield (g, x, y))
+    for (seed <- 1L to 5L) {
+      val pts = sample(ptGen, seed).distinct
+      // the q114 shape: distinct (x, y) points per group, then the sweep
+      val df = pts.toDF("g", "x", "y").distinct()
+      val w = Window.partitionBy(col("g")).orderBy(col("x"), col("y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val got = df
+        .withColumn("best_prev", min(col("y")).over(w))
+        .filter(col("best_prev").isNull || col("y") < col("best_prev"))
+        .select("g", "x", "y").as[(String, Long, Long)].collect().toSet
+      val want = pts.toSet.filter { p: (String, Long, Long) =>
+        !pts.exists(q =>
+          q._1 == p._1 && q._2 <= p._2 && q._3 <= p._3 &&
+            (q._2 < p._2 || q._3 < p._3))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("property: weighted median equals the brute-force half-mass scan") {
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = Gen.listOfN(50, for {
+      g <- Gen.oneOf("A", "B")
+      v <- Gen.chooseNum(1L, 12L)
+      wt <- Gen.chooseNum(1L, 100L)
+    } yield (g, v, wt))
+    for (seed <- 1L to 5L) {
+      val rows = sample(rowGen, seed)
+      val byVal = rows.toDF("g", "v", "w")
+        .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+      val cum = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("g"))
+      val got = byVal
+        .withColumn("cum", sum(col("w")).over(cum))
+        .withColumn("total", sum(col("w")).over(whole))
+        .filter(col("cum") * 2 >= col("total") &&
+          (col("cum") - col("w")) * 2 < col("total"))
+        .select("g", "v").as[(String, Long)].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val total = rs.map(_._3).sum
+        // smallest v whose cumulative weight reaches half the total
+        val sorted = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toList.sortBy(_._1)
+        var acc = 0L
+        g -> sorted.find { case (_, wt) => acc += wt; acc * 2 >= total }.get._1
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("property: warehouse build is idempotent and FK-complete for any batch") {
     for (seed <- 1L to 3L) {
       val rows = sample(Gen.listOfN(20, rowGen), seed)
