@@ -364,10 +364,13 @@ object BreadthQueries {
         .withColumn("column_name", element_at(lit(Array(
           "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
           "l_shipdate")), col("ci") + 1))
+      // left join + coalesce: an all-NULL column has no distinct pairs
+      // at all and must profile as n_distinct = 0, not vanish
       base.join(broadcast(nd.select(col("column_name"), col("n_distinct"))),
-          "column_name")
+          Seq("column_name"), "left")
         .select(col("column_name"), col("n_rows"), col("n_nonnull"),
-          col("n_distinct"), col("min_s"), col("max_s"))
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          col("min_s"), col("max_s"))
     }),
 
     // weighted median (lower): the smallest quantity whose cumulative
