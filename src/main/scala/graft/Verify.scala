@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // testdata-drift pre-flight (round 7→8 lesson: a regenerated
+    // events.ts physical type silently broke 6 queries) — named
+    // diagnostics up front instead of anonymous red cells later
+    Preflight.check(sfDir)
     // optional extra args: run only these queries (local iteration aid;
     // the driver always passes exactly two args → full run)
     val only = args.drop(2).toSet

@@ -191,8 +191,14 @@ case class CmsEstimate(sketch: Expression, value: Expression)
     val v = value.eval(input)
     if (sk == null || v == null) return null
     val arr = sk.asInstanceOf[ArrayData]
+    // any array<bigint> type-checks, so guard the header at runtime: a
+    // hand-built array with out-of-bounds d/w or a truncated cell grid
+    // answers NULL instead of garbage / ArrayIndexOutOfBounds
+    if (arr.numElements() < 3) return null
     val d = arr.getLong(0).toInt
     val w = arr.getLong(1).toInt
+    if (d < 1 || d > 16 || w < 8 || w > (1 << 20) ||
+        arr.numElements() != 3 + d * w) return null
     val bytes = v.asInstanceOf[UTF8String].getBytes
     var min = Long.MaxValue
     var r = 0

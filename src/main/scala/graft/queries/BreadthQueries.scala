@@ -325,9 +325,10 @@ object BreadthQueries {
     // exchange carries at most the per-partition distinct pairs, never
     // the row stream. (A multi-countDistinct in one agg was measured
     // 8x slower here: Catalyst's expand multiplies the scan by the
-    // column count BEFORE any dedup.) Doubles with integral values and
-    // timestamps render through exact BIGINT/DATE casts so the strings
-    // are engine-portable.
+    // column count BEFORE any dedup.) Doubles render through floor()
+    // on BOTH engines (a bare decimal→BIGINT cast truncates in Spark
+    // but rounds half-away in DuckDB, so parity would silently hinge
+    // on the values being integral); timestamps through DATE casts.
     "q110_profile" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = li.agg(
@@ -339,8 +340,8 @@ object BreadthQueries {
         min(col("l_linenumber")).cast("string").as("mn2"),
         max(col("l_linenumber")).cast("string").as("mx2"),
         count(col("l_quantity")).as("nn3"),
-        min(col("l_quantity")).cast("long").cast("string").as("mn3"),
-        max(col("l_quantity")).cast("long").cast("string").as("mx3"),
+        floor(min(col("l_quantity"))).cast("string").as("mn3"),
+        floor(max(col("l_quantity"))).cast("string").as("mx3"),
         count(col("l_returnflag")).as("nn4"),
         min(col("l_returnflag")).as("mn4"),
         max(col("l_returnflag")).as("mx4"),
@@ -530,18 +531,18 @@ object BreadthQueries {
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
       val deg = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-      // total order (degree, id) packed into one BIGINT ordinal; ids
-      // stay < 10^10 per ScaleUp's key-shift scheme, degrees < 10^9
-      def ord(dgc: org.apache.spark.sql.Column, idc: org.apache.spark.sql.Column) =
-        dgc * lit(10000000000L) + idc
+      // total order = lexicographic (degree, id) — compared directly,
+      // never packed into one BIGINT (a dg*10^10+id ordinal overflows
+      // once a vertex degree reaches ~9.2e8 and silently flips the
+      // orientation)
+      val aLower = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
       val oe = e0
         .join(deg.withColumnRenamed("n", "a").withColumnRenamed("dg", "da"), "a")
         .join(deg.withColumnRenamed("n", "b").withColumnRenamed("dg", "db"), "b")
         .select(
-          when(ord(col("da"), col("a")) < ord(col("db"), col("b")), col("a"))
-            .otherwise(col("b")).as("src"),
-          when(ord(col("da"), col("a")) < ord(col("db"), col("b")), col("b"))
-            .otherwise(col("a")).as("dst"))
+          when(aLower, col("a")).otherwise(col("b")).as("src"),
+          when(aLower, col("b")).otherwise(col("a")).as("dst"))
       val adj = oe.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       val tri = oe
         .join(adj.select(col("src"), col("nbrs").as("src_nbrs")), "src")
@@ -777,8 +778,8 @@ object BreadthQueries {
         |UNION ALL
         |SELECT 'l_quantity', (SELECT COUNT(*) FROM lineitem),
         |       COUNT(l_quantity), CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
-        |       CAST(CAST(MIN(l_quantity) AS BIGINT) AS VARCHAR),
-        |       CAST(CAST(MAX(l_quantity) AS BIGINT) AS VARCHAR)
+        |       CAST(CAST(FLOOR(MIN(l_quantity)) AS BIGINT) AS VARCHAR),
+        |       CAST(CAST(FLOOR(MAX(l_quantity)) AS BIGINT) AS VARCHAR)
         |FROM lineitem
         |UNION ALL
         |SELECT 'l_returnflag', (SELECT COUNT(*) FROM lineitem),

@@ -48,6 +48,28 @@ class CmsSpec extends SparkSpec {
     assert(viaSql == 2L)
   }
 
+  test("malformed sketch arrays answer NULL, never garbage or a crash") {
+    // any array<bigint> passes the type check, so the header is only
+    // trustworthy at runtime: truncated grid, absurd d/w, empty array
+    val cases = Seq(
+      "array(4L, 1024L, 0L)",             // header only, no cells
+      "array(4L, 1024L, 0L, 1L, 2L)",     // grid shorter than d*w
+      "array(-1L, 64L, 0L)",              // negative depth
+      "array(2L, 9999999999L, 0L)",       // width over the sketch bound
+      "array()",                          // empty
+      "array(1L)")                        // shorter than the header
+    cases.foreach { a =>
+      val r = spark.sql(s"SELECT cms_estimate(CAST($a AS ARRAY<BIGINT>), 'x')").head
+      assert(r.isNullAt(0), s"expected NULL for $a")
+    }
+    // a well-formed hand-built array still answers: 1 row, width 8,
+    // all cells 7 → estimate is 7 whatever the bucket
+    val ok = spark.sql(
+      "SELECT cms_estimate(array(1L, 8L, 56L, 7L, 7L, 7L, 7L, 7L, 7L, 7L, 7L), 'x')")
+      .head.getLong(0)
+    assert(ok == 7L)
+  }
+
   test("rejects non-string values and unbounded shapes at analysis") {
     val df = Seq(1, 2).toDF("n")
     intercept[Exception] { df.agg(CmsSketch.cms(col("n"), 4, 128)).collect() }
