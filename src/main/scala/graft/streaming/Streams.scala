@@ -225,7 +225,8 @@ object Streams {
     * every write is a keyed merge-ignore. */
   def ledgerUploadStream(spark: SparkSession, catalog: Catalog,
                          watchDir: String, checkpointDir: String,
-                         availableNow: Boolean = true) = {
+                         availableNow: Boolean = true,
+                         onBatchComplete: Long => Unit = _ => ()) = {
     val raw = spark.readStream
       .option("sep", ",").option("quote", "\"").option("header", "true")
       .schema(graft.ledger.Schemas.csvSchema)
@@ -234,11 +235,15 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("30 seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val clean = Validate.normalizeBlanks(batch)
           .na.drop(graft.ledger.Schemas.requiredColumns)
         catalog.replace("staging_lancamentos", Ingest.toStaging(clean))
         new Warehouse(catalog).run()
+        // fires after ALL batch effects but before the engine commits
+        // the offset — the exactly-once kill-test injects its crash
+        // here, the at-least-once window where replays originate
+        onBatchComplete(batchId)
         ()
       }
     q.start()

@@ -181,6 +181,128 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: CUSUM change points equal the sequential running-deviation scan") {
+    import org.apache.spark.sql.expressions.Window
+    // the q116 shape: hourly counts per series, Dev_i = n_i*H - total,
+    // Cum_j exact in BIGINT, shift iff 10*|Cum| > total*H — replayed
+    // here against a per-series sequential fold. Buckets may be sparse
+    // (hours with zero events simply don't exist, as in the query).
+    val evGen = Gen.listOfN(120, for {
+      g <- Gen.oneOf("view", "click")
+      h <- Gen.chooseNum(0L, 15L)
+    } yield (g, h))
+    for (seed <- 1L to 5L) {
+      val evs = sample(evGen, seed)
+      val hourly = evs.toDF("g", "hus").groupBy(col("g"), col("hus"))
+        .agg(count(lit(1)).as("n"))
+      val whole = Window.partitionBy(col("g"))
+      val cum = Window.partitionBy(col("g")).orderBy(col("hus"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = hourly
+        .withColumn("total", sum(col("n")).over(whole))
+        .withColumn("h", count(col("n")).over(whole))
+        .withColumn("cum_dev_scaled",
+          sum(col("n") * col("h") - col("total")).over(cum))
+        .select(col("g"), col("hus"), col("n"), col("cum_dev_scaled"),
+          (abs(col("cum_dev_scaled")) * 10 > col("total") * col("h")).as("s"))
+        .as[(String, Long, Long, Long, Boolean)].collect().toSet
+      val want = evs.groupBy(_._1).flatMap { case (g, rs) =>
+        val counts = rs.groupBy(_._2).view.mapValues(_.size.toLong)
+          .toList.sortBy(_._1)
+        val total = counts.map(_._2).sum
+        val h = counts.length.toLong
+        var acc = 0L
+        counts.map { case (hus, n) =>
+          acc += n * h - total
+          (g, hus, n, acc, math.abs(acc) * 10 > total * h)
+        }
+      }.toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("property: TWAP equals the sequential hold-until-next integral") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // the q118 shape: value holds until the user's next event; exact
+    // cents×µs products in DECIMAL(38,0), one final double division —
+    // vs a BigInt fold. Tied timestamps (distinct ids) included: the
+    // (t, id) order is total, zero-duration segments contribute 0.
+    val evGen = Gen.listOfN(40, for {
+      u <- Gen.chooseNum(1L, 4L)
+      t <- Gen.chooseNum(0L, 30L)
+      vc <- Gen.chooseNum(0L, 99999L) // cents
+    } yield (u, t, vc))
+    for (seed <- 1L to 5L) {
+      val evs = sample(evGen, seed).zipWithIndex
+        .map { case ((u, t, vc), i) => (u, t, i.toLong, vc) }
+      val w = Window.partitionBy(col("u")).orderBy(col("t"), col("id"))
+      val got = evs.toDF("u", "t", "id", "v_c")
+        .withColumn("dur", coalesce(lead(col("t"), 1).over(w) - col("t"), lit(0L)))
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("n"), sum(col("dur")).as("held"),
+          sum(col("v_c").cast(DecimalType(38, 0)) * col("dur")).as("wv"))
+        .filter(col("held") > 0)
+        .select(col("u"), col("n"), col("held"),
+          (col("wv").cast("double") / col("held").cast("double")).as("twap"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val want = evs.groupBy(_._1).flatMap { case (u, rs) =>
+        val s = rs.sortBy(r => (r._2, r._3))
+        val durs = s.zip(s.drop(1)).map { case (a, b) => b._2 - a._2 } :+ 0L
+        val held = durs.sum
+        if (held == 0) None
+        else {
+          val wv = s.zip(durs).map { case (r, d) => BigInt(r._4) * BigInt(d) }.sum
+          Some(u -> (s.size.toLong, held,
+            BigDecimal(wv).toDouble / held.toDouble))
+        }
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("property: OLS trend slope equals the closed-form exact-rational fold") {
+    import org.apache.spark.sql.types.DecimalType
+    // the q119 shape: five decomposable sums, (n·Σxy − Σx·Σy) /
+    // (n·Σx² − (Σx)²) in DECIMAL(38,0) then ONE double division — vs a
+    // BigInt fold; all-same-x groups must yield NULL, not 0/0
+    def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val ptGen = Gen.listOfN(50, for {
+      g <- Gen.oneOf("P1", "P2", "P3")
+      x <- Gen.chooseNum(0L, 60L)
+      y <- Gen.chooseNum(0L, 100000L)
+    } yield (g, x, y))
+    for (seed <- 1L to 5L) {
+      // P3 degenerates to a single x (vertical stack of points)
+      val pts = sample(ptGen, seed).map(p => if (p._1 == "P3") p.copy(_2 = 7L) else p)
+      val got = pts.toDF("g", "x", "y")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+          sum(d38(col("x")) * d38(col("x"))).as("sxx"))
+        .select(col("g"),
+          when(d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx")) =!= 0,
+            (d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy"))).cast("double") /
+              (d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx"))).cast("double"))
+            .otherwise(lit(null).cast("double")).as("slope"))
+        .as[(String, Option[Double])].collect().toMap
+      val want = pts.groupBy(_._1).map { case (g, rs) =>
+        val n = BigInt(rs.size)
+        val sx = rs.map(r => BigInt(r._2)).sum
+        val sy = rs.map(r => BigInt(r._3)).sum
+        val sxy = rs.map(r => BigInt(r._2) * BigInt(r._3)).sum
+        val sxx = rs.map(r => BigInt(r._2) * BigInt(r._2)).sum
+        val den = n * sxx - sx * sx
+        g -> (if (den == 0) None
+              else Some(BigDecimal(n * sxy - sx * sy).toDouble /
+                BigDecimal(den).toDouble))
+      }
+      assert(got === want, s"seed=$seed")
+      assert(got("P3").isEmpty, s"seed=$seed: degenerate group must be NULL")
+    }
+  }
+
   test("property: warehouse build is idempotent and FK-complete for any batch") {
     for (seed <- 1L to 3L) {
       val rows = sample(Gen.listOfN(20, rowGen), seed)

@@ -327,4 +327,50 @@ class StreamsSpec extends SparkSpec {
     assert(cat.table("fato_lancamento").count() === 2)
     assert(cat.table("dim_tempo").count() === 2)
   }
+
+  test("ledgerUploadStream: crash after sink-write/before-commit replays with zero duplicates") {
+    // the exactly-once claim (SURVEY §2.7): foreachBatch is
+    // at-least-once — offsets commit AFTER the batch body — so a crash
+    // in the window between the warehouse merge and the offset commit
+    // re-delivers the whole batch on restart. The id_hash merge-ignore
+    // must absorb the replay: rerun_appended == 0.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_kill").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val cat = new Catalog(spark, s"$dir/wh")
+    val header = "Descrição,Tipo,Grupo,Categoria,Classificação,Data,Valor"
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/m1.csv"),
+      header + "\n" +
+        """Aluguel,Despesa,Moradia,Aluguel,Essencial,01/2024,"1.500,00"""" + "\n" +
+        """Mercado,Despesa,Alimentação,Mercado,Essencial,02/2024,"300,00"""")
+    // crash exactly once, AFTER all effects (staging replace + warehouse
+    // merge) have landed but BEFORE the engine commits the offset
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = Streams.ledgerUploadStream(spark, cat, s"$dir/in", s"$dir/cp",
+      onBatchComplete = _ =>
+        if (crashed.compareAndSet(false, true))
+          throw new RuntimeException("injected crash before offset commit"))
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(60000)
+    }
+    assert(failure.getMessage.contains("injected crash"), failure.getMessage)
+    // the batch's effects DID land (this is the dangerous half of
+    // at-least-once: work done, offset not recorded)
+    assert(cat.table("fato_lancamento").count() === 2)
+    val before = cat.table("fato_lancamento")
+      .select("id_hash").as[String].collect().sorted.toSeq
+    // restart from the same checkpoint: batch 0 is re-delivered in full
+    val q2 = Streams.ledgerUploadStream(spark, cat, s"$dir/in", s"$dir/cp")
+    q2.awaitTermination(60000)
+    val after = cat.table("fato_lancamento")
+      .select("id_hash").as[String].collect().sorted.toSeq
+    assert(after === before, "replay appended or mutated fact rows")
+    assert(after.distinct.size === after.size, "duplicate id_hash after replay")
+    // and the stream is healthy again: a NEW file still flows through
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/m2.csv"),
+      header + "\n" + """Luz,Despesa,Moradia,Energia,Essencial,03/2024,"120,00"""")
+    val q3 = Streams.ledgerUploadStream(spark, cat, s"$dir/in", s"$dir/cp")
+    q3.awaitTermination(60000)
+    assert(cat.table("fato_lancamento").count() === 3)
+  }
 }
