@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over edge DataFrames.
+  *
+  * Extracted from the q111 market-basket analysis (the reference's BI
+  * surface has no graph operator; this is part of the large-scale
+  * pipeline extension mandate) so the counting core is reusable and
+  * brute-force property-testable independent of the TPC-H basket
+  * projection that feeds it in `BreadthQueries`.
+  */
+object Graph {
+
+  /** Out-adjacency lists `(src, nbrs)` of the degree-ordered
+    * orientation of a canonical edge list (`a < b`, deduped — see
+    * [[canonical]]): every edge points from its lower-(degree, id)
+    * endpoint, so each out-list is bounded O(√m) (the compact-forward
+    * / Chiba–Nishizeki arboricity argument) and Σ size(nbrs) = m
+    * exactly.
+    *
+    * `materialize = true` (the default) runs the build eagerly into
+    * executor-local blocks (`localCheckpoint`, the q56 `dupClusters`
+    * pattern): the adjacency is consumed from BOTH sides of the
+    * triangle join below, and without materialization each branch
+    * re-executes the whole upstream lineage — the edge build, the
+    * degree aggregate, and two degree joins, measured 1.9× slower than
+    * the checkpointed plan at the 10× decade.
+    */
+  def orientedAdjacency(e0: DataFrame, materialize: Boolean = true): DataFrame = {
+    val deg = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    // total order = lexicographic (degree, id) — compared directly,
+    // never packed into one BIGINT (a dg*10^10+id ordinal overflows
+    // once a vertex degree reaches ~9.2e8 and silently flips the
+    // orientation)
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val adj = e0
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("dg", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("dg", "db"), "b")
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("src"),
+        when(aLower, col("b")).otherwise(col("a")).as("dst"))
+      .groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    if (materialize) adj.localCheckpoint() else adj
+  }
+
+  /** Triangle count given oriented adjacency lists (see
+    * [[orientedAdjacency]]): each triangle's lowest edge sees it
+    * exactly once as |N⁺(u) ∩ N⁺(v)|. The oriented edges are
+    * re-derived by EXPLODING the adjacency lists instead of joining an
+    * edge set back against them on src: each exploded row is one edge
+    * with its src out-list already attached, so the src-side array
+    * join never exists in the plan — only ONE array-carrying shuffle
+    * remains, the dst-side lookup. (A wedge JOIN — the naive shape —
+    * materializes Σ C(outdeg, 2) rows and measured 3× slower on the
+    * q111 basket graph, with the gap widening in density.)
+    *
+    * That remaining join is hinted shuffle_hash: sort-merge would SORT
+    * both sides' rows carrying the O(√m) neighbor arrays, and the sort
+    * of array payloads dominated the join at the 100× decade (median
+    * 42 → 34 s interleaved-measured); the hash build side is one
+    * adjacency partition — bounded by the shuffle partition count, no
+    * driver involvement.
+    */
+  def triangleCountFromAdj(adj: DataFrame): DataFrame =
+    adj
+      .select(col("nbrs").as("src_nbrs"), explode(col("nbrs")).as("dst"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("dst_nbrs"))
+        .hint("shuffle_hash"), "dst")
+      .select(size(array_intersect(col("src_nbrs"), col("dst_nbrs"))).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("bigint").as("n_triangles"))
+
+  /** Exact triangle count of an undirected simple graph.
+    *
+    * `edges` must have two integral columns; loops are dropped and
+    * each undirected edge may appear in either or both directions and
+    * with duplicates — the input is canonicalized first (skip that
+    * full-edge shuffle with `assumeCanonical` when the caller already
+    * built a deduped `a < b` list). Returns one row
+    * `(n_triangles BIGINT)`.
+    */
+  def triangleCount(edges: DataFrame, assumeCanonical: Boolean = false): DataFrame = {
+    val e0 = if (assumeCanonical) edges.toDF("a", "b") else canonical(edges)
+    triangleCountFromAdj(orientedAdjacency(e0))
+  }
+
+  /** Canonical undirected simple edge list: `a < b`, loops removed,
+    * duplicates collapsed. */
+  def canonical(edges: DataFrame): DataFrame = {
+    val a = edges.columns(0)
+    val b = edges.columns(1)
+    edges
+      .select(least(col(a), col(b)).as("a"), greatest(col(a), col(b)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+}

@@ -485,4 +485,29 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"seed=$seed k=$k")
     }
   }
+
+  test("property: triangle count equals the brute-force closed-wedge scan") {
+    import graft.operators.Graph
+    // dense-ish small graphs: n ≤ 14 keeps the C(n,3) reference scan
+    // trivial while edge probability ~0.4 plants many triangles, degree
+    // ties (orientation tie-break on id), isolated vertices, and —
+    // because edges are drawn with replacement in both directions —
+    // duplicates and loops for `canonical` to collapse
+    val edgeG = for {
+      a <- Gen.chooseNum(0L, 13L)
+      b <- Gen.chooseNum(0L, 13L)
+    } yield (a, b)
+    for (seed <- 1L to 8L) {
+      val raw = sample(Gen.listOfN(40, edgeG), seed)
+      val es = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a < b }.toSet
+      val verts = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      val want = verts.combinations(3).count {
+        case Seq(u, v, w) => es((u, v)) && es((u, w)) && es((v, w))
+      }.toLong
+      val got = Graph.triangleCount(raw.toDF("x", "y").repartition(5))
+        .as[Long].head()
+      assert(got === want, s"seed=$seed edges=${es.size}")
+    }
+  }
 }
