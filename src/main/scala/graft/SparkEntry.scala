@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.BreadthQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,7 +28,8 @@ object SparkEntry {
       graft.queries.EventQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.BreadthQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.AnalyticsQueries.oracleSql
   /** Queries intentionally without oracle SQL (non-SQL-expressible in
     * DuckDB; driver records a weaker rows-only check). Empty since
     * round 4: q30 now emits an engine-agnostic accuracy verdict

@@ -87,6 +87,54 @@ object Graph {
     triangleCountFromAdj(orientedAdjacency(e0))
   }
 
+  /** Integer-exact PageRank over an undirected graph (each canonical
+    * edge walks both directions), damping 0.85, `iters` unrolled
+    * iterations. Nodes are the edge endpoints (an isolated vertex has
+    * no edges to rank through); returns `(p BIGINT, r BIGINT)` with
+    * ranks on a `scale` integer grid.
+    *
+    * All arithmetic is BIGINT with floor division — `r/deg` truncates
+    * identically on any engine, and the per-node contribution sums
+    * are exact integer sums (order-invariant), so the final ranking
+    * replays bit-identically on any engine (the q103 BM25 trick
+    * applied to an iterative algorithm):
+    *
+    *   r₀(v)   = scale div n
+    *   rₖ₊₁(v) = (15·scale) div (100·n) + (85·Σ_{u→v} rₖ(u) div deg(u)) div 100
+    *
+    * Overflow bound: 85·Σ ≤ 85·scale·n must stay under 2⁶³ — the
+    * default scale 10⁹ holds to ~10⁸ vertices; shrink `scale` beyond
+    * that (the knob trades rank granularity for headroom).
+    *
+    * Shape at scale: each iteration is one hash join of the directed
+    * edge list with the (node, rank) table plus one sum exchange on
+    * the destination — no driver action anywhere (the node count
+    * enters as a crossJoin with a one-row aggregate); the iteration
+    * count is a compile-time constant, so the whole plan is a static
+    * `iters`-deep pipeline Catalyst sees end-to-end.
+    */
+  def pageRank(e0: DataFrame, iters: Int = 3, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = e0.select(col("a"), col("b"))
+      .unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+    val deg = e.groupBy(col("a").as("p")).agg(count(lit(1)).as("dg"))
+    val cnt = deg.agg(count(lit(1)).as("n"))
+    val r0 = deg.select(col("p")).crossJoin(cnt)
+      .select(col("p"), expr(s"$scale div n").as("r"))
+    (1 to iters).foldLeft(r0) { (rPrev, _) =>
+      val contrib = rPrev.join(deg, "p")
+        .select(col("p"), expr("r div dg").as("c"))
+      val sums = e.join(contrib, col("a") === col("p"))
+        .groupBy(col("b")).agg(sum(col("c")).as("s"))
+      deg.select(col("p")).crossJoin(cnt)
+        .join(sums, col("p") === col("b"), "left")
+        .select(col("p"),
+          // 15·scale precomputed in Scala: interpolating `15 * scale`
+          // would parse as INT32 × INT32 and overflow under ANSI
+          expr(s"${15L * scale}L div (100 * n) + (85 * coalesce(s, 0L)) div 100").as("r"))
+    }
+  }
+
   /** Canonical undirected simple edge list: `a < b`, loops removed,
     * duplicates collapsed. */
   def canonical(edges: DataFrame): DataFrame = {

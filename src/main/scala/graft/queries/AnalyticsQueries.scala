@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.{Expectations, Graph, SpatialJoin}
+
+/** Round-9 analytics additions: iterative graph ranking, exact FIFO
+  * allocation, grid-bucketed spatial join, and the declarative
+  * expectation suite — each an operator family a warehouse-scale
+  * engine is expected to carry, each with an exact DuckDB twin.
+  *
+  * Oracle-determinism rules as everywhere (CoreQueries): BIGINT /
+  * DECIMAL arithmetic inside, floor division only on positive
+  * operands (`div` / `//` then agree), unique-key tie-breaks on every
+  * ranking, no DECIMAL or engine-formatted value in result schemas.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables(s, d, name)
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  /** q124 PageRank integer grid (shared by Spark + oracle SQL). */
+  private val PrScale = 1000000000L
+  private val PrIters = 3
+  private val PrTopK = 20
+
+  /** q126 grid geometry (shared by Spark + oracle SQL): one M×M tile
+    * per replica key block, so point density — and with it pair and
+    * candidate counts — scales linearly with the corpus instead of
+    * quadratically in a fixed space. */
+  private val GridM = 17159L
+  private val GridR = 50L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PageRank over the q111 co-order part graph (same 1/3 basket
+    // sample, same edge build), 3 unrolled iterations on an integer
+    // rank grid — operators.Graph.pageRank replays bit-identically on
+    // any engine because every step is BIGINT sums and positive floor
+    // divisions. Top-20 by (rank desc, part) — unique-key tie-break
+    // makes the LIMIT selection deterministic.
+    "q124_pagerank" -> ((s, d) => {
+      val op = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e0 = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      Graph.pageRank(e0, iters = PrIters, scale = PrScale)
+        .orderBy(col("r").desc, col("p"))
+        .limit(PrTopK)
+        .select(
+          row_number().over(Window.orderBy(col("r").desc, col("p")))
+            .cast("int").as("rank"),
+          col("p"), col("r"))
+    }),
+
+    // FIFO allocation (the classic ledger waterfall): spread half of
+    // each order's total across its lineitems in line order, each
+    // line taking min(its gross, remaining credit). Pure window
+    // arithmetic in exact integer cents — one shuffle on the order
+    // key shared by the window and the join.
+    "q125_fifo_alloc" -> ((s, d) => {
+      val credit = t(s, d, "orders")
+        .filter(col("o_custkey") < 300)
+        .select(col("o_orderkey").as("l_orderkey"),
+          expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) div 2")
+            .as("credit"))
+      // l_linenumber is NOT unique per order in the driver testdata —
+      // ties break on gross, which is output-deterministic: rows tying
+      // on BOTH window keys emit interchangeable (key, alloc) rows, so
+      // the sorted result multiset is engine-invariant either way
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("gross"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (dec(col("l_extendedprice")) * 100).cast("bigint").as("gross"))
+        .withColumn("prev", coalesce(sum(col("gross")).over(w), lit(0L)))
+        .join(credit, "l_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          greatest(lit(0L), least(col("gross"), col("credit") - col("prev")))
+            .as("alloc_cents"))
+    }),
+
+    // grid-bucketed spatial neighbor join: customers on a synthetic
+    // integer grid (LCG coordinates — deterministic, engine-exact),
+    // one M×M tile per replica key block; operators.SpatialJoin finds
+    // all pairs within L2 radius R through 3×3 cell buckets — the
+    // oracle is the honest brute-force cross join (viable at oracle
+    // scale, nonexistent at engine scale).
+    "q126_grid_neighbors" -> ((s, d) => {
+      // quadratic congruential mixing, not a plain LCG: custkeys are
+      // CONSECUTIVE, so linear maps put every pairwise difference on a
+      // fixed 2-D lattice (measured: zero pairs); the b² term makes a
+      // pair's offset depend on b_i + b_j and the scatter behaves like
+      // the uniform model (~30 pairs at sf0.01, ~3000 at sf0.1,
+      // simulation-checked). b is the within-replica key (base keys
+      // < 10⁵, replica shifts are 10⁹-multiples), keeping b²·101 far
+      // from 2⁶³ under ANSI arithmetic.
+      val pts = t(s, d, "customer").select(
+        col("c_custkey").as("id"),
+        (expr("(c_custkey % 100000) * (c_custkey % 100000) * 37 + " +
+          "(c_custkey % 100000) * 1103515245 + 12345") % GridM +
+          expr(s"(c_custkey div 1000000000) * $GridM")).as("x"),
+        (expr("(c_custkey % 100000) * (c_custkey % 100000) * 101 + " +
+          "(c_custkey % 100000) * 69069 + 1") % GridM +
+          expr(s"(c_custkey div 1000000000) * $GridM")).as("y"))
+      SpatialJoin.neighborPairs(pts, GridR)
+    }),
+
+    // declarative data-quality expectation suite over orders: four
+    // row-level rules folded into ONE aggregate pass, a uniqueness
+    // rule (one groupBy), and referential integrity against customer
+    // (one anti-join) — operators.Expectations. Rule thresholds are
+    // chosen so both zero and non-zero violation counts appear.
+    "q127_expectations" -> ((s, d) => {
+      val orders = t(s, d, "orders").withColumn("price_cents",
+        (dec(col("o_totalprice")) * 100).cast("bigint"))
+      Expectations.check(orders, Seq(
+        Expectations.NotNull("o_orderkey_not_null", "o_orderkey"),
+        Expectations.InRange("o_totalprice_cents_range", "price_cents", 1L, 30000000L),
+        Expectations.InSet("o_orderstatus_in_set", "o_orderstatus", Seq("O", "F")),
+        Expectations.Matches("o_orderpriority_format", "o_orderpriority", "^[1-3]-[A-Z ]+$"),
+        Expectations.Unique("o_orderkey_unique", Seq("o_orderkey")),
+        Expectations.RefIntegrity("o_custkey_ref_customer", "o_custkey",
+          t(s, d, "customer"), "c_custkey")))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** One PageRank iteration as a DuckDB CTE pair (contribution sums,
+    * then the damped update). */
+  private def prIter(prev: String, cur: String): String =
+    s"""s_$cur AS (SELECT e.b AS p, SUM(r_$prev.r // deg.dg) AS s
+       |       FROM e JOIN r_$prev ON e.a = r_$prev.p JOIN deg ON deg.p = e.a
+       |       GROUP BY 1),
+       |r_$cur AS (SELECT deg.p,
+       |         ${15L * PrScale} // (100 * n.n) + (85 * COALESCE(s_$cur.s, 0)) // 100 AS r
+       |       FROM deg CROSS JOIN n LEFT JOIN s_$cur ON s_$cur.p = deg.p)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q124_pagerank" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |           FROM lineitem WHERE l_orderkey % 3 = 0),
+         |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+         |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |deg AS (SELECT a AS p, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+         |r_0 AS (SELECT p, $PrScale // n.n AS r FROM deg CROSS JOIN n),
+         |${prIter("0", "1")},
+         |${prIter("1", "2")},
+         |${prIter("2", "3")}
+         |SELECT CAST(row_number() OVER (ORDER BY r DESC, p) AS INT) AS rank, p, r
+         |FROM r_$PrIters ORDER BY r DESC, p LIMIT $PrTopK""".stripMargin,
+
+    "q125_fifo_alloc" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS gross
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT l_orderkey, l_linenumber, gross,
+        |         COALESCE(SUM(gross) OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, gross
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM li),
+        |o AS (
+        |  SELECT o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 2 AS credit
+        |  FROM orders WHERE o_custkey < 300)
+        |SELECT w.l_orderkey, w.l_linenumber,
+        |       GREATEST(0, LEAST(w.gross, o.credit - w.prev)) AS alloc_cents
+        |FROM w JOIN o ON w.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "q126_grid_neighbors" ->
+      s"""WITH pts AS (
+         |  SELECT c_custkey AS id,
+         |         ((c_custkey % 100000) * (c_custkey % 100000) * 37 +
+         |          (c_custkey % 100000) * 1103515245 + 12345) % $GridM +
+         |           (c_custkey // 1000000000) * $GridM AS x,
+         |         ((c_custkey % 100000) * (c_custkey % 100000) * 101 +
+         |          (c_custkey % 100000) * 69069 + 1) % $GridM +
+         |           (c_custkey // 1000000000) * $GridM AS y
+         |  FROM customer)
+         |SELECT a.id AS a_id, b.id AS b_id,
+         |       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+         |FROM pts a JOIN pts b ON a.id < b.id
+         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |      <= $GridR * $GridR""".stripMargin,
+
+    "q127_expectations" ->
+      """WITH o AS (
+        |  SELECT *, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT 'o_orderkey_not_null' AS rule,
+        |       CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS violations
+        |FROM o
+        |UNION ALL
+        |SELECT 'o_totalprice_cents_range',
+        |       CAST(COUNT(CASE WHEN price_cents IS NOT NULL
+        |                        AND (price_cents < 1 OR price_cents > 30000000)
+        |                       THEN 1 END) AS BIGINT)
+        |FROM o
+        |UNION ALL
+        |SELECT 'o_orderstatus_in_set',
+        |       CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL
+        |                        AND o_orderstatus NOT IN ('O', 'F')
+        |                       THEN 1 END) AS BIGINT)
+        |FROM o
+        |UNION ALL
+        |SELECT 'o_orderpriority_format',
+        |       CAST(COUNT(CASE WHEN o_orderpriority IS NOT NULL
+        |                        AND NOT regexp_matches(o_orderpriority, '^[1-3]-[A-Z ]+$')
+        |                       THEN 1 END) AS BIGINT)
+        |FROM o
+        |UNION ALL
+        |SELECT 'o_orderkey_unique',
+        |       CAST(COALESCE((SELECT SUM(c - 1) FROM (
+        |         SELECT COUNT(*) AS c FROM o GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0)
+        |         AS BIGINT)
+        |UNION ALL
+        |SELECT 'o_custkey_ref_customer',
+        |       CAST(COUNT(CASE WHEN o_custkey IS NOT NULL
+        |                        AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |                       THEN 1 END) AS BIGINT)
+        |FROM o""".stripMargin
+  )
+}

@@ -510,4 +510,57 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"seed=$seed edges=${es.size}")
     }
   }
+
+  test("property: grid neighbor join equals the brute-force all-pairs scan") {
+    import graft.operators.SpatialJoin
+    // points denser than the cell size so pairs span same-cell,
+    // adjacent-cell, and diagonal-cell cases; duplicates of (x, y)
+    // at distinct ids exercise d2 = 0 pairs
+    val ptG = for {
+      x <- Gen.chooseNum(0L, 120L)
+      y <- Gen.chooseNum(0L, 120L)
+    } yield (x, y)
+    for (seed <- 1L to 6L; r <- Seq(7L, 25L)) {
+      val pts = sample(Gen.listOfN(50, ptG), seed).zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+      val got = SpatialJoin.neighborPairs(pts.toDF("id", "x", "y").repartition(5), r)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        a <- pts; b <- pts if a._1 < b._1
+        d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+        if d2 <= r * r
+      } yield (a._1, b._1, d2)).toSet
+      assert(got === want, s"seed=$seed r=$r")
+    }
+  }
+
+  test("property: integer PageRank equals the sequential exact replay") {
+    import graft.operators.Graph
+    val edgeG = for {
+      a <- Gen.chooseNum(0L, 11L)
+      b <- Gen.chooseNum(0L, 11L)
+    } yield (a, b)
+    val scale = 1000000L
+    for (seed <- 1L to 6L) {
+      val es = sample(Gen.listOfN(25, edgeG), seed)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a < b }.distinct
+      if (es.nonEmpty) {
+        // sequential replay of the exact integer recurrence
+        val dir = es ++ es.map { case (a, b) => (b, a) }
+        val deg = dir.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val n = deg.size.toLong
+        var r = deg.keys.map(_ -> scale / n).toMap
+        for (_ <- 1 to 3) {
+          val sums = dir.groupBy(_._2).view
+            .mapValues(_.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+          r = deg.keys.map(p =>
+            p -> ((15L * scale) / (100L * n) + 85L * sums.getOrElse(p, 0L) / 100L)).toMap
+        }
+        val got = Graph.pageRank(es.toDF("a", "b").repartition(4), iters = 3, scale = scale)
+          .as[(Long, Long)].collect().toMap
+        assert(got === r, s"seed=$seed")
+      }
+    }
+  }
 }
