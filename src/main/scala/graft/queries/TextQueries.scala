@@ -354,6 +354,42 @@ object TextQueries {
       graft.operators.Bm25.rank(docs(s, d), "doc_id", "text",
         Bm25Query, k = Bm25K)),
 
+    // reciprocal-rank fusion of two retrieval rankings for the same
+    // query — BM25 (q103's exact integer face) and a TF-density
+    // ranking (query-term hits per document token, no idf): the
+    // standard multi-retriever merge of a RAG / data-selection stack.
+    // RRF scores are integers (bigScale div (60 + rank)) so the fused
+    // ordering replays bit-identically; each pool is a distributed
+    // TakeOrdered (never a global sort), the fusion joins two k-row
+    // sets, and ranks within pools are row_numbers over k rows.
+    "q128_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val a = graft.operators.Bm25.rank(docs(s, d), "doc_id", "text",
+          Bm25Query, k = RrfPool)
+        .select(col("doc_id"), col("rank").as("ra"))
+      val lens = docs(s, d).select(col("doc_id"),
+        size(graft.functions.TextFunctions.words(col("text"))).cast("long").as("dl"))
+      val b = docs(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+        .where(col("term").isin(Bm25Query: _*))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tfs"))
+        .join(lens.hint("shuffle_hash"), "doc_id") // dl >= 1: doc has a hit
+        .select(col("doc_id"), expr(s"(${TfDenScale}L * tfs) div dl").as("s2"))
+        .orderBy(col("s2").desc, col("doc_id")).limit(RrfPool)
+        .withColumn("rb", row_number().over( // RrfPool rows — bounded
+          Window.orderBy(col("s2").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr(s"${RrfScale}L div (${RrfC} + ra)"), lit(0L)) +
+            coalesce(expr(s"${RrfScale}L div (${RrfC} + rb)"), lit(0L))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(RrfK)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("rrf"))
+    }),
+
     // stratified corpus sampling with exact per-stratum quotas, WITHOUT
     // a per-stratum sort: the O(k)-heap topk_str aggregate carries only
     // k candidates per (lang, source) stratum through the exchange,
@@ -487,6 +523,15 @@ object TextQueries {
   // real idf spread in the ranking.
   private val Bm25Query = Seq("dup", "spark", "vector")
   private val Bm25K = 10
+
+  // q128 RRF parameters (shared by Spark + oracle SQL): pool size per
+  // ranking, fused top-k, the standard c=60 smoothing, and the integer
+  // grids for the TF-density score and the RRF terms
+  private val RrfPool = 20
+  private val RrfK = 10
+  private val RrfC = 60
+  private val RrfScale = 1000000000000L
+  private val TfDenScale = 1000000L
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -800,6 +845,40 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
          |       doc_id, score
          |FROM top""".stripMargin,
+
+    // the q103 BM25 CTE with a RrfPool-deep pool, a parallel
+    // TF-density pool over the same pruned tf table, and the integer
+    // RRF merge — floor divisions on positive operands throughout.
+    "q128_rrf_fusion" ->
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+         |        FROM documents),
+         |dl AS (SELECT d.doc_id, CAST(COALESCE(c.c, 0) AS BIGINT) AS dl
+         |       FROM documents d LEFT JOIN (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY 1) c
+         |       USING (doc_id)),
+         |t AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN (${Bm25Query.map(q => s"'$q'").mkString(", ")}) GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |             ((10000 * n.n) // dfreq.df) *
+         |             ((1000000 * 22 * t.t * tf.tf) //
+         |              (10 * t.t * tf.tf + 3 * t.t + 9 * dl.dl * n.n)) AS sc
+         |      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+         |           CROSS JOIN n CROSS JOIN t),
+         |dbm AS (SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS score FROM s GROUP BY 1),
+         |topa AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS ra
+         |         FROM (SELECT doc_id, score FROM dbm ORDER BY score DESC, doc_id LIMIT $RrfPool)),
+         |s2 AS (SELECT tf.doc_id, ($TfDenScale * SUM(tf.tf)) // dl.dl AS sc2
+         |       FROM tf JOIN dl USING (doc_id) GROUP BY tf.doc_id, dl.dl),
+         |topb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sc2 DESC, doc_id) AS INT) AS rb
+         |         FROM (SELECT doc_id, sc2 FROM s2 ORDER BY sc2 DESC, doc_id LIMIT $RrfPool)),
+         |f AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |             COALESCE($RrfScale // ($RrfC + a.ra), 0) +
+         |             COALESCE($RrfScale // ($RrfC + b.rb), 0) AS rrf
+         |      FROM topa a FULL JOIN topb b ON a.doc_id = b.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank, doc_id, rrf
+         |FROM (SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT $RrfK)""".stripMargin,
 
     // same selection rule as the aggregate: k smallest salted-md5
     // 60-bit prefixes per stratum; fixed-width lowercase hex compares

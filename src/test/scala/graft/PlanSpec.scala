@@ -292,6 +292,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q113 grew a cartesian:\n$p")
   }
 
+  test("q111: the triangle intersection joins the exploded adjacency hash-wise") {
+    val p = finalPlan("q111_triangles")
+    // exactly one array-carrying join remains (the dst-side lookup on
+    // the exploded adjacency), and it must never be sort-merge — SMJ
+    // would sort rows carrying the O(√m) neighbor arrays
+    assert(p.contains("Generate explode"),
+      s"q111 lost the explode-derived oriented edges:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"q111's adjacency lookup must be a hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q111 regressed to sorting array-payload rows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q111 grew a cartesian:\n$p")
+  }
+
+  test("q124: PageRank iterates joins — no cartesian, no global sort") {
+    val p = finalPlan("q124_pagerank")
+    assert(!p.contains("CartesianProduct"), s"q124 grew a cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q124 lost the distributed top-k:\n$p")
+  }
+
+  test("q126: grid join buckets by cell — bounded generate, no cartesian") {
+    val p = finalPlan("q126_grid_neighbors")
+    // the probe side expands x9 through a Generate; candidates come
+    // only from the cell-key join — an all-pairs plan would show a
+    // cartesian or nested-loop join
+    assert(p.contains("Generate explode"),
+      s"q126 lost the 3x3 cell expansion:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q126 regressed to all-pairs:\n$p")
+  }
+
+  test("q128: both RRF pools are distributed TakeOrdereds, fusion joins k rows") {
+    val p = finalPlan("q128_rrf_fusion")
+    assert(count(p, "TakeOrderedAndProject") >= 2,
+      s"q128's pools must be distributed top-ks, not global sorts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q128 grew a cartesian:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
