@@ -407,6 +407,99 @@ final class Catalog(val spark: SparkSession, val root: String,
 
   def exists(table: String): Boolean = latestVersion(table).isDefined
 
+  // ---------------------------------------------------------------------
+  // schema evolution (add-column)
+
+  /** Evolve a table: add a nullable column of `ddlType` with an
+    * optional SQL `default` applied to rows that PRE-DATE the column
+    * (Iceberg initial-default semantics — rows written after the
+    * evolution read back exactly what was written, including NULL).
+    *
+    * Metadata-only: publishes a new manifest version carrying the SAME
+    * commit dirs plus a `schema_v{N}` record; no data file is touched.
+    * Readers resolve the newest schema record at-or-below their
+    * version, so time travel to a pre-evolution version sees the old
+    * shape, and commits whose parquet footers lack the column are
+    * filled with the default per commit (never blanket-coalesced —
+    * a post-evolution NULL stays NULL). */
+  def addColumn(table: String, column: String, ddlType: String,
+                default: Option[String] = None): Unit = {
+    val base = writeBase(table)
+    require(base >= 1, s"cannot evolve '$table': table does not exist")
+    val cur = evolvedSchemaAt(table, base) match {
+      case Some((s, _)) => s
+      case None => schemaForRead(table)
+    }
+    require(!cur.fieldNames.map(_.toLowerCase).contains(column.toLowerCase),
+      s"column '$column' already exists on '$table'")
+    val md = manifestDir(table)
+    val next = base + 1
+    claimVersionFile(md, s"v$next", commitsAt(table, base).mkString("\n"),
+      s"table $table version $next (add column $column)")
+    // prior defaults carry forward; the record is self-contained so a
+    // reader never has to walk older schema files
+    val priorDefaults = evolvedSchemaAt(table, base).map(_._2).getOrElse(Map.empty)
+    val defaults = priorDefaults ++ default.map(column -> _)
+    val body = ("ddl:" + cur.add(column, ddlType, nullable = true).toDDL) +:
+      defaults.toSeq.sorted.map { case (c, d) => s"default:$c:$d" }
+    atomicWrite(md, s"schema_v$next", body.mkString("\n"))
+    atomicWrite(md, "LATEST", next.toString)
+    if (!inTxn && snapshotScoped(table) && latestSnapshot.isDefined)
+      publishSnapshot(single = Some(table -> next))
+  }
+
+  /** Newest schema record at-or-below `version`: (evolved schema,
+    * per-column initial defaults). None = never evolved. */
+  private def evolvedSchemaAt(t: String, version: Int):
+      Option[(org.apache.spark.sql.types.StructType, Map[String, String])] = {
+    val md = manifestDir(t)
+    (version to 1 by -1).iterator
+      .map(v => md.resolve(s"schema_v$v"))
+      .find(Files.exists(_))
+      .map { p =>
+        val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        val ddl = lines.collectFirst { case l if l.startsWith("ddl:") => l.drop(4) }
+          .getOrElse(throw new IllegalStateException(s"malformed schema record $p"))
+        val defaults = lines.collect {
+          case l if l.startsWith("default:") =>
+            val rest = l.drop(8); val i = rest.indexOf(':')
+            rest.take(i) -> rest.drop(i + 1)
+        }.toMap
+        (org.apache.spark.sql.types.StructType.fromDDL(ddl), defaults)
+      }
+  }
+
+  /** The schema a non-evolved read would use: declared, else inferred
+    * from the first live commit. */
+  private def schemaForRead(t: String): org.apache.spark.sql.types.StructType =
+    Schemas.schemaOfOpt(t).getOrElse {
+      val commits = liveCommits(t)
+      require(commits.nonEmpty, s"table '$t' has no schema and no data")
+      spark.read.option("basePath", commits.head).parquet(commits.head).schema
+    }
+
+  /** Union `commits` under an evolved schema: each commit whose files
+    * pre-date a column gets that column's initial default (checked per
+    * commit via its parquet footer — a NULL written after the column
+    * existed is preserved). */
+  private def readEvolved(commits: Seq[String],
+                          schema: org.apache.spark.sql.types.StructType,
+                          defaults: Map[String, String]): DataFrame = {
+    if (commits.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    commits.map { c =>
+      val present = spark.read.option("basePath", c).parquet(c)
+        .schema.fieldNames.map(_.toLowerCase).toSet
+      val base = spark.read.schema(schema).option("basePath", c).parquet(c)
+      schema.fieldNames.foldLeft(base) { (df, f) =>
+        if (!present.contains(f.toLowerCase) && defaults.contains(f))
+          df.withColumn(f, expr(defaults(f)).cast(schema(f).dataType))
+        else df
+      }.select(schema.fieldNames.map(col): _*)
+    }.reduce(_.unionAll(_))
+  }
+
   /** Committed manifest versions, ascending (1 = first commit). Every
     * write (replace / appendDelta / compact) publishes a new version;
     * old manifests stay on disk until [[vacuum]]. Derived from the
@@ -432,6 +525,13 @@ final class Catalog(val spark: SparkSession, val root: String,
       throw new IllegalStateException(
         s"$table version $version was vacuumed: missing commit dirs " +
           gone.mkString(", "))
+    // evolved tables read under the schema record as of THIS version —
+    // time travel to a pre-evolution version sees the old shape
+    evolvedSchemaAt(table, version) match {
+      case Some((schema, defaults)) =>
+        return readEvolved(commitsAt(table, version), schema, defaults)
+      case None => ()
+    }
     Schemas.schemaOfOpt(table) match {
       case Some(schema) =>
         commitsAt(table, version).map { c =>
@@ -463,7 +563,14 @@ final class Catalog(val spark: SparkSession, val root: String,
     * read back with the schema of their own commits — they exist only
     * once written, so a missing one is a loud error, never an empty
     * guess at a schema this catalog never declared. */
-  def table(table: String): DataFrame = Schemas.schemaOfOpt(table) match {
+  def table(table: String): DataFrame = evolvedSchemaAt(
+      table, readVersion(table).getOrElse(0)) match {
+    case Some((schema, defaults)) =>
+      readEvolved(liveCommits(table), schema, defaults)
+    case None => tableUnevolved(table)
+  }
+
+  private def tableUnevolved(table: String): DataFrame = Schemas.schemaOfOpt(table) match {
     case Some(schema) =>
       val commits = liveCommits(table)
       if (commits.isEmpty)
@@ -953,15 +1060,24 @@ final class Catalog(val spark: SparkSession, val root: String,
   def compact(table: String, partitionBy: Seq[String] = Seq.empty,
               clusterBy: Seq[String] = Seq.empty,
               numFiles: Int = 0): Unit = {
-    val schema = Schemas.schemaOf(table)
     // argument validation — before the empty-table early return
     requireClusterableLayout(table, partitionBy, clusterBy)
     val base = writeBase(table)
     if (base == 0) return
-    val df = commitsAt(table, base).map { c =>
-      spark.read.schema(schema).option("basePath", c).parquet(c)
-        .select(schema.fieldNames.map(col): _*)
-    }.reduce(_.unionAll(_))
+    // same schema resolution as reads: an evolved table compacts under
+    // its evolved schema (initial defaults MATERIALIZE into the
+    // rewrite — afterwards every file carries the column), undeclared
+    // tables under their first commit's shape
+    val df = evolvedSchemaAt(table, base) match {
+      case Some((schema, defaults)) =>
+        readEvolved(commitsAt(table, base), schema, defaults)
+      case None =>
+        val schema = schemaForRead(table)
+        commitsAt(table, base).map { c =>
+          spark.read.schema(schema).option("basePath", c).parquet(c)
+            .select(schema.fieldNames.map(col): _*)
+        }.reduce(_.unionAll(_))
+    }
     // numFiles > 0: coalesce before the sort — compaction's point is
     // fewer, larger files (small-file debt is what it repays), and the
     // within-partition sort then clusters across what were separate
