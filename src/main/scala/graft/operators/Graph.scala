@@ -113,11 +113,17 @@ object Graph {
     * count is a compile-time constant, so the whole plan is a static
     * `iters`-deep pipeline Catalyst sees end-to-end.
     */
-  def pageRank(e0: DataFrame, iters: Int = 3, scale: Long = 1000000000L): DataFrame = {
+  def pageRank(e0: DataFrame, iters: Int = 3, scale: Long = 1000000000L,
+               materialize: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = e0.select(col("a"), col("b"))
-      .unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-    val deg = e.groupBy(col("a").as("p")).agg(count(lit(1)).as("dg"))
+    // the directed edge list and the degree table are consumed by
+    // EVERY iteration — materialized once (localCheckpoint, the
+    // orientedAdjacency pattern), the upstream edge build runs once
+    // instead of once per iteration per branch
+    def ckpt(df: DataFrame) = if (materialize) df.localCheckpoint() else df
+    val e = ckpt(e0.select(col("a"), col("b"))
+      .unionAll(e0.select(col("b").as("a"), col("a").as("b"))))
+    val deg = ckpt(e.groupBy(col("a").as("p")).agg(count(lit(1)).as("dg")))
     val cnt = deg.agg(count(lit(1)).as("n"))
     val r0 = deg.select(col("p")).crossJoin(cnt)
       .select(col("p"), expr(s"$scale div n").as("r"))

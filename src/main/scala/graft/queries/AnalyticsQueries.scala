@@ -79,11 +79,16 @@ object AnalyticsQueries {
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_linenumber"), col("gross"))
         .rowsBetween(Window.unboundedPreceding, -1)
+      // join BEFORE the window: the window partitions by l_orderkey,
+      // so pruning whole orders first is result-identical — and the
+      // window then runs over the selected orders' lines instead of
+      // the full fact table (measured the difference at the 100×
+      // decade, where the credit filter keeps 1% of orders)
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           (dec(col("l_extendedprice")) * 100).cast("bigint").as("gross"))
+        .join(broadcast(credit), "l_orderkey")
         .withColumn("prev", coalesce(sum(col("gross")).over(w), lit(0L)))
-        .join(credit, "l_orderkey")
         .select(col("l_orderkey"), col("l_linenumber"),
           greatest(lit(0L), least(col("gross"), col("credit") - col("prev")))
             .as("alloc_cents"))
