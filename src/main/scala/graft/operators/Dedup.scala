@@ -486,6 +486,50 @@ object Dedup {
   def simhash64(c: Column): Column = simhashHex(simhashBits(c))
 
   /** Hamming distance between two bit arrays. */
+  /** Sorted-neighborhood dedup (Hernández–Stolfo merge/purge): sort
+    * records by a discriminating key WITHIN blocks, slide a window of
+    * `w` successors over the sorted order, and verify each
+    * neighbor pair exactly (Levenshtein ≤ `maxDist`). The classic
+    * record-linkage alternative to LSH banding for SHORT strings
+    * (names, titles, addresses) where shingle sets are too small for
+    * MinHash to discriminate.
+    *
+    * `df` needs (id, value); `blockOf(value)` is the blocking key —
+    * near-dups must agree on it (the usual choice: first character +
+    * length bucket), and it bounds both skew and the sort width.
+    *
+    * Shape at scale: ONE shuffle on the block key; the sort is
+    * per-block inside the window operator (no global sort, no
+    * single-partition window — blocks partition the corpus). Each row
+    * emits ≤ w candidate pairs via `lead`, so candidates are ≤ w·n by
+    * construction — never quadratic, even when a block is hot. The
+    * exact-verify filter runs pipelined on the window output.
+    * Determinism: the sort key is (value, id) — total, engine-exact.
+    *
+    * Emits (a_id, b_id, dist INT) with a_id/b_id in (value, id) sort
+    * order — dups on the same value keep id order.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, valCol: String,
+                              blockOf: Column => Column,
+                              w: Int, maxDist: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__blk")).orderBy(col("__v"), col("__id"))
+    val base = df.select(col(idCol).as("__id"), col(valCol).as("__v"),
+      blockOf(col(valCol)).as("__blk"))
+    val withNext = (1 to w).foldLeft(base) { (d, i) =>
+      d.withColumn(s"__nid$i", lead(col("__id"), i).over(win))
+        .withColumn(s"__nv$i", lead(col("__v"), i).over(win))
+    }
+    (1 to w).map { i =>
+      withNext
+        .filter(col(s"__nid$i").isNotNull)
+        .select(col("__id").as("a_id"), col(s"__nid$i").as("b_id"),
+          levenshtein(col("__v"), col(s"__nv$i")).as("dist"))
+    }.reduce(_.unionAll(_))
+      .filter(col("dist") <= maxDist)
+  }
+
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, x) => acc + x)
 }

@@ -141,6 +141,46 @@ object Graph {
     }
   }
 
+  /** Multi-source BFS: exact hop distance from a seed set, out to
+    * `maxHops`, over an undirected canonical edge list (`a < b`,
+    * deduped). Returns `(p, dist INT)` for every vertex within
+    * `maxHops` of any seed — the classic "blast radius" / reachability
+    * query (impact analysis, contamination spread, k-hop ego nets).
+    *
+    * `seeds` is one column of vertex ids; seeds that are not edge
+    * endpoints still appear at dist 0 (their radius is just empty).
+    *
+    * Shape at scale: the hop count is a compile-time constant, so the
+    * plan is a static `maxHops`-deep pipeline — each hop is ONE hash
+    * join of the frontier with the directed edge list plus one
+    * min-aggregate on the reached vertex; no driver action, no
+    * iteration-to-convergence (that is [[Dedup.dupClusters]]'s job).
+    * The directed edge list is consumed by every hop, so it is
+    * materialized once (`localCheckpoint`, the [[pageRank]] pattern).
+    * The frontier passed to hop k+1 is the FULL dist-so-far table; the
+    * join fans out each vertex's edges once per hop, which is the
+    * textbook distributed unrolled BFS — work per hop is O(m) worst
+    * case, never quadratic.
+    */
+  def bfs(e0: DataFrame, seeds: DataFrame, maxHops: Int,
+          materialize: Boolean = true): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    def ckpt(df: DataFrame) = if (materialize) df.localCheckpoint() else df
+    val e = ckpt(e0.select(col("a"), col("b"))
+      .unionAll(e0.select(col("b").as("a"), col("a").as("b"))))
+    val d0 = seeds.toDF("p").distinct().select(col("p"), lit(0).as("dist"))
+    (1 to maxHops).foldLeft(d0) { (dPrev, k) =>
+      // dist(v) at hop k = min(dist so far, k if any neighbor reached):
+      // union the relaxed frontier with the standing table, keep min —
+      // one join + one agg per hop, both on the vertex key
+      val relaxed = e.join(dPrev.filter(col("dist") === k - 1),
+          col("a") === col("p"))
+        .select(col("b").as("p"), lit(k).as("dist"))
+      dPrev.unionAll(relaxed)
+        .groupBy(col("p")).agg(min(col("dist")).cast("int").as("dist"))
+    }
+  }
+
   /** Canonical undirected simple edge list: `a < b`, loops removed,
     * duplicates collapsed. */
   def canonical(edges: DataFrame): DataFrame = {

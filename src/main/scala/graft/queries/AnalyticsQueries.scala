@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.operators.{Expectations, Graph, SpatialJoin}
+import graft.operators.{AssocRules, Dedup, Expectations, Graph, SpatialJoin, StatTests}
 
 /** Round-9 analytics additions: iterative graph ranking, exact FIFO
   * allocation, grid-bucketed spatial join, and the declarative
@@ -136,10 +136,131 @@ object AnalyticsQueries {
         Expectations.Unique("o_orderkey_unique", Seq("o_orderkey")),
         Expectations.RefIntegrity("o_custkey_ref_customer", "o_custkey",
           t(s, d, "customer"), "c_custkey")))
+    }),
+
+    // sorted-neighborhood dedup (Hernández–Stolfo) over customer
+    // names: block on the 16-char name prefix, slide a 5-wide window
+    // over the (name, id)-sorted order, verify neighbors exactly with
+    // Levenshtein ≤ 2 — the record-linkage classic for short strings
+    // where shingle-based MinHash can't discriminate. One shuffle on
+    // the block key; candidates ≤ w·n by construction.
+    "q129_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(
+        t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name",
+        v => substring(v, 1, 16), w = 5, maxDist = 2)),
+
+    // A/B conversion readout: unit = user, success = a heavy buyer
+    // (≥ 14 purchase events — the per-user mean; "≥ 1 purchase" is
+    // degenerate here, every user qualifies and the pooled variance
+    // collapses to 0), variant = user_id parity. Exact counts out
+    // of one per-user aggregate + one tiny group aggregate; the z²
+    // statistic is one fixed IEEE-double expression tree over four
+    // BIGINTs — bit-identical on any engine (StatTests Scaladoc).
+    "q130_ab_test" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .geq(14), 1).otherwise(0)
+          .as("converted"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      StatTests.twoProportionZ(perUser, "variant", "converted")
+    }),
+
+    // association rules over order baskets at the brand level
+    // ("orders containing brand A also contain brand B"): support /
+    // confidence / lift on an integer e6 grid. Output is bounded by
+    // the brand vocabulary (≤ |brands|² rules) no matter the corpus
+    // size; candidate pairs are basket-size-bounded (never all-pairs).
+    "q131_brand_rules" -> ((s, d) => {
+      val baskets = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      AssocRules.mine(baskets, minSupport = 20)
+    }),
+
+    // chi-square independence: is order priority independent of order
+    // status? One groupBy produces the 15-cell contingency; marginals
+    // derive from the cell table (window sums over a tiny frame); the
+    // statistic is an order-invariant INTEGER sum of quantized cell
+    // terms (StatTests Scaladoc).
+    "q132_chi_square" -> ((s, d) =>
+      StatTests.chiSquare(t(s, d, "orders"), "o_orderpriority", "o_orderstatus")),
+
+    // multi-source BFS: exact hop distance (≤ 3) from the seed parts
+    // (p_partkey % 97 = 0) over the q111/q124 co-order graph — the
+    // "blast radius" query. Static 3-hop unrolled pipeline, one hash
+    // join + one min-aggregate per hop, edge list materialized once.
+    "q133_bfs_hops" -> ((s, d) => {
+      val op = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e0 = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val seeds = t(s, d, "part")
+        .filter(col("p_partkey") % 97 === 0).select(col("p_partkey"))
+      Graph.bfs(e0, seeds, maxHops = 3)
+    }),
+
+    // k-NN majority-vote classification over the embedding corpus:
+    // for each query vector (vec_id % 251 = 0), the 7 nearest
+    // neighbors by exact cosine vote on their labels; ties break to
+    // the smallest label. Broadcast queries × corpus scan (the q23
+    // brute-force path) + one tiny vote aggregate.
+    "q134_knn_vote" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val nn = graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") % 251 === 0), "vec_id", "embedding", k = 7)
+      val votes = nn
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+          "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+    }),
+
+    // day-of-week seasonality per event type: each (type, dow) cell's
+    // share of its type's volume on a ×7 e6 grid (flat = 1e6). Epoch
+    // arithmetic only — (days + 4) % 7 anchors Thursday 1970-01-01 —
+    // so no engine calendar/locale functions are in play.
+    "q135_seasonality" -> ((s, d) => {
+      val cell = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("cast((tus div 86400000000L + 4) % 7 as int)").as("dow"))
+        .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("cnt"))
+      cell
+        .withColumn("tot",
+          sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("dow"), col("cnt"),
+          expr("cnt * 7000000L div tot").as("index_e6"))
     })
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** Exact cosine over the parquet float vectors — the shared
+    * brute-force idiom (same text as DedupQueries.duckCos; both
+    * engines fold the 64 index-ordered double products, so the IEEE
+    * result is bit-identical and ranks need no tolerance). */
+  private val duckCos =
+    """SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
+      | (sqrt(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
+      |  sqrt(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))))""".stripMargin
+
+  /** One BFS hop as a DuckDB CTE: relax hop-(k-1) rows through the
+    * edge list, union the standing table, keep the min distance. */
+  private def bfsHop(prev: String, cur: String, k: Int): String =
+    s"""d_$cur AS (SELECT p, CAST(MIN(dist) AS INT) AS dist FROM (
+       |    SELECT p, dist FROM d_$prev
+       |    UNION ALL
+       |    SELECT e.b, $k FROM e JOIN d_$prev ON e.a = d_$prev.p
+       |    WHERE d_$prev.dist = ${k - 1}) GROUP BY 1)""".stripMargin
 
   /** One PageRank iteration as a DuckDB CTE pair (contribution sums,
     * then the damped update). */
@@ -238,6 +359,142 @@ object AnalyticsQueries {
         |       CAST(COUNT(CASE WHEN o_custkey IS NOT NULL
         |                        AND o_custkey NOT IN (SELECT c_custkey FROM customer)
         |                       THEN 1 END) AS BIGINT)
-        |FROM o""".stripMargin
+        |FROM o""".stripMargin,
+
+    "q129_sorted_neighborhood" ->
+      """WITH b AS (
+        |  SELECT c_custkey AS id, c_name AS v, substring(c_name, 1, 16) AS blk
+        |  FROM customer),
+        |w AS (
+        |  SELECT id, v,
+        |         lead(id, 1) OVER win AS nid1, lead(v, 1) OVER win AS nv1,
+        |         lead(id, 2) OVER win AS nid2, lead(v, 2) OVER win AS nv2,
+        |         lead(id, 3) OVER win AS nid3, lead(v, 3) OVER win AS nv3,
+        |         lead(id, 4) OVER win AS nid4, lead(v, 4) OVER win AS nv4,
+        |         lead(id, 5) OVER win AS nid5, lead(v, 5) OVER win AS nv5
+        |  FROM b WINDOW win AS (PARTITION BY blk ORDER BY v, id))
+        |SELECT a_id, b_id, CAST(dist AS INT) AS dist FROM (
+        |  SELECT id AS a_id, nid1 AS b_id, levenshtein(v, nv1) AS dist FROM w WHERE nid1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT id, nid2, levenshtein(v, nv2) FROM w WHERE nid2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT id, nid3, levenshtein(v, nv3) FROM w WHERE nid3 IS NOT NULL
+        |  UNION ALL
+        |  SELECT id, nid4, levenshtein(v, nv4) FROM w WHERE nid4 IS NOT NULL
+        |  UNION ALL
+        |  SELECT id, nid5, levenshtein(v, nv5) FROM w WHERE nid5 IS NOT NULL)
+        |WHERE dist <= 2""".stripMargin,
+
+    "q130_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |              THEN 1 ELSE 0 END AS converted,
+        |         CAST(user_id % 2 AS INT) AS variant
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT variant AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(converted) AS BIGINT) AS x
+        |      FROM pu GROUP BY 1),
+        |a AS (SELECT * FROM g ORDER BY grp LIMIT 1),
+        |b AS (SELECT * FROM g ORDER BY grp DESC LIMIT 1),
+        |s AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |             a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+        |      FROM a CROSS JOIN b),
+        |z AS (SELECT *,
+        |        CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b
+        |             THEN CAST(0 AS DOUBLE) ELSE
+        |        ((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |           - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |         * (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |             - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |        / (((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+        |              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            * (CAST(1.0 AS DOUBLE)
+        |               - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+        |                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+        |           * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |              + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) END AS z2
+        |      FROM s)
+        |SELECT grp_a, grp_b, n_a, x_a, n_b, x_b, z2,
+        |       z2 > 3.841458820694124 AS significant
+        |FROM z""".stripMargin,
+
+    "q131_brand_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |itemn AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY 1),
+        |bn AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS baskets FROM bi),
+        |pairn AS (
+        |  SELECT x.it AS ia, y.it AS ib, CAST(COUNT(*) AS BIGINT) AS pair_n
+        |  FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+        |rules AS (SELECT ia AS a, ib AS b, pair_n FROM pairn
+        |          UNION ALL SELECT ib, ia, pair_n FROM pairn)
+        |SELECT r.a, r.b, r.pair_n, na.n AS a_n, nb.n AS b_n,
+        |       r.pair_n * 1000000 // na.n AS confidence_e6,
+        |       (r.pair_n * 1000000 // na.n) * bn.baskets // nb.n AS lift_e6
+        |FROM rules r
+        |JOIN itemn na ON na.it = r.a
+        |JOIN itemn nb ON nb.it = r.b
+        |CROSS JOIN bn""".stripMargin,
+
+    "q132_chi_square" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS va, o_orderstatus AS vb,
+        |         CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT o,
+        |        SUM(o) OVER (PARTITION BY va) AS row_n,
+        |        SUM(o) OVER (PARTITION BY vb) AS col_n,
+        |        SUM(o) OVER () AS n
+        |      FROM cells),
+        |c AS (SELECT n, row_n * col_n // n AS e_q, o FROM m),
+        |t AS (SELECT n, (o - e_q) * (o - e_q) * 100 // GREATEST(1, e_q) AS cell_e2 FROM c)
+        |SELECT CAST(SUM(cell_e2) AS BIGINT) AS chi2_e2,
+        |       CAST(COUNT(*) AS BIGINT) AS cells,
+        |       CAST(MAX(n) AS BIGINT) AS n
+        |FROM t""".stripMargin,
+
+    "q133_bfs_hops" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |           FROM lineitem WHERE l_orderkey % 3 = 0),
+         |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+         |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |d_0 AS (SELECT DISTINCT p_partkey AS p, CAST(0 AS INT) AS dist
+         |        FROM part WHERE p_partkey % 97 = 0),
+         |${bfsHop("0", "1", 1)},
+         |${bfsHop("1", "2", 2)},
+         |${bfsHop("2", "3", 3)}
+         |SELECT p, dist FROM d_3""".stripMargin,
+
+    "q134_knn_vote" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $duckCos AS cos
+         |  FROM embeddings a, embeddings b, generate_series(1, 64) i(i)
+         |  WHERE a.vec_id % 251 = 0 AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2),
+         |nn AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM p) WHERE rank <= 7),
+         |v AS (SELECT nn.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS votes
+         |      FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+         |      GROUP BY 1, 2)
+         |SELECT query_id, label AS pred_label, votes FROM (
+         |  SELECT query_id, label, votes,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rk
+         |  FROM v) WHERE rk = 1""".stripMargin,
+
+    "q135_seasonality" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST((epoch_ns(ts) // 1000 // 86400000000 + 4) % 7 AS INT) AS dow
+        |           FROM events),
+        |cell AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM e GROUP BY 1, 2)
+        |SELECT event_type, dow, cnt,
+        |       cnt * 7000000 // SUM(cnt) OVER (PARTITION BY event_type) AS index_e6
+        |FROM cell""".stripMargin
   )
 }

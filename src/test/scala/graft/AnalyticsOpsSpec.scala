@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{AssocRules, Dedup, Graph, StatTests}
+
+/** Round-9 analytics operators vs independent references: BFS against a
+  * sequential queue BFS, association rules against a nested-Map brute
+  * force, the stat tests against hand-computed values, and
+  * sorted-neighborhood dedup against planted duplicates.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // ---------------------------------------------------------------- BFS
+
+  private def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+                       maxHops: Int): Map[Long, Int] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var dist = seeds.map(_ -> 0).toMap
+    for (k <- 1 to maxHops) {
+      val frontier = dist.collect { case (p, d) if d == k - 1 => p }
+      val reached = frontier.toSeq.flatMap(p => adj.getOrElse(p, Seq.empty))
+      dist = reached.foldLeft(dist)((m, p) =>
+        if (m.contains(p)) m else m + (p -> k))
+    }
+    dist
+  }
+
+  test("bfs: matches a sequential queue BFS on random graphs") {
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))
+    for (seed <- 1L to 5L) {
+      val raw = sample(edgeGen, seed).filter(e => e._1 != e._2)
+      val edges = raw.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      val seeds = Set(0L, 7L, 13L)
+      val got = Graph.bfs(
+          edges.toDF("a", "b"), seeds.toSeq.toDF("p"), maxHops = 3)
+        .as[(Long, Int)].collect().toMap
+      assert(got === bruteBfs(edges, seeds, 3), s"seed=$seed")
+    }
+  }
+
+  test("bfs: hop-0-only and isolated seeds") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got0 = Graph.bfs(edges, Seq(1L, 99L).toDF("p"), maxHops = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(got0 === Map(1L -> 0, 99L -> 0))
+    val got2 = Graph.bfs(edges, Seq(1L, 99L).toDF("p"), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got2 === Map(1L -> 0, 2L -> 1, 3L -> 2, 99L -> 0))
+  }
+
+  // ------------------------------------------------------- association rules
+
+  private def bruteRules(bi: Seq[(Long, String)], minSup: Long)
+      : Set[(String, String, Long, Long, Long, Long, Long)] = {
+    val d = bi.distinct
+    val itemN = d.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val baskets = d.map(_._1).distinct.size.toLong
+    val pairN = d.groupBy(_._1).toSeq.flatMap { case (_, items) =>
+      val vs = items.map(_._2).sorted
+      for (i <- vs.indices; j <- i + 1 until vs.size) yield (vs(i), vs(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= minSup)
+    pairN.toSeq.flatMap { case ((ia, ib), pn) =>
+      Seq((ia, ib, pn), (ib, ia, pn))
+    }.map { case (a, b, pn) =>
+      val an = itemN(a); val bn = itemN(b)
+      val conf = pn * 1000000L / an
+      (a, b, pn, an, bn, conf, conf * baskets / bn)
+    }.toSet
+  }
+
+  test("assoc rules: matches nested-Map brute force on random baskets") {
+    val bGen = Gen.listOfN(120,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.oneOf("w", "x", "y", "z", "v")))
+    for (seed <- 1L to 5L) {
+      val bi = sample(bGen, seed)
+      val got = AssocRules.mine(bi.toDF("bk", "it"), minSupport = 3)
+        .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === bruteRules(bi, 3), s"seed=$seed")
+    }
+  }
+
+  // ------------------------------------------------------------ stat tests
+
+  test("two-proportion z: hand-computed significant and null cases") {
+    def run(xa: Int, na: Int, xb: Int, nb: Int) = {
+      val rows = (0 until na).map(i => (0, if (i < xa) 1 else 0)) ++
+        (0 until nb).map(i => (1, if (i < xb) 1 else 0))
+      StatTests.twoProportionZ(rows.toDF("grp", "ok"), "grp", "ok")
+        .select("n_a", "x_a", "n_b", "x_b", "z2", "significant")
+        .as[(Long, Long, Long, Long, Double, Boolean)].collect().head
+    }
+    // 20.0% vs 26.0% on 1000 each: z² = 10.1637…, significant
+    assert(run(200, 1000, 260, 1000) ===
+      ((1000L, 200L, 1000L, 260L, 10.163749294184075, true)))
+    // 20.0% vs 21.0%: z² = 0.3068…, not significant
+    assert(run(200, 1000, 210, 1000) ===
+      ((1000L, 200L, 1000L, 210L, 0.30679552078539535, false)))
+  }
+
+  test("two-proportion z: degenerate pools (all/none convert) score z² = 0") {
+    val all = Seq((0, 1), (0, 1), (1, 1), (1, 1)).toDF("grp", "ok")
+    val none = Seq((0, 0), (0, 0), (1, 0), (1, 0)).toDF("grp", "ok")
+    for (df <- Seq(all, none)) {
+      val r = StatTests.twoProportionZ(df, "grp", "ok")
+        .select("z2", "significant").as[(Double, Boolean)].collect().head
+      assert(r === ((0.0, false)))
+    }
+  }
+
+  test("two-proportion z: side A is the lexicographically smaller label") {
+    val rows = Seq(("b", 1), ("b", 0), ("a", 1), ("a", 1)).toDF("grp", "ok")
+    val r = StatTests.twoProportionZ(rows, "grp", "ok")
+      .select("grp_a", "x_a", "grp_b", "x_b")
+      .as[(String, Long, String, Long)].collect().head
+    assert(r === (("a", 2L, "b", 1L)))
+  }
+
+  test("chi-square: hand-computed 2x2 contingency on the e2 grid") {
+    // [[30,10],[20,40]]: true chi² = 16.667; quantized e_q grid → 1666
+    val rows =
+      Seq.fill(30)(("r0", "c0")) ++ Seq.fill(10)(("r0", "c1")) ++
+        Seq.fill(20)(("r1", "c0")) ++ Seq.fill(40)(("r1", "c1"))
+    val r = StatTests.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(r === ((1666L, 4L, 100L)))
+  }
+
+  test("chi-square: independent columns score ~zero") {
+    val rows = for (i <- 0 until 400) yield (s"r${i % 2}", s"c${(i / 2) % 4}")
+    val r = StatTests.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(r === ((0L, 8L, 400L)))
+  }
+
+  // ----------------------------------------------------- sorted neighborhood
+
+  test("sorted neighborhood: finds planted near-dup names, bounded candidates") {
+    val clean = (0 until 200).map(i => (i.toLong, f"Customer#$i%09d"))
+    // planted: one-char corruptions of existing names, ids 1000+
+    val planted = Seq(
+      (1000L, "Customer#00000004X"), // dist 1 from …000000042-ish block
+      (1001L, "Customer#0000000z7"), // dist 1
+      (1002L, "Xustomer#000000099")) // different block — NOT findable
+    val df = (clean ++ planted).toDF("id", "name")
+    val pairs = Dedup.sortedNeighborhoodPairs(df, "id", "name",
+        v => substring(v, 1, 16), w = 5, maxDist = 2)
+      .as[(Long, Long, Int)].collect()
+    val hit = pairs.filter(p => p._1 >= 1000 || p._2 >= 1000)
+      .map(p => p._1 max p._2).toSet
+    assert(hit.contains(1000L) && hit.contains(1001L))
+    assert(!hit.contains(1002L)) // blocking bounds the search — documented miss
+    // every neighbor of an identical prefix run is within dist 2 of the
+    // corruption only near it; candidate volume ≤ w·n by construction
+    assert(pairs.length <= 5 * (clean.length + planted.length))
+    // symmetric sanity: all adjacent clean names differ by ≥1 digit →
+    // dist ≥ 1; pairs never pair a row with itself
+    assert(pairs.forall(p => p._1 != p._2))
+  }
+}
