@@ -517,16 +517,19 @@ object Dedup {
       .partitionBy(col("__blk")).orderBy(col("__v"), col("__id"))
     val base = df.select(col(idCol).as("__id"), col(valCol).as("__v"),
       blockOf(col(valCol)).as("__blk"))
-    val withNext = (1 to w).foldLeft(base) { (d, i) =>
-      d.withColumn(s"__nid$i", lead(col("__id"), i).over(win))
-        .withColumn(s"__nv$i", lead(col("__v"), i).over(win))
-    }
-    (1 to w).map { i =>
-      withNext
-        .filter(col(s"__nid$i").isNotNull)
-        .select(col("__id").as("a_id"), col(s"__nid$i").as("b_id"),
-          levenshtein(col("__v"), col(s"__nv$i")).as("dist"))
-    }.reduce(_.unionAll(_))
+    // all w leads in ONE projection over ONE window spec — a per-lead
+    // union would replan the window (and its exchange) w times; this
+    // shape is one Exchange + one Window + one Generate end to end
+    val withNext = base.select(col("__id") +: col("__v") +:
+      (1 to w).map(i =>
+        lead(struct(col("__id").as("nid"), col("__v").as("nv")), i)
+          .over(win).as(s"__n$i")): _*)
+    withNext
+      .select(col("__id"), col("__v"),
+        explode(array((1 to w).map(i => col(s"__n$i")): _*)).as("__nb"))
+      .filter(col("__nb").isNotNull)
+      .select(col("__id").as("a_id"), col("__nb.nid").as("b_id"),
+        levenshtein(col("__v"), col("__nb.nv")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 

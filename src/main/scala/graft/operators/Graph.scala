@@ -169,15 +169,20 @@ object Graph {
     val e = ckpt(e0.select(col("a"), col("b"))
       .unionAll(e0.select(col("b").as("a"), col("a").as("b"))))
     val d0 = seeds.toDF("p").distinct().select(col("p"), lit(0).as("dist"))
-    (1 to maxHops).foldLeft(d0) { (dPrev, k) =>
+    (1 to maxHops).foldLeft(ckpt(d0)) { (dPrev, k) =>
       // dist(v) at hop k = min(dist so far, k if any neighbor reached):
       // union the relaxed frontier with the standing table, keep min —
-      // one join + one agg per hop, both on the vertex key
+      // one join + one agg per hop, both on the vertex key. Each hop's
+      // dist table is materialized: it is consumed TWICE (the frontier
+      // filter and the union), and without the checkpoint every hop
+      // re-executes its whole prefix from both branches — the plan
+      // doubles per hop (measured: 8 duplicated hop subtrees at 3
+      // hops). The table is one row per reached vertex — bounded.
       val relaxed = e.join(dPrev.filter(col("dist") === k - 1),
           col("a") === col("p"))
         .select(col("b").as("p"), lit(k).as("dist"))
-      dPrev.unionAll(relaxed)
-        .groupBy(col("p")).agg(min(col("dist")).cast("int").as("dist"))
+      ckpt(dPrev.unionAll(relaxed)
+        .groupBy(col("p")).agg(min(col("dist")).cast("int").as("dist")))
     }
   }
 

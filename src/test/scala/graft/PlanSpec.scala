@@ -331,6 +331,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q128 grew a cartesian:\n$p")
   }
 
+  test("q129: one block exchange, ONE window, one generate — never per-lead replans") {
+    val p = finalPlan("q129_sorted_neighborhood")
+    assert(shuffles(p) == 1,
+      s"q129 must shuffle once on the block key (a per-lead union replans the window w times):\n$p")
+    assert(count(p, "\\bWindow\\b") == 1, s"q129 must compute ONE window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q129's window must partition by block, never globally:\n$p")
+  }
+
+  test("q134: rank prunes via WindowGroupLimit; one brute-force scorer join") {
+    val p = finalPlan("q134_knn_vote")
+    assert(p.contains("WindowGroupLimit"),
+      s"q134's rank<=k filter must push into WindowGroupLimit (top-k, not full sort):\n$p")
+    // the scorer is the intended broadcast nested loop (queries side
+    // broadcast, non-equi self-pair condition); exactly one may exist
+    assert(count(p, "BroadcastNestedLoopJoin") == 1,
+      s"q134 should have exactly the one broadcast brute-force scorer:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q134 grew a cartesian:\n$p")
+  }
+
+  test("q131: rules join materialized aggregates; only the one-row basket total nests") {
+    val p = finalPlan("q131_brand_rules")
+    // basket table / itemN / pairN are localCheckpoint-materialized:
+    // the fact shuffle must happen ONCE, upstream of this plan
+    assert(count(p, "Scan ExistingRDD") >= 4,
+      s"q131 must consume materialized basket/item/pair tables, not recompute them:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+      s"q131 may nested-loop only the one-row basket total:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q131 grew a cartesian:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
