@@ -50,7 +50,13 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      val best = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
+      // per-query progress on stderr (the driver parses only the final
+      // stdout JSON line): when a run dies mid-way — the 100×-decade
+      // full sweep OOMed once — the last line names the culprit instead
+      // of the whole artifact silently vanishing
+      System.err.println(f"[bench] $name%-28s $best%8.2f s")
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

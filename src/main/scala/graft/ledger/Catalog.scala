@@ -555,6 +555,56 @@ final class Catalog(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Named immutable refs (Iceberg-style tags): pin the table's state
+    * at manifest `version` (default: the current head) under `name`,
+    * readable forever as [[tableAtTag]] — and [[vacuum]] keeps every
+    * tagged version's commit dirs alive, where plain [[tableAt]] time
+    * travel is only valid until the next vacuum. Tags are
+    * create-exclusive and immutable ([[claimVersionFile]], the same
+    * fence as manifests: silently re-pointing a published release is
+    * exactly the overwrite the fencing discipline exists to prevent);
+    * [[dropTag]] + re-[[tag]] is the explicit way to move one.
+    * Returns the pinned version. */
+  def tag(table: String, name: String, version: Int = -1): Int = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name '$name' must match [A-Za-z0-9._-]+")
+    val v =
+      if (version == -1) readVersion(table).getOrElse(throw new
+        IllegalArgumentException(s"$table has no published version to tag"))
+      else version
+    require(versions(table).contains(v),
+      s"$table has no version $v (have: ${versions(table).mkString(",")})")
+    claimVersionFile(manifestDir(table), s"tag.$name", v.toString,
+      s"tag '$name' on $table")
+    v
+  }
+
+  /** All tags on `table` (name → pinned manifest version). */
+  def tags(table: String): Map[String, Int] = {
+    val md = manifestDir(table)
+    if (!Files.exists(md)) return Map.empty
+    val listing = Files.list(md)
+    val names =
+      try listing.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally listing.close()
+    names.filter(_.startsWith("tag."))
+      .map(f => f.stripPrefix("tag.") -> new String(
+        Files.readAllBytes(md.resolve(f)), StandardCharsets.UTF_8).trim.toInt)
+      .toMap
+  }
+
+  /** The table exactly as pinned by `name` (see [[tag]]). */
+  def tableAtTag(table: String, name: String): DataFrame =
+    tableAt(table, tags(table).getOrElse(name,
+      throw new IllegalArgumentException(s"$table has no tag '$name' " +
+        s"(have: ${tags(table).keys.toSeq.sorted.mkString(", ")})")))
+
+  /** Remove a tag; its version's commit dirs become vacuum-eligible
+    * again (unless still the head / snapshot-referenced / otherwise
+    * tagged). Returns false when no such tag existed. */
+  def dropTag(table: String, name: String): Boolean =
+    Files.deleteIfExists(manifestDir(table).resolve(s"tag.$name"))
+
   /** Read a table (union of live commits), or an empty frame with the
     * declared schema. Partition columns (fact: ano/mes) come back via
     * per-commit basePath discovery; pruning applies per scan.
@@ -1178,7 +1228,12 @@ final class Catalog(val spark: SparkSession, val root: String,
   def vacuum(table: String): Int = {
     val snapRefs = snapshotVersions.get(table)
       .map(v => commitsAt(table, v)).getOrElse(Seq.empty)
-    val live = (latestVersion(table).map(commitsAt(table, _)).getOrElse(Seq.empty) ++ snapRefs)
+    // tagged versions stay readable forever — their commit dirs are
+    // live no matter how far behind the head they fall (see [[tag]])
+    val tagRefs = tags(table).values.toSeq.distinct
+      .flatMap(v => commitsAt(table, v))
+    val live = (latestVersion(table).map(commitsAt(table, _)).getOrElse(Seq.empty)
+        ++ snapRefs ++ tagRefs)
       .map(p => Paths.get(p).getFileName.toString).toSet
     val td = Paths.get(tableDir(table))
     if (!Files.exists(td)) return 0

@@ -762,4 +762,38 @@ class CatalogSpec extends SparkSpec {
       sorted(IncrementalAgg.partial(b1, Seq("k"), aggs)
         .select(schema0.fieldNames.map(org.apache.spark.sql.functions.col): _*)))
   }
+
+  test("tags pin versions across writes, compaction, and vacuum") {
+    val dir = Files.createTempDirectory("cat_tags").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.replace("dim_tipo", tipoDf("a", "b"))          // v1
+    assert(cat.tag("dim_tipo", "release-1") === 1)     // defaults to head
+    cat.replace("dim_tipo", tipoDf("x", "y", "z"))     // v2
+    cat.compact("dim_tipo")                            // v3 (folds v2)
+    // vacuum keeps the tagged version's dirs alongside the head's
+    cat.vacuum("dim_tipo")
+    assert(cat.tableAtTag("dim_tipo", "release-1")
+      .select("nome_tipo").as[String].collect().sorted.toSeq === Seq("a", "b"))
+    assert(cat.table("dim_tipo").count() === 3)
+    assert(cat.tags("dim_tipo") === Map("release-1" -> 1))
+    // untagged history is still vacuum-eligible: v2's commit is gone
+    val e = intercept[IllegalStateException](cat.tableAt("dim_tipo", 2).count())
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("tags are create-exclusive and immutable; dropTag releases the pin") {
+    val dir = Files.createTempDirectory("cat_tags2").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.replace("dim_tipo", tipoDf("a"))               // v1
+    cat.replace("dim_tipo", tipoDf("b"))               // v2
+    cat.tag("dim_tipo", "rel", version = 1)
+    intercept[Catalog.ConcurrentWriteException](cat.tag("dim_tipo", "rel"))
+    intercept[IllegalArgumentException](cat.tag("dim_tipo", "nope", version = 9))
+    intercept[IllegalArgumentException](cat.tableAtTag("dim_tipo", "absent"))
+    assert(cat.dropTag("dim_tipo", "rel"))
+    assert(!cat.dropTag("dim_tipo", "rel"))
+    cat.vacuum("dim_tipo") // pin released: v1's commit dir may go
+    val e = intercept[IllegalStateException](cat.tableAt("dim_tipo", 1).count())
+    assert(e.getMessage.contains("vacuumed"))
+  }
 }
