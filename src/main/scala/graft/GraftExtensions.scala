@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{BloomMightContain, BpeEncode, CmsEstimate, CmsSketch, DeletionVariants, DotProductFloat, TextStatsExpr, LangId, Lev1Dist, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, TopKStrings, WinnowFingerprints, WordShingles}
+import graft.expressions.{BloomMightContain, BpeEncode, CmsEstimate, CmsSketch, DeletionVariants, DotProductFloat, TextStatsExpr, LangId, Lev1Dist, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, TopKStrings, VecSumLong, WinnowFingerprints, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(BloomMightContain.registration)
     ext.injectFunction(MisraGries.registration)
     ext.injectFunction(TopKStrings.registration)
+    ext.injectFunction(VecSumLong.registration)
     ext.injectFunction(WinnowFingerprints.registration)
     ext.injectFunction(BpeEncode.registration)
     ext.injectFunction(TextStatsExpr.registration)

@@ -3,11 +3,15 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Native Catalyst expression for the embedding hot path: float-array
   * dot product in double precision.
@@ -228,6 +232,129 @@ object SignBucketKeys {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 4, s"$name takes 4 arguments, got ${exprs.length}")
       SignBucketKeys(exprs(0), exprs(1), exprs(2), exprs(3))
+    })
+}
+
+/** Elementwise sum of BIGINT arrays as a native MERGEABLE aggregate:
+  * per group, `vecsum_long(arr)` returns the array whose i-th element
+  * is the exact sum of every input row's i-th element.
+  *
+  * Why not posexplode + groupBy(dim): that shape multiplies the
+  * exchange by the dimensionality (64 rows per vector) and re-groups;
+  * this aggregate keeps ONE Array[Long] accumulator per group per
+  * partial — map-side combine reduces each map task's contribution to
+  * a single array per group, and merges are elementwise adds
+  * (associative + commutative ⇒ partition-invariant, the CMS
+  * linear-sketch argument). The k-means centroid update rides this:
+  * its per-iteration exchange is k arrays, not n·dims rows.
+  *
+  * All input arrays in a group must share one length (loud error
+  * otherwise — silently zero-padding would corrupt centroids); null
+  * arrays and null elements are skipped (SQL aggregate convention;
+  * a null element skips only its dimension). Empty groups eval to
+  * NULL like built-in sums.
+  */
+case class VecSumLong(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = VecSumLong.name
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | IntegerType | ShortType | ByteType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${VecSumLong.name} expects array<integral>, got ${other.simpleString}")
+  }
+
+  /** Empty sentinel = "no rows seen" (a real 0-dim array can't occur:
+    * the first non-null input fixes the length). */
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val acc = if (buf.length == 0) new Array[Long](n) else buf
+    if (acc.length != n)
+      throw new IllegalStateException(
+        s"${VecSumLong.name}: inconsistent array lengths in one group " +
+          s"(${acc.length} vs $n)")
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) acc(i) += (et match {
+        case LongType => arr.getLong(i)
+        case IntegerType => arr.getInt(i).toLong
+        case ShortType => arr.getShort(i).toLong
+        case ByteType => arr.getByte(i).toLong
+        case _ => 0L
+      })
+      i += 1
+    }
+    acc
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    if (b2.length == 0) return b1
+    if (b1.length == 0) return b2
+    if (b1.length != b2.length)
+      throw new IllegalStateException(
+        s"${VecSumLong.name}: inconsistent array lengths across partials " +
+          s"(${b1.length} vs ${b2.length})")
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.length == 0) null else new GenericArrayData(buf.map(x => x: Any))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    var i = 0
+    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Array[Long](n)
+    var i = 0
+    while (i < n) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VecSumLong =
+    copy(child = newChild)
+}
+
+object VecSumLong {
+  val name = "vecsum_long"
+
+  /** Column wrapper: elementwise exact BIGINT sum of an integral-array
+    * column per group. Requires [[graft.GraftExtensions]]. */
+  def vecSum(arr: Column): Column = call_function(name, arr)
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[VecSumLong].getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, s"$name takes 1 argument, got ${exprs.length}")
+      VecSumLong(exprs.head)
     })
 }
 

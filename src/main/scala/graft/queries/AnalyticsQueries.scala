@@ -233,6 +233,21 @@ object AnalyticsQueries {
         .select(col("query_id"), col("label").as("pred_label"), col("votes"))
     }),
 
+    // integer-exact distributed k-means (k=4, 2 Lloyd iterations) over
+    // the first 16 embedding dims on a 1e3 quantization grid —
+    // operators.KMeans: assignment is a pure map (centroids ride as
+    // one collected row), each update is ONE k-group VecSumLong
+    // aggregate; the whole trajectory is BIGINT-exact so the oracle
+    // replays it relationally. Report: per-cluster size, inertia, and
+    // centroid component sum (pins the exact centroids scalar-wise).
+    "q136_kmeans" -> ((s, d) => {
+      val pts = t(s, d, "embeddings").select(
+        col("vec_id"),
+        expr("transform(slice(embedding, 1, 16), " +
+          "x -> cast(floor(cast(x as double) * 1000) as bigint))").as("q"))
+      graft.operators.KMeans.fit(pts, "vec_id", "q", k = 4, iters = 2)
+    }),
+
     // day-of-week seasonality per event type: each (type, dow) cell's
     // share of its type's volume on a ×7 e6 grid (flat = 1e6). Epoch
     // arithmetic only — (days + 4) % 7 anchors Thursday 1970-01-01 —
@@ -260,6 +275,33 @@ object AnalyticsQueries {
     """SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
       | (sqrt(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
       |  sqrt(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))))""".stripMargin
+
+  /** One k-means Lloyd iteration as DuckDB CTEs: assignment by
+    * (dist, cid) rank over the point × centroid grid, then the
+    * truncated-mean update per (cluster, dim) with the emptied-cluster
+    * carry. The `//`-vs-`div` negative-operand mismatch (DuckDB floors,
+    * Spark truncates) is absorbed by an explicit trunc CASE. */
+  private def kmIter(prev: String, cur: String): String =
+    s"""a_$cur AS (
+       |  SELECT p.id, c.cid,
+       |         SUM((p.q[i.i] - c.vec[i.i]) * (p.q[i.i] - c.vec[i.i])) AS dst
+       |  FROM pts p CROSS JOIN c_$prev c CROSS JOIN generate_series(1, 16) i(i)
+       |  GROUP BY 1, 2),
+       |s_$cur AS (SELECT id, cid, dst,
+       |             row_number() OVER (PARTITION BY id ORDER BY dst, cid) AS rk
+       |           FROM a_$cur),
+       |g_$cur AS (SELECT s.cid, i.i AS i, SUM(p.q[i.i]) AS sv,
+       |             CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM s_$cur s JOIN pts p ON p.id = s.id
+       |           CROSS JOIN generate_series(1, 16) i(i)
+       |           WHERE s.rk = 1
+       |           GROUP BY 1, 2),
+       |l_$cur AS (SELECT cid,
+       |             list(CASE WHEN sv >= 0 THEN sv // n
+       |                       ELSE -((-sv) // n) END ORDER BY i) AS vec
+       |           FROM g_$cur GROUP BY cid),
+       |c_$cur AS (SELECT c.cid, COALESCE(l.vec, c.vec) AS vec
+       |           FROM c_$prev c LEFT JOIN l_$cur l ON l.cid = c.cid)""".stripMargin
 
   /** One BFS hop as a DuckDB CTE: relax hop-(k-1) rows through the
     * edge list, union the standing table, keep the min distance. */
@@ -495,6 +537,32 @@ object AnalyticsQueries {
          |  SELECT query_id, label, votes,
          |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rk
          |  FROM v) WHERE rk = 1""".stripMargin,
+
+    "q136_kmeans" ->
+      s"""WITH pts AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding[1:16],
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c_0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
+         |               q AS vec
+         |        FROM (SELECT id, q FROM pts ORDER BY id LIMIT 4)),
+         |${kmIter("0", "1")},
+         |${kmIter("1", "2")},
+         |a_f AS (
+         |  SELECT p.id, c.cid,
+         |         SUM((p.q[i.i] - c.vec[i.i]) * (p.q[i.i] - c.vec[i.i])) AS dst
+         |  FROM pts p CROSS JOIN c_2 c CROSS JOIN generate_series(1, 16) i(i)
+         |  GROUP BY 1, 2),
+         |s_f AS (SELECT id, cid, dst,
+         |          row_number() OVER (PARTITION BY id ORDER BY dst, cid) AS rk
+         |        FROM a_f),
+         |rep AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+         |               CAST(SUM(dst) AS BIGINT) AS inertia
+         |        FROM s_f WHERE rk = 1 GROUP BY 1)
+         |SELECT rep.cid, rep.n_points, rep.inertia,
+         |       CAST(list_aggregate(c_2.vec, 'sum') AS BIGINT) AS centroid_sum
+         |FROM rep JOIN c_2 ON c_2.cid = rep.cid""".stripMargin,
 
     "q135_seasonality" ->
       """WITH e AS (SELECT event_type,

@@ -142,6 +142,78 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r === ((0L, 8L, 400L)))
   }
 
+  // -------------------------------------------------------------- k-means
+
+  test("vecsum_long: elementwise exact sums, null skips, empty-group null") {
+    import graft.expressions.VecSumLong.vecSum
+    val df = Seq(
+      (1, Seq(1L, 2L, 3L)), (1, Seq(10L, 20L, 30L)), (2, Seq(-5L, 0L, 5L)))
+      .toDF("g", "v")
+    val got = df.groupBy($"g").agg(vecSum($"v").as("s"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(got === Map(1 -> Seq(11L, 22L, 33L), 2 -> Seq(-5L, 0L, 5L)))
+    val withNull = Seq((1, Seq(1L, 2L)), (1, null.asInstanceOf[Seq[Long]]))
+      .toDF("g", "v")
+    assert(withNull.groupBy($"g").agg(vecSum($"v").as("s"))
+      .as[(Int, Seq[Long])].collect().toMap === Map(1 -> Seq(1L, 2L)))
+  }
+
+  /** Sequential Lloyd with the operator's exact integer rules. */
+  private def bruteKMeans(pts: Seq[(Long, Array[Long])], k: Int, iters: Int)
+      : Map[Int, (Long, Long, Long)] = {
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: Seq[(Int, Array[Long])] =
+      pts.sortBy(_._1).take(k).zipWithIndex.map { case (p, i) => (i, p._2) }
+    def assignAll() = pts.map { case (id, q) =>
+      val best = cents.map(c => (d2(q, c._2), c._1)).min
+      (id, q, best._2, best._1)
+    }
+    for (_ <- 1 to iters) {
+      val byC = assignAll().groupBy(_._3)
+      cents = cents.map { case (cid, prev) =>
+        byC.get(cid) match {
+          case Some(members) =>
+            val n = members.size
+            val sv = members.map(_._2).transpose.map(_.sum)
+            (cid, sv.map(s => s / n).toArray) // JVM /: trunc toward zero
+          case None => (cid, prev)
+        }
+      }
+    }
+    assignAll().groupBy(_._3).map { case (cid, ms) =>
+      cid -> (ms.size.toLong, ms.map(_._4).sum,
+        cents.find(_._1 == cid).get._2.sum)
+    }
+  }
+
+  test("k-means: matches sequential integer Lloyd on random points") {
+    val ptGen = Gen.listOfN(40, Gen.listOfN(4, Gen.chooseNum(-1000L, 1000L)))
+    for (seed <- 1L to 5L) {
+      val pts = sample(ptGen, seed).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+      val got = graft.operators.KMeans.fit(
+          pts.map(p => (p._1, p._2.toSeq)).toDF("id", "q"), "id", "q",
+          k = 3, iters = 2)
+        .as[(Int, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === bruteKMeans(pts, 3, 2), s"seed=$seed")
+    }
+  }
+
+  test("k-means: an emptied cluster keeps its previous centroid") {
+    // two far groups + k=3 seeded from the first three points (all in
+    // group one): at least one centroid empties in iteration 1
+    val pts = (0 until 10).map(i => (i.toLong, Array(0L + i, 0L))) ++
+      (10 until 20).map(i => (i.toLong, Array(100000L + i, 0L)))
+    val got = graft.operators.KMeans.fit(
+        pts.map(p => (p._1, p._2.toSeq)).toDF("id", "q"), "id", "q",
+        k = 3, iters = 2)
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === bruteKMeans(pts, 3, 2))
+  }
+
   // ----------------------------------------------------- sorted neighborhood
 
   test("sorted neighborhood: finds planted near-dup names, bounded candidates") {
