@@ -65,6 +65,77 @@ object StatTests {
       .withColumn("significant", col("z2") > lit(3.841458820694124))
   }
 
+  /** Distribution-drift readout: exact total-variation distance
+    * between two populations' histograms of an integer-valued metric —
+    * the engine-exact stand-in for PSI/KL monitoring (those need a
+    * libm log; TV distance is a pure rational of the bin counts and
+    * replays bit-identically).
+    *
+    * Bins: `bins` equal-width buckets over [lo, hi), clamped at both
+    * ends (everything below lo lands in bin 0, at-or-above hi in the
+    * last bin) — fixed edges so the binning itself can't drift with
+    * the data. Returns ONE row with the exact counts and
+    *
+    *   tv_num = Σ_bins |cnt_a·n_b − cnt_b·n_a|   (exact; tv = num/den)
+    *   tv_den = 2·n_a·n_b
+    *   s      = max(1, tv_den div 10¹²)          (overflow scale-down)
+    *   tv_e6  = ((tv_num div s) · 10⁶) div max(1, tv_den div s)
+    *
+    * — fixed-order floor arithmetic; s = 1 (exact) until the pair
+    * product passes 10¹² rows², and the scaled form keeps every
+    * intermediate under 2⁶³ to ~3e9 rows per side.
+    *
+    * Overflow: cnt·n ≤ n_a·n_b keeps every term ≤ ~9e18 up to ~3e9
+    * rows per side. Shape at scale: ONE conditional aggregate over the
+    * input produces the per-bin pair counts (map-side combined, ≤ bins
+    * rows cross the wire), then a scalar fold over the bin table.
+    */
+  def driftTV(df: DataFrame, popCol: String, valueCol: String,
+              lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, s"need bins >= 1 and hi > lo; got $bins, [$lo, $hi)")
+    val g = col(popCol)
+    // integral floor-division binning (`div`): a float divide + cast
+    // would hit the truncate-vs-round cast mismatch across engines.
+    // valueCol must be an integral column (quantize upstream).
+    val bin = least(lit(bins - 1L), greatest(lit(0L),
+      expr(s"(($valueCol - $lo) * $bins) div ${hi - lo}")))
+    // two-phase like the z-test (a min(pop) inside the counting when()
+    // would nest aggregates): per (pop, bin) counts, then side A/B via
+    // struct min/max per bin
+    val cells = df.select(g.as("pop"), bin.as("bin"))
+      .groupBy(col("pop"), col("bin")).agg(count(lit(1)).as("c"))
+    val sides = cells.groupBy(col("bin"))
+      .agg(
+        min(struct(col("pop"), col("c"))).as("sa"),
+        max(struct(col("pop"), col("c"))).as("sb"),
+        count(lit(1)).as("k"))
+      .select(col("bin"),
+        col("sa.pop").as("pa"),
+        col("sa.c").as("ca0"),
+        when(col("k") === 2, col("sb.c")).otherwise(lit(0L)).as("cb0"),
+        when(col("k") === 2, col("sb.pop")).as("pb0"))
+    // a bin seen by only one pop: its struct is both min and max —
+    // decide which side it belongs to against the GLOBAL min pop
+    val globalA = df.agg(min(g).as("ga"), max(g).as("gb"))
+    sides.crossJoin(broadcast(globalA))
+      .select(col("ga"), col("gb"),
+        when(col("pa") === col("ga"), col("ca0")).otherwise(lit(0L)).as("ca"),
+        when(col("pa") === col("ga"), col("cb0"))
+          .otherwise(col("ca0")).as("cb"))
+      .groupBy(col("ga").as("pop_a"), col("gb").as("pop_b"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        collect_list(struct(col("ca"), col("cb"))).as("cells"))
+      .select(col("pop_a"), col("pop_b"),
+        col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"),
+        aggregate(col("cells"), lit(0L),
+          (acc, c) => acc + abs(c.getField("ca") * col("n_b") -
+            c.getField("cb") * col("n_a"))).as("tv_num"))
+      .withColumn("tv_den", expr("2 * n_a * n_b"))
+      .withColumn("tv_e6", expr(
+        "(tv_num div greatest(1L, tv_den div 1000000000000L)) * 1000000L " +
+          "div greatest(1L, tv_den div greatest(1L, tv_den div 1000000000000L))"))
+  }
+
   /** Chi-square test of independence between two categorical columns.
     * Returns the contingency diagnostics plus the statistic on an
     * integer e2 grid:

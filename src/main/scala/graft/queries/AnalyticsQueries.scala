@@ -37,6 +37,37 @@ object AnalyticsQueries {
   private val GridM = 17159L
   private val GridR = 50L
 
+  /** q126/q137 shared synthetic point cloud. Quadratic congruential
+    * mixing, not a plain LCG: custkeys are CONSECUTIVE, so linear maps
+    * put every pairwise difference on a fixed 2-D lattice (measured:
+    * zero pairs); the b² term makes a pair's offset depend on b_i +
+    * b_j and the scatter behaves like the uniform model (~30 pairs at
+    * sf0.01, ~3000 at sf0.1, simulation-checked). b is the
+    * within-replica key (base keys < 10⁵, replica shifts are
+    * 10⁹-multiples), keeping b²·101 far from 2⁶³ under ANSI
+    * arithmetic. */
+  private def gridPts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(
+      col("c_custkey").as("id"),
+      (expr("(c_custkey % 100000) * (c_custkey % 100000) * 37 + " +
+        "(c_custkey % 100000) * 1103515245 + 12345") % GridM +
+        expr(s"(c_custkey div 1000000000) * $GridM")).as("x"),
+      (expr("(c_custkey % 100000) * (c_custkey % 100000) * 101 + " +
+        "(c_custkey % 100000) * 69069 + 1") % GridM +
+        expr(s"(c_custkey div 1000000000) * $GridM")).as("y"))
+
+  /** The same point cloud as a DuckDB CTE body (the oracle twin of
+    * [[gridPts]]). */
+  private val duckGridPts: String =
+    s"""SELECT c_custkey AS id,
+       |       ((c_custkey % 100000) * (c_custkey % 100000) * 37 +
+       |        (c_custkey % 100000) * 1103515245 + 12345) % $GridM +
+       |         (c_custkey // 1000000000) * $GridM AS x,
+       |       ((c_custkey % 100000) * (c_custkey % 100000) * 101 +
+       |        (c_custkey % 100000) * 69069 + 1) % $GridM +
+       |         (c_custkey // 1000000000) * $GridM AS y
+       |FROM customer""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PageRank over the q111 co-order part graph (same 1/3 basket
@@ -100,25 +131,8 @@ object AnalyticsQueries {
     // all pairs within L2 radius R through 3×3 cell buckets — the
     // oracle is the honest brute-force cross join (viable at oracle
     // scale, nonexistent at engine scale).
-    "q126_grid_neighbors" -> ((s, d) => {
-      // quadratic congruential mixing, not a plain LCG: custkeys are
-      // CONSECUTIVE, so linear maps put every pairwise difference on a
-      // fixed 2-D lattice (measured: zero pairs); the b² term makes a
-      // pair's offset depend on b_i + b_j and the scatter behaves like
-      // the uniform model (~30 pairs at sf0.01, ~3000 at sf0.1,
-      // simulation-checked). b is the within-replica key (base keys
-      // < 10⁵, replica shifts are 10⁹-multiples), keeping b²·101 far
-      // from 2⁶³ under ANSI arithmetic.
-      val pts = t(s, d, "customer").select(
-        col("c_custkey").as("id"),
-        (expr("(c_custkey % 100000) * (c_custkey % 100000) * 37 + " +
-          "(c_custkey % 100000) * 1103515245 + 12345") % GridM +
-          expr(s"(c_custkey div 1000000000) * $GridM")).as("x"),
-        (expr("(c_custkey % 100000) * (c_custkey % 100000) * 101 + " +
-          "(c_custkey % 100000) * 69069 + 1") % GridM +
-          expr(s"(c_custkey div 1000000000) * $GridM")).as("y"))
-      SpatialJoin.neighborPairs(pts, GridR)
-    }),
+    "q126_grid_neighbors" -> ((s, d) =>
+      SpatialJoin.neighborPairs(gridPts(s, d), GridR)),
 
     // declarative data-quality expectation suite over orders: four
     // row-level rules folded into ONE aggregate pass, a uniqueness
@@ -233,6 +247,23 @@ object AnalyticsQueries {
         .select(col("query_id"), col("label").as("pred_label"), col("votes"))
     }),
 
+    // density-based spatial clustering: single-linkage components of
+    // the within-R neighbor graph (the q126 grid join feeding the q56
+    // min-label propagation), keeping clusters of ≥ 3 points —
+    // isolated points and pairs are noise. The composition IS the
+    // point: the grid join bounds candidates, dupClusters bounds
+    // rounds by cluster diameter, and the oracle replays the closure
+    // with a recursive CTE.
+    "q137_density_clusters" -> ((s, d) => {
+      val pairs = SpatialJoin.neighborPairs(gridPts(s, d), GridR)
+      val labels = graft.operators.Dedup.dupClusters(
+        pairs.select(col("a_id"), col("b_id")))
+      val wc = Window.partitionBy(col("cluster_rep"))
+      labels.select(col("id"), col("rep").as("cluster_rep"))
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .filter(col("cluster_size") >= 3)
+    }),
+
     // integer-exact distributed k-means (k=4, 2 Lloyd iterations) over
     // the first 16 embedding dims on a 1e3 quantization grid —
     // operators.KMeans: assignment is a pure map (centroids ride as
@@ -246,6 +277,19 @@ object AnalyticsQueries {
         expr("transform(slice(embedding, 1, 16), " +
           "x -> cast(floor(cast(x as double) * 1000) as bigint))").as("q"))
       graft.operators.KMeans.fit(pts, "vec_id", "q", k = 4, iters = 2)
+    }),
+
+    // distribution drift: exact total-variation distance between the
+    // purchase and click populations' value histograms (20 fixed
+    // cent-bins over [0, 500)) — the engine-exact monitoring stand-in
+    // for PSI/KL (StatTests.driftTV Scaladoc). One conditional
+    // aggregate; ≤ bins rows cross the wire.
+    "q138_value_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          expr("cast(floor(cast(value as double) * 100) as bigint)").as("cents"))
+      StatTests.driftTV(ev, "event_type", "cents", lo = 0L, hi = 50000L, bins = 20)
     }),
 
     // day-of-week seasonality per event type: each (type, dow) cell's
@@ -359,15 +403,7 @@ object AnalyticsQueries {
         |FROM w JOIN o ON w.l_orderkey = o.o_orderkey""".stripMargin,
 
     "q126_grid_neighbors" ->
-      s"""WITH pts AS (
-         |  SELECT c_custkey AS id,
-         |         ((c_custkey % 100000) * (c_custkey % 100000) * 37 +
-         |          (c_custkey % 100000) * 1103515245 + 12345) % $GridM +
-         |           (c_custkey // 1000000000) * $GridM AS x,
-         |         ((c_custkey % 100000) * (c_custkey % 100000) * 101 +
-         |          (c_custkey % 100000) * 69069 + 1) % $GridM +
-         |           (c_custkey // 1000000000) * $GridM AS y
-         |  FROM customer)
+      s"""WITH pts AS ($duckGridPts)
          |SELECT a.id AS a_id, b.id AS b_id,
          |       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
          |FROM pts a JOIN pts b ON a.id < b.id
@@ -538,6 +574,27 @@ object AnalyticsQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rk
          |  FROM v) WHERE rk = 1""".stripMargin,
 
+    "q137_density_clusters" ->
+      s"""WITH RECURSIVE pts AS ($duckGridPts),
+         |pairs AS (
+         |  SELECT a.id AS a_id, b.id AS b_id
+         |  FROM pts a JOIN pts b ON a.id < b.id
+         |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |        <= $GridR * $GridR),
+         |e AS (SELECT a_id AS x, b_id AS y FROM pairs
+         |      UNION SELECT b_id, a_id FROM pairs),
+         |walk(a, b) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM e)
+         |  UNION
+         |  SELECT walk.a, e.y FROM walk JOIN e ON walk.b = e.x),
+         |rep AS (SELECT a AS id, MIN(b) AS cluster_rep FROM walk GROUP BY 1),
+         |sized AS (SELECT id, cluster_rep,
+         |            CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+         |              AS cluster_size
+         |          FROM rep)
+         |SELECT id, cluster_rep, cluster_size FROM sized
+         |WHERE cluster_size >= 3""".stripMargin,
+
     "q136_kmeans" ->
       s"""WITH pts AS (
          |  SELECT vec_id AS id,
@@ -563,6 +620,32 @@ object AnalyticsQueries {
          |SELECT rep.cid, rep.n_points, rep.inertia,
          |       CAST(list_aggregate(c_2.vec, 'sum') AS BIGINT) AS centroid_sum
          |FROM rep JOIN c_2 ON c_2.cid = rep.cid""".stripMargin,
+
+    "q138_value_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type AS pop,
+        |         CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |b AS (SELECT pop,
+        |        GREATEST(0, LEAST(19, ((cents - 0) * 20) // 50000)) AS bin
+        |      FROM ev),
+        |cells AS (SELECT bin,
+        |            CAST(SUM(CASE WHEN pop = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |            CAST(SUM(CASE WHEN pop = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |          FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+        |      FROM cells),
+        |n AS (SELECT CAST(SUM(ABS(ca * t.n_b - cb * t.n_a)) AS BIGINT) AS tv_num,
+        |             t.n_a AS n_a, t.n_b AS n_b
+        |      FROM cells CROSS JOIN t GROUP BY t.n_a, t.n_b)
+        |SELECT 'click' AS pop_a, 'purchase' AS pop_b, n_a, n_b, tv_num,
+        |       2 * n_a * n_b AS tv_den,
+        |       (tv_num // GREATEST(1, (2 * n_a * n_b) // 1000000000000))
+        |         * 1000000
+        |         // GREATEST(1, (2 * n_a * n_b)
+        |                        // GREATEST(1, (2 * n_a * n_b) // 1000000000000))
+        |         AS tv_e6
+        |FROM n""".stripMargin,
 
     "q135_seasonality" ->
       """WITH e AS (SELECT event_type,

@@ -142,6 +142,52 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r === ((0L, 8L, 400L)))
   }
 
+  // ----------------------------------------------------------------- drift
+
+  /** Sequential TV drift with the operator's exact integer rules. */
+  private def bruteTV(rows: Seq[(String, Long)], lo: Long, hi: Long,
+                      bins: Int): (Long, Long, Long, Long, Long) = {
+    val pops = rows.map(_._1).distinct.sorted
+    val (pa, pb) = (pops.head, pops.last)
+    def binOf(v: Long): Long =
+      math.max(0L, math.min(bins - 1L, (v - lo) * bins / (hi - lo)))
+    val ca = rows.filter(_._1 == pa).groupBy(r => binOf(r._2)).map { case (b, v) => b -> v.size.toLong }
+    val cb = rows.filter(_._1 == pb).groupBy(r => binOf(r._2)).map { case (b, v) => b -> v.size.toLong }
+    val na = ca.values.sum; val nb = cb.values.sum
+    val num = (ca.keySet ++ cb.keySet).toSeq.map(b =>
+      math.abs(ca.getOrElse(b, 0L) * nb - cb.getOrElse(b, 0L) * na)).sum
+    val den = 2 * na * nb
+    val s = math.max(1L, den / 1000000000000L)
+    (na, nb, num, den, (num / s) * 1000000L / math.max(1L, den / s))
+  }
+
+  test("drift TV: matches sequential reference on random two-pop samples") {
+    val rowGen = Gen.listOfN(200,
+      Gen.zip(Gen.oneOf("p", "q"), Gen.chooseNum(-50L, 1050L)))
+    for (seed <- 1L to 5L) {
+      val rows = sample(rowGen, seed)
+      val got = graft.operators.StatTests
+        .driftTV(rows.toDF("pop", "v"), "pop", "v", lo = 0L, hi = 1000L, bins = 10)
+        .select("n_a", "n_b", "tv_num", "tv_den", "tv_e6")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      assert(got === bruteTV(rows, 0L, 1000L, 10), s"seed=$seed")
+    }
+  }
+
+  test("drift TV: identical populations score zero; disjoint score ~1e6") {
+    val same = (0 until 100).flatMap(i => Seq(("a", i.toLong), ("b", i.toLong)))
+    val s = graft.operators.StatTests
+      .driftTV(same.toDF("pop", "v"), "pop", "v", 0L, 100L, 10)
+      .select("tv_e6").as[Long].collect().head
+    assert(s === 0L)
+    val disjoint = (0 until 100).map(i => ("a", i.toLong % 50)) ++
+      (0 until 100).map(i => ("b", 50L + i % 50))
+    val d = graft.operators.StatTests
+      .driftTV(disjoint.toDF("pop", "v"), "pop", "v", 0L, 100L, 10)
+      .select("tv_e6").as[Long].collect().head
+    assert(d >= 999999L) // exactly 1.0 up to the e6 floor grid
+  }
+
   // -------------------------------------------------------------- k-means
 
   test("vecsum_long: elementwise exact sums, null skips, empty-group null") {
