@@ -56,6 +56,23 @@ object AnalyticsQueries {
         "(c_custkey % 100000) * 69069 + 1") % GridM +
         expr(s"(c_custkey div 1000000000) * $GridM")).as("y"))
 
+  /** q137 planted dense triples: pairwise within GridR inside each
+    * triple, far apart across triples, ids above any replica-shifted
+    * custkey (≤ ~10¹¹). */
+  private val PlantedTriples: Seq[(Long, Long, Long)] = Seq(
+    (900000000000000001L, 100L, 100L),
+    (900000000000000002L, 120L, 100L),
+    (900000000000000003L, 100L, 130L),
+    (900000000000000004L, 5000L, 5000L),
+    (900000000000000005L, 5030L, 5000L),
+    (900000000000000006L, 5000L, 5040L),
+    (900000000000000007L, 9000L, 9000L),
+    (900000000000000008L, 9049L, 9000L),
+    (900000000000000009L, 9000L, 9001L))
+
+  private val duckPlanted: String =
+    PlantedTriples.map { case (id, x, y) => s"($id, $x, $y)" }.mkString(", ")
+
   /** The same point cloud as a DuckDB CTE body (the oracle twin of
     * [[gridPts]]). */
   private val duckGridPts: String =
@@ -250,12 +267,20 @@ object AnalyticsQueries {
     // density-based spatial clustering: single-linkage components of
     // the within-R neighbor graph (the q126 grid join feeding the q56
     // min-label propagation), keeping clusters of ≥ 3 points —
-    // isolated points and pairs are noise. The composition IS the
-    // point: the grid join bounds candidates, dupClusters bounds
-    // rounds by cluster diameter, and the oracle replays the closure
-    // with a recursive CTE.
+    // isolated points and pairs are noise. Three dense triples are
+    // PLANTED at fixed coordinates (the planted-victim pattern: q24's
+    // scaled copies, q94's shared suffixes) so the operator has
+    // guaranteed detections at every scale factor; organic clusters
+    // join them as density grows. The composition IS the point: the
+    // grid join bounds candidates, dupClusters bounds rounds by
+    // cluster diameter, and the oracle replays the closure with a
+    // recursive CTE.
     "q137_density_clusters" -> ((s, d) => {
-      val pairs = SpatialJoin.neighborPairs(gridPts(s, d), GridR)
+      import s.implicits._
+      val planted = PlantedTriples.map { case (id, x, y) => (id, x, y) }
+        .toDF("id", "x", "y")
+      val pairs = SpatialJoin.neighborPairs(
+        gridPts(s, d).unionAll(planted), GridR)
       val labels = graft.operators.Dedup.dupClusters(
         pairs.select(col("a_id"), col("b_id")))
       val wc = Window.partitionBy(col("cluster_rep"))
@@ -575,7 +600,11 @@ object AnalyticsQueries {
          |  FROM v) WHERE rk = 1""".stripMargin,
 
     "q137_density_clusters" ->
-      s"""WITH RECURSIVE pts AS ($duckGridPts),
+      s"""WITH RECURSIVE pts AS (
+         |  $duckGridPts
+         |  UNION ALL
+         |  SELECT CAST(id AS BIGINT), CAST(x AS BIGINT), CAST(y AS BIGINT)
+         |  FROM (VALUES $duckPlanted) v(id, x, y)),
          |pairs AS (
          |  SELECT a.id AS a_id, b.id AS b_id
          |  FROM pts a JOIN pts b ON a.id < b.id
