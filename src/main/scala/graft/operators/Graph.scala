@@ -20,13 +20,14 @@ object Graph {
     * / Chiba–Nishizeki arboricity argument) and Σ size(nbrs) = m
     * exactly.
     *
-    * `materialize = true` (the default) runs the build eagerly into
-    * executor-local blocks (`localCheckpoint`, the q56 `dupClusters`
-    * pattern): the adjacency is consumed from BOTH sides of the
+    * `materialize = true` (the default) caches the built adjacency
+    * (columnar MEMORY_AND_DISK persist — the [[pageRank]] rationale:
+    * checkpoint blocks hold deserialized rows, GB-scale for a decade
+    * graph): the adjacency is consumed from BOTH sides of the
     * triangle join below, and without materialization each branch
     * re-executes the whole upstream lineage — the edge build, the
     * degree aggregate, and two degree joins, measured 1.9× slower than
-    * the checkpointed plan at the 10× decade.
+    * the materialized plan at the 10× decade.
     */
   def orientedAdjacency(e0: DataFrame, materialize: Boolean = true): DataFrame = {
     val deg = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
@@ -44,7 +45,9 @@ object Graph {
         when(aLower, col("a")).otherwise(col("b")).as("src"),
         when(aLower, col("b")).otherwise(col("a")).as("dst"))
       .groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
-    if (materialize) adj.localCheckpoint() else adj
+    if (materialize)
+      adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else adj
   }
 
   /** Triangle count given oriented adjacency lists (see
@@ -117,10 +120,18 @@ object Graph {
                materialize: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // the directed edge list and the degree table are consumed by
-    // EVERY iteration — materialized once (localCheckpoint, the
-    // orientedAdjacency pattern), the upstream edge build runs once
-    // instead of once per iteration per branch
-    def ckpt(df: DataFrame) = if (materialize) df.localCheckpoint() else df
+    // EVERY iteration — materialized once, so the upstream edge build
+    // runs once instead of once per iteration per branch. persist
+    // (columnar, compressed, disk-spillable), NOT localCheckpoint:
+    // checkpoint blocks store deserialized rows — several GB for a
+    // decade-scale edge list, and that storage squeezed the execution
+    // memory of the iteration joins into intermittent OOM at the 100×
+    // bench's 8 GiB heap. The iteration count is a small compile-time
+    // constant, so lineage depth (dupClusters' reason for a real
+    // checkpoint) is not a concern here.
+    def ckpt(df: DataFrame) =
+      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val e = ckpt(e0.select(col("a"), col("b"))
       .unionAll(e0.select(col("b").as("a"), col("a").as("b"))))
     val deg = ckpt(e.groupBy(col("a").as("p")).agg(count(lit(1)).as("dg")))
@@ -130,7 +141,14 @@ object Graph {
     (1 to iters).foldLeft(r0) { (rPrev, _) =>
       val contrib = rPrev.join(deg, "p")
         .select(col("p"), expr("r div dg").as("c"))
-      val sums = e.join(contrib, col("a") === col("p"))
+      // shuffle_hash, build = contrib: sort-merge would SORT the
+      // m-row edge side every iteration — the sort buffers for three
+      // iterations' worth of edge shuffles were the measured OOM at
+      // the 100× decade (8 GiB heap). The hash build side is one
+      // partition's slice of the VERTEX table — bounded by
+      // |V|/partitions, never edge-sized (the triangleCountFromAdj
+      // argument).
+      val sums = e.join(contrib.hint("shuffle_hash"), col("a") === col("p"))
         .groupBy(col("b")).agg(sum(col("c")).as("s"))
       deg.select(col("p")).crossJoin(cnt)
         .join(sums, col("p") === col("b"), "left")
@@ -165,7 +183,12 @@ object Graph {
   def bfs(e0: DataFrame, seeds: DataFrame, maxHops: Int,
           materialize: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    def ckpt(df: DataFrame) = if (materialize) df.localCheckpoint() else df
+    // persist, not localCheckpoint — the pageRank rationale: columnar
+    // compressed storage instead of GB-scale deserialized row blocks,
+    // and hop count bounds lineage depth by construction
+    def ckpt(df: DataFrame) =
+      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val e = ckpt(e0.select(col("a"), col("b"))
       .unionAll(e0.select(col("b").as("a"), col("a").as("b"))))
     val d0 = seeds.toDF("p").distinct().select(col("p"), lit(0).as("dist"))
@@ -178,7 +201,10 @@ object Graph {
       // re-executes its whole prefix from both branches — the plan
       // doubles per hop (measured: 8 duplicated hop subtrees at 3
       // hops). The table is one row per reached vertex — bounded.
-      val relaxed = e.join(dPrev.filter(col("dist") === k - 1),
+      // shuffle_hash for the same reason as pageRank's contrib join:
+      // the frontier is vertex-sized, the edge side must not sort
+      val relaxed = e.join(
+          dPrev.filter(col("dist") === k - 1).hint("shuffle_hash"),
           col("a") === col("p"))
         .select(col("b").as("p"), lit(k).as("dist"))
       ckpt(dPrev.unionAll(relaxed)

@@ -90,15 +90,21 @@ object StatTests {
     * input produces the per-bin pair counts (map-side combined, ≤ bins
     * rows cross the wire), then a scalar fold over the bin table.
     */
+  /** The fixed-edge histogram bin of an integral metric — shared by
+    * the batch [[driftTV]] and the streaming bin counts
+    * ([[graft.streaming.Streams.runningDriftBins]]). Integral
+    * floor-division binning (`div`): a float divide + cast would hit
+    * the truncate-vs-round cast mismatch across engines. `valueCol`
+    * must be an integral column (quantize upstream). */
+  def binOf(valueCol: String, lo: Long, hi: Long, bins: Int): Column =
+    least(lit(bins - 1L), greatest(lit(0L),
+      expr(s"(($valueCol - $lo) * $bins) div ${hi - lo}")))
+
   def driftTV(df: DataFrame, popCol: String, valueCol: String,
               lo: Long, hi: Long, bins: Int): DataFrame = {
     require(bins >= 1 && hi > lo, s"need bins >= 1 and hi > lo; got $bins, [$lo, $hi)")
     val g = col(popCol)
-    // integral floor-division binning (`div`): a float divide + cast
-    // would hit the truncate-vs-round cast mismatch across engines.
-    // valueCol must be an integral column (quantize upstream).
-    val bin = least(lit(bins - 1L), greatest(lit(0L),
-      expr(s"(($valueCol - $lo) * $bins) div ${hi - lo}")))
+    val bin = binOf(valueCol, lo, hi, bins)
     // two-phase like the z-test (a min(pop) inside the counting when()
     // would nest aggregates): per (pop, bin) counts, then side A/B via
     // struct min/max per bin

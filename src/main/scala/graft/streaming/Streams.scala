@@ -177,6 +177,28 @@ object Streams {
                  depth: Int = 4, width: Int = 1024): DataFrame =
     values.agg(graft.expressions.CmsSketch.cms(col(column), depth, width).as("sk"))
 
+  /** Continuously-maintained drift histograms: running per-(population,
+    * bin) counts of a streamed integral metric — a histogram is a
+    * LINEAR sketch (bin counts merge by addition), so the state store
+    * folds micro-batch partials exactly like batch partials and the
+    * running table after any number of micro-batches equals the batch
+    * histogram of the union (the [[runningCms]] argument). ONE
+    * streaming aggregation in Complete mode with a FIXED state
+    * footprint (populations × bins rows) regardless of stream length —
+    * the drift monitor that never grows. The total-variation readout
+    * ([[graft.operators.StatTests.driftTV]]'s formula) is a trivial
+    * fold over that tiny table, applied downstream of the sink each
+    * trigger — structured streaming allows one aggregation per query,
+    * and the readout would be a second. */
+  def runningDriftBins(values: DataFrame, popCol: String, valueCol: String,
+                       lo: Long, hi: Long, bins: Int): DataFrame =
+    values
+      .select(col(popCol).as("pop"),
+        graft.operators.StatTests.binOf(valueCol, lo, hi, bins).as("bin"))
+      .groupBy(col("pop"), col("bin"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+
   /** Dedup-on-ingest: each micro-batch is first near-dup-checked
     * AGAINST ITSELF ([[graft.operators.Dedup.nearDupPairs]] on the
     * batch alone — batch-sized, so the self-join is trivial; crawl

@@ -353,9 +353,9 @@ class PlanSpec extends SparkSpec {
 
   test("q131: rules join materialized aggregates; only the one-row basket total nests") {
     val p = finalPlan("q131_brand_rules")
-    // basket table / itemN / pairN are localCheckpoint-materialized:
-    // the fact shuffle must happen ONCE, upstream of this plan
-    assert(count(p, "Scan ExistingRDD") >= 4,
+    // basket table (columnar persist) / itemN / pairN (checkpoints)
+    // are materialized: the fact shuffle must happen ONCE, upstream
+    assert(count(p, "Scan ExistingRDD|InMemoryTableScan") >= 4,
       s"q131 must consume materialized basket/item/pair tables, not recompute them:\n$p")
     assert(count(p, "BroadcastNestedLoopJoin") <= 1,
       s"q131 may nested-loop only the one-row basket total:\n$p")

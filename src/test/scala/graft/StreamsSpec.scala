@@ -128,6 +128,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningDriftBins: streamed histogram equals batch; TV readout matches driftTV") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.runningDriftBins(mem.toDF().toDF("pop", "v"),
+        "pop", "v", lo = 0L, hi = 100L, bins = 10)
+      .writeStream.format("memory").queryName("drift_run")
+      .outputMode(OutputMode.Complete()).start()
+    val rows = Seq(("a", 5L), ("a", 15L), ("b", 15L), ("b", 95L),
+      ("a", 95L), ("b", 5L), ("b", 5L), ("a", 42L))
+    try {
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("drift_run")
+        .as[(String, Long, Long)].collect().toSet
+      // linearity across the state store: running bins == batch bins
+      val batch = rows.toDF("pop", "v")
+        .select(col("pop"),
+          graft.operators.StatTests.binOf("v", 0L, 100L, 10).as("bin"))
+        .groupBy("pop", "bin").count()
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      // TV readout over the tiny running table == batch driftTV
+      // fold over a Seq — mapping a Set to its counts would dedup them
+      val cellSeq = streamed.toSeq
+      val na = cellSeq.filter(_._1 == "a").map(_._3).sum
+      val nb = cellSeq.filter(_._1 == "b").map(_._3).sum
+      val num = cellSeq.groupBy(_._2).toSeq.map { case (_, v) =>
+        val ca = v.filter(_._1 == "a").map(_._3).sum
+        val cb = v.filter(_._1 == "b").map(_._3).sum
+        math.abs(ca * nb - cb * na)
+      }.sum
+      val fromBatch = graft.operators.StatTests
+        .driftTV(rows.toDF("pop", "v"), "pop", "v", 0L, 100L, 10)
+        .select("tv_num", "tv_den").as[(Long, Long)].collect().head
+      assert((num, 2 * na * nb) === fromBatch)
+    } finally q.stop()
+  }
+
   test("attributedPairs: stream-stream join within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
