@@ -362,6 +362,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q131 grew a cartesian:\n$p")
   }
 
+  test("q136: k-means assigns via one-row broadcast carriers, seeds via TakeOrdered") {
+    val p = finalPlan("q136_kmeans")
+    // exactly 3 assignment passes (2 iterations + final report), each a
+    // pure map over the corpus with the centroid row broadcast — more
+    // BNLJs would mean a recomputed branch, fewer a lost materialization
+    assert(count(p, "BroadcastNestedLoopJoin") == 3,
+      s"q136 must have exactly 3 one-row centroid broadcasts:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q136's seed selection must be a distributed TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q136 grew a cartesian:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
