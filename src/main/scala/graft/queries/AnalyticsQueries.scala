@@ -304,6 +304,66 @@ object AnalyticsQueries {
       graft.operators.KMeans.fit(pts, "vec_id", "q", k = 4, iters = 2)
     }),
 
+    // RFM segmentation (recency / frequency / monetary), the classic
+    // customer-base cut: per customer, days since last order (anchored
+    // to the corpus max date — data-internal, regeneration-proof),
+    // order count, and lifetime cents; each scored into WITHIN-NATION
+    // quintiles (ntile partitioned by market — quantile semantics AND
+    // partition-parallel; a global ntile is a single-partition sort).
+    // ntile ties break on the customer key → total order, engine-exact.
+    "q139_rfm" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ: diff against the NTZ epoch literal
+        // (pure calendar arithmetic — the Tables.events idiom)
+        expr("timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")
+          .as("day"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("cents"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("day")).as("last_day"),
+          count(lit(1)).as("f_raw"), sum(col("cents")).as("m_raw"))
+        .crossJoin(broadcast(o.agg(max(col("day")).as("anchor"))))
+        .withColumn("r_raw", col("anchor") - col("last_day"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      def quint(c: String, asc: Boolean) = ntile(5).over(
+        Window.partitionBy(col("c_nationkey"))
+          .orderBy(if (asc) col(c).asc else col(c).desc, col("c_custkey")))
+      per.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          // recency: smaller = better = score bucket 1
+          quint("r_raw", asc = true).as("r_score"),
+          quint("f_raw", asc = false).as("f_score"),
+          quint("m_raw", asc = false).as("m_score"))
+        .withColumn("segment",
+          expr("cast(r_score * 100 + f_score * 10 + m_score as int)"))
+    }),
+
+    // ABC / Pareto classification per brand: rank parts by revenue
+    // within their brand, class A while the running share ≤ 80% of
+    // the brand total, B to 95%, else C — exact integer
+    // cross-multiplication (cum·100 vs pct·total), no percentages
+    // materialized. Brand partitions keep the cumulative windows
+    // parallel (a global Pareto cut is a single-partition sort).
+    "q140_abc_pareto" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .select(col("l_partkey"),
+          expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)").as("cents"))
+        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev_cents"))
+        .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("rev_cents").desc, col("p_partkey"))
+      val wt = Window.partitionBy(col("p_brand"))
+      rev
+        .withColumn("cum", sum(col("rev_cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("rev_cents")).over(wt))
+        .select(col("p_partkey"), col("p_brand"), col("rev_cents"),
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C").as("abc_class"))
+    }),
+
     // distribution drift: exact total-variation distance between the
     // purchase and click populations' value histograms (20 fixed
     // cent-bins over [0, 500)) — the engine-exact monitoring stand-in
@@ -649,6 +709,53 @@ object AnalyticsQueries {
          |SELECT rep.cid, rep.n_points, rep.inertia,
          |       CAST(list_aggregate(c_2.vec, 'sum') AS BIGINT) AS centroid_sum
          |FROM rep JOIN c_2 ON c_2.cid = rep.cid""".stripMargin,
+
+    "q139_rfm" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         epoch_ns(o_orderdate) // 1000 // 86400000000 AS day,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |per AS (SELECT o_custkey, MAX(day) AS last_day,
+        |               CAST(COUNT(*) AS BIGINT) AS f_raw,
+        |               CAST(SUM(cents) AS BIGINT) AS m_raw
+        |        FROM o GROUP BY 1),
+        |anch AS (SELECT MAX(day) AS anchor FROM o),
+        |j AS (SELECT c.c_custkey, c.c_nationkey,
+        |             anch.anchor - per.last_day AS r_raw, per.f_raw, per.m_raw
+        |      FROM per JOIN customer c ON c.c_custkey = per.o_custkey
+        |      CROSS JOIN anch),
+        |sc AS (SELECT c_custkey, c_nationkey,
+        |         CAST(ntile(5) OVER (PARTITION BY c_nationkey
+        |           ORDER BY r_raw ASC, c_custkey) AS INT) AS r_score,
+        |         CAST(ntile(5) OVER (PARTITION BY c_nationkey
+        |           ORDER BY f_raw DESC, c_custkey) AS INT) AS f_score,
+        |         CAST(ntile(5) OVER (PARTITION BY c_nationkey
+        |           ORDER BY m_raw DESC, c_custkey) AS INT) AS m_score
+        |       FROM j)
+        |SELECT c_custkey, c_nationkey, r_score, f_score, m_score,
+        |       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+        |FROM sc""".stripMargin,
+
+    "q140_abc_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |           AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT p.p_partkey, p.p_brand, rev.rev_cents
+        |      FROM rev JOIN part p ON p.p_partkey = rev.l_partkey),
+        |w AS (SELECT p_partkey, p_brand, rev_cents,
+        |        SUM(rev_cents) OVER (PARTITION BY p_brand
+        |          ORDER BY rev_cents DESC, p_partkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(rev_cents) OVER (PARTITION BY p_brand) AS total
+        |      FROM j)
+        |SELECT p_partkey, p_brand, rev_cents,
+        |       CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |            WHEN cum * 100 <= total * 95 THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM w""".stripMargin,
 
     "q138_value_drift" ->
       """WITH ev AS (
