@@ -465,7 +465,8 @@ object AnalyticsQueries {
          |${prIter("0", "1")},
          |${prIter("1", "2")},
          |${prIter("2", "3")}
-         |SELECT CAST(row_number() OVER (ORDER BY r DESC, p) AS INT) AS rank, p, r
+         |SELECT CAST(row_number() OVER (ORDER BY r DESC, p) AS INT) AS rank, p,
+         |       CAST(r AS BIGINT) AS r
          |FROM r_$PrIters ORDER BY r DESC, p LIMIT $PrTopK""".stripMargin,
 
     "q125_fifo_alloc" ->
@@ -484,7 +485,7 @@ object AnalyticsQueries {
         |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 2 AS credit
         |  FROM orders WHERE o_custkey < 300)
         |SELECT w.l_orderkey, w.l_linenumber,
-        |       GREATEST(0, LEAST(w.gross, o.credit - w.prev)) AS alloc_cents
+        |       CAST(GREATEST(0, LEAST(w.gross, o.credit - w.prev)) AS BIGINT) AS alloc_cents
         |FROM w JOIN o ON w.l_orderkey = o.o_orderkey""".stripMargin,
 
     "q126_grid_neighbors" ->
@@ -790,7 +791,8 @@ object AnalyticsQueries {
         |cell AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS cnt
         |         FROM e GROUP BY 1, 2)
         |SELECT event_type, dow, cnt,
-        |       cnt * 7000000 // SUM(cnt) OVER (PARTITION BY event_type) AS index_e6
+        |       CAST(cnt * 7000000 // SUM(cnt) OVER (PARTITION BY event_type)
+        |            AS BIGINT) AS index_e6
         |FROM cell""".stripMargin
   )
 }

@@ -371,7 +371,7 @@ object EventQueries {
         |         COUNT(*) AS n
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, hus, n,
-        |  SUM(n) OVER w AS prior_n,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS prior_n,
         |  CAST(COUNT(n) OVER w AS INT) AS prior_hours,
         |  COALESCE(COUNT(n) OVER w = 24 AND n * 24 > SUM(n) OVER w * 2, FALSE) AS is_burst
         |FROM h

@@ -2,6 +2,7 @@
 """Local replica of the driver's t2 correctness gate — strict variant.
 
 Usage: python3 tools/check.py [sfDir] [verifyOutDir]
+       python3 tools/check.py --lint-only [sfDir] [oracleSqlJson]
 
 Loads <verifyOutDir>/oracle_sql.json, registers the sfDir parquet tables
 as DuckDB views, runs each oracle SQL, and compares against the Spark
@@ -16,13 +17,29 @@ via duckdb fetchall (same), and every value is stringified with str().
 If the two engines produce the same logical value in different lexical
 forms, that is a FAIL here — queries must emit only types whose str()
 is engine-invariant (double/bigint/varchar/date/timestamp; no DECIMAL).
+
+Round-9 lesson: str()-of-native-values is structurally blind to DuckDB's
+integer escalation. SUM(BIGINT) (plain or windowed) returns HUGEINT,
+str(HUGEINT) == str(int64), so this gate passed q124/q125/q135 while the
+driver — which hashes through pandas, where HUGEINT ALWAYS lands as
+float64 ("123.0") but Spark int64 stays int64 ("123") — failed all three.
+Hence the TYPE LINT below: every oracle's relation types are inspected
+(duckdb binds without executing) and any HUGEINT/UHUGEINT/DECIMAL output
+column is a FAIL even when values compare equal. Spark-side decimal
+output is likewise a FAIL (house rule: emit only double/bigint/varchar/
+date/timestamp/boolean). q106 was the near-miss: its HUGEINT column
+contains NULLs, so the Spark side ALSO coerced to float64 and it passed
+by accident — the lint flags it all the same.
 """
 import datetime
 import decimal
 import duckdb, glob, json, os, sys
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:] if a != "--lint-only"]
+lint_only = "--lint-only" in sys.argv
+
+sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out = args[1] if len(args) > 1 else "/tmp/verify_out"
 
 import pyarrow.parquet as pq
 
@@ -34,6 +51,19 @@ for p in sorted(glob.glob(f"{sf}/*.parquet")):
 
 def sval(v):
     return str(v)
+
+
+# DuckDB output types whose pandas rendering diverges from the Spark
+# parquet dtype even when values are logically equal. HUGEINT/UHUGEINT →
+# float64 in pandas ("123.0" vs Spark's "123"); DECIMAL → scale-sensitive.
+BAD_DUCK = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def lint_oracle_types(sql):
+    """Bind (don't execute) the oracle and return escalating output cols."""
+    rel = con.sql(sql)
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if any(b in str(t).upper() for b in BAD_DUCK)]
 
 
 def spark_rows(path):
@@ -56,14 +86,29 @@ def duck_rows(sql):
     return sorted(cols), sorted(rows), types
 
 
-oracle = json.load(open(f"{out}/oracle_sql.json"))
+oracle_path = out if out.endswith(".json") else f"{out}/oracle_sql.json"
+oracle = json.load(open(oracle_path))
 fails = 0
 for name in sorted(oracle):
     try:
+        bad_duck = lint_oracle_types(oracle[name])
+        if bad_duck:
+            print(f"FAIL {name}: oracle type lint {bad_duck} — "
+                  f"pandas renders these differently from Spark; "
+                  f"CAST the output column (house rule: BIGINT)")
+            fails += 1
+            continue
+        if lint_only:
+            print(f"LINT-OK {name}")
+            continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         s_cols, s, s_types = spark_rows(files)
         d_cols, d, d_types = duck_rows(oracle[name])
-        if s_cols != d_cols:
+        bad_spark = [c for c, t in s_types.items() if "decimal" in t.lower()]
+        if bad_spark:
+            print(f"FAIL {name}: spark decimal output cols {bad_spark}")
+            fails += 1
+        elif s_cols != d_cols:
             print(f"FAIL {name}: columns {s_cols} vs {d_cols}")
             fails += 1
         elif s != d:
@@ -76,9 +121,7 @@ for name in sorted(oracle):
             print(f"  types duck ={d_types}")
             fails += 1
         else:
-            bad = [c for c, t in s_types.items() if "decimal" in t.lower()]
-            note = f"  (WARN decimal output cols {bad})" if bad else ""
-            print(f"PASS {name} ({len(s)} rows){note}")
+            print(f"PASS {name} ({len(s)} rows)")
     except Exception as e:
         print(f"ERROR {name}: {e}")
         fails += 1
