@@ -72,13 +72,24 @@ object Bench {
     * isolated re-runs disproved — leftover localCheckpoint blocks and
     * cached relations from earlier queries were being charged to later
     * ones). Drops cached relations and persistent RDDs (q56/q67
-    * checkpoint blocks, persisted edge sets), then GCs so the
-    * ContextCleaner actually frees the blocks now instead of mid-way
-    * through the next measurement. */
-  private def steadyState(spark: SparkSession): Unit = {
+    * checkpoint blocks, persisted edge sets — the graph/basket
+    * operators persist intermediates and by contract leave them to the
+    * session runner to clear), then GCs so the ContextCleaner actually
+    * frees the blocks now instead of mid-way through the next
+    * measurement. Two GC passes with a short pause: the cleaner works
+    * off a reference queue on its own thread — the first collect
+    * enqueues the dead broadcast/shuffle/block references, the pause
+    * lets the cleaner drain them, the second collect reclaims what the
+    * drain itself released. One pass left shuffle files and broadcast
+    * blocks from the graph queries alive into the next measurement
+    * (round 9: q107/q112–q119 read ~2× at sf0.1 from exactly this
+    * churn while beating their own times at 10× data). */
+  private[graft] def steadyState(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
+    System.gc()
+    Thread.sleep(50)
     System.gc()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{BloomMightContain, BpeEncode, CmsEstimate, CmsSketch, DeletionVariants, DotProductFloat, TextStatsExpr, LangId, Lev1Dist, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, TopKStrings, VecSumLong, WinnowFingerprints, WordShingles}
+import graft.expressions.{ArrayPairs, BloomMightContain, BpeEncode, CmsEstimate, CmsSketch, DeletionVariants, DotProductFloat, TextStatsExpr, LangId, Lev1Dist, MinHashSigs, MisraGries, NfcNormalize, SignBucketKeys, SimHashBits, StopHits, TopKStrings, VecSumLong, WinnowFingerprints, WordShingles}
 
 /** Engine extensions, installed via the public extension point:
   *
@@ -34,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DeletionVariants.registration)
     ext.injectFunction(CmsSketch.registration)
     ext.injectFunction(CmsEstimate.registration)
+    ext.injectFunction(ArrayPairs.registration)
   }
 }

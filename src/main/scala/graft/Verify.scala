@@ -30,6 +30,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the graph/basket operators persist intermediates and leave
+      // them to the session runner to clear (the Bench.steadyState
+      // contract) — 140 queries in one JVM would otherwise accumulate
+      // corpus-scale cached tables
+      Bench.steadyState(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

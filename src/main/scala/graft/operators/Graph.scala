@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   * pipeline extension mandate) so the counting core is reusable and
   * brute-force property-testable independent of the TPC-H basket
   * projection that feeds it in `BreadthQueries`.
+  *
+  * Materialization contract: the `materialize = true` defaults persist
+  * multi-consumed intermediates (edge lists, adjacency, per-hop dist
+  * tables) for the duration of the returned plan's execution, and a
+  * persisted Dataset stays pinned in the session CacheManager until
+  * unpersist/clearCache — it is NOT freed by GC the way localCheckpoint
+  * blocks are. One-shot runners that execute many queries in one JVM
+  * must clear between queries (`Bench.steadyState`: clearCache +
+  * blocking unpersist of all persistent RDDs + GC — both Bench and
+  * Verify do); long-lived sessions embedding these operators should do
+  * the same once the result is consumed, or pass `materialize = false`
+  * and accept the re-executed lineage.
   */
 object Graph {
 

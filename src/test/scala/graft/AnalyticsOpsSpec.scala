@@ -89,6 +89,99 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("assoc rules: e6-grid arithmetic is exact at the 9.2e12-basket margin") {
+    // synthetic aggregates, no data: evaluate the PRODUCTION expressions
+    // (AssocRules.ConfidenceExpr/LiftExpr — the definition site, not a
+    // re-typed copy) on counts near the documented overflow bound and
+    // compare against BigInt floor division. pair_n * 1e6 and
+    // confidence_e6 * baskets both graze 2^63 here (9.2e18 of 9.223e18);
+    // ANSI mode makes any overflow a loud exception, and the value
+    // check pins the floor-division semantics.
+    val margin = 9200000000000L // ~9.2e12, the Scaladoc bound
+    val cGen = for {
+      baskets <- Gen.chooseNum(margin / 10, margin)
+      aN <- Gen.chooseNum(1L, baskets)
+      bN <- Gen.chooseNum(1L, baskets)
+      pairN <- Gen.chooseNum(1L, aN min bN)
+    } yield (pairN, aN, bN, baskets)
+    val cases = (1L to 40L).map(s => sample(cGen, s)) :+
+      (margin, margin, 1L, margin) :+        // conf = exactly 1e6, lift maximal
+      (1L, 1L, margin, margin) :+            // conf 1e6, lift num = 1e6*margin
+      (margin, margin, margin, margin)       // all at the bound
+    val got = cases.toDF("pair_n", "a_n", "b_n", "baskets")
+      .selectExpr("pair_n", "a_n", "b_n", "baskets",
+        s"${AssocRules.ConfidenceExpr} as c", s"${AssocRules.LiftExpr} as l")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    for ((pn, an, bn, bk, c, l) <- got) {
+      val cRef = (BigInt(pn) * 1000000) / an
+      val lRef = (cRef * bk) / bn
+      assert(BigInt(c) === cRef, s"confidence ($pn,$an)")
+      assert(BigInt(l) === lRef, s"lift ($pn,$an,$bn,$bk)")
+    }
+  }
+
+  // ------------------------------------------------------------ array_pairs
+
+  /** The composed HOF form array_pairs replaced (AssocRules' previous
+    * candidate generator) — the semantic reference. */
+  private def composedPairs(items: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    flatten(transform(
+      sequence(lit(0), size(items) - 2),
+      i => transform(
+        slice(items, i + 2, size(items)),
+        y => struct(element_at(items, i + 1).as("ia"), y.as("ib")))))
+  }
+
+  test("array_pairs: matches the composed HOF form on random string arrays") {
+    val aGen = Gen.listOfN(8, Gen.chooseNum(1, 6)).flatMap(ns =>
+      Gen.sequence[List[List[String]], List[String]](ns.map(n =>
+        Gen.listOfN(n, Gen.identifier.map(_.take(5))))))
+    for (seed <- 1L to 5L) {
+      val arrays = sample(aGen, seed).map(_.distinct)
+      val df = arrays.zipWithIndex.map { case (a, i) => (i, a) }.toDF("i", "items")
+        .filter(size($"items") >= 2)
+      val native = df.select($"i",
+          explode(call_function(graft.expressions.ArrayPairs.name, $"items")).as("p"))
+        .select($"i", $"p.ia", $"p.ib").as[(Int, String, String)].collect().toSeq
+      val composed = df.select($"i", explode(composedPairs($"items")).as("p"))
+        .select($"i", $"p.ia", $"p.ib").as[(Int, String, String)].collect().toSeq
+      assert(native.sorted === composed.sorted, s"seed=$seed")
+      // and pair ORDER within a row matches too (i < j index order)
+      assert(native === composed, s"seed=$seed (order)")
+    }
+  }
+
+  test("array_pairs: long arrays, singletons, empties, null elements, null input") {
+    val df = Seq(
+      (1, Some(Seq[java.lang.Long](1L, 2L, 3L))),
+      (2, Some(Seq[java.lang.Long](7L))),
+      (3, Some(Seq.empty[java.lang.Long])),
+      (4, Some(Seq[java.lang.Long](5L, null, 9L))),
+      (5, None)).toDF("i", "items")
+    val got = df.select($"i",
+        call_function(graft.expressions.ArrayPairs.name, $"items").as("ps"))
+      .as[(Int, Option[Seq[(Option[Long], Option[Long])]])].collect().toMap
+    assert(got(1) === Some(Seq((Some(1L), Some(2L)), (Some(1L), Some(3L)),
+      (Some(2L), Some(3L)))))
+    assert(got(2) === Some(Seq.empty))
+    assert(got(3) === Some(Seq.empty))
+    assert(got(4) === Some(Seq((Some(5L), None), (Some(5L), Some(9L)),
+      (None, Some(9L)))))
+    assert(got(5) === None)
+  }
+
+  test("array_pairs: quadratic-overflow guard fails loudly") {
+    val big = Seq((1, (0 until 65536).map(_.toLong))).toDF("i", "items")
+    val e = intercept[Exception] {
+      big.select(call_function(graft.expressions.ArrayPairs.name, $"items"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("array_pairs")))
+  }
+
   // ------------------------------------------------------------ stat tests
 
   test("two-proportion z: hand-computed significant and null cases") {
