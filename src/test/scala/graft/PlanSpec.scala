@@ -311,6 +311,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q124 grew a cartesian:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"q124 lost the distributed top-k:\n$p")
+    // the round-9 OOM fix, pinned: edge list + degree table are COLUMNAR
+    // persists (localCheckpoint blocks store deserialized rows — GB-scale
+    // for a decade edge list), and the per-iteration contrib join must
+    // never sort the edge side
+    assert(p.contains("InMemoryTableScan"),
+      s"q124's edge/degree tables must be persisted (columnar), not recomputed:\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"q124 regressed to localCheckpoint (deserialized row blocks):\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"q124's contrib joins must stay hash (AQE may broadcast tiny sides):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q124 regressed to sorting the edge side per iteration:\n$p")
+  }
+
+  test("q133: BFS hops consume persisted edge/dist tables via hash joins") {
+    // same discipline as q124 (the round-9 OOM fix, README-documented):
+    // the directed edge list and each hop's dist table are columnar
+    // persists consumed from two branches, the frontier join is
+    // shuffle_hash (the edge side must never sort), and no hop may
+    // recompute its prefix. The hop joins live inside NESTED
+    // InMemoryRelation sub-plans (each hop's persisted dist table), so
+    // the outer-final-plan slice never shows them — assert over the
+    // FULL executed-plan string instead; that includes nested initial
+    // plans, which is safe here because the shuffle_hash hints make
+    // even the pre-AQE plans hash joins.
+    val df = SparkEntry.queries("q133_bfs_hops")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"q133's edge/dist tables must be persisted (columnar), not recomputed:\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"q133 regressed to localCheckpoint (deserialized row blocks):\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"q133's frontier joins must stay hash (AQE may broadcast tiny sides):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q133 regressed to sorting the edge side per hop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q133 grew a cartesian:\n$p")
   }
 
   test("q126: grid join buckets by cell — bounded generate, no cartesian") {
