@@ -179,19 +179,31 @@ final class Catalog(val spark: SparkSession, val root: String,
   /** Create-exclusive claim of a manifest/snapshot file: exactly one of
     * any number of racing writers wins; losers get a loud
     * [[ConcurrentWriteException]] instead of silently overwriting the
-    * winner's commit. */
+    * winner's commit.
+    *
+    * Write-temp + hard-LINK to the final name, because the claim must
+    * be exclusive AND crash-atomic at once: a plain
+    * CREATE_NEW-then-write leaves an EMPTY claim file if the writer
+    * dies between create and write (observed risk: an empty tag.* file
+    * made tags() — and through it vacuum() — throw until manual
+    * cleanup), and rename(2) (ATOMIC_MOVE) silently REPLACES an
+    * existing target on POSIX, losing exclusivity. link(2) is both:
+    * the final name appears atomically with its full content, or fails
+    * EEXIST. The temp file is cleaned here on every path; one orphaned
+    * by a hard kill matches the `.tmp` pattern recover() deletes. */
   private def claimVersionFile(dir: Path, name: String, body: String,
                                what: String): Unit = {
-    try Files.write(dir.resolve(name), body.getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW,
-      java.nio.file.StandardOpenOption.WRITE)
+    val tmp = dir.resolve(
+      s"$name.tmp${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(dir.resolve(name), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new Catalog.ConcurrentWriteException(
           s"lost the race claiming $what: another writer holds " +
             s"${dir.resolve(name)} (or a crashed one left it behind — " +
             "run recover() after confirming no writer is live)")
-    }
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Flip the snapshot pointer atomically. At a transaction end
@@ -349,6 +361,19 @@ final class Catalog(val spark: SparkSession, val root: String,
           val md = manifestDir(t)
           if (tv > 0) atomicWrite(md, "LATEST", tv.toString)
           else Files.deleteIfExists(md.resolve("LATEST"))
+          // drop tags pinning the versions being rolled back, loudly:
+          // the next commit RE-CLAIMS those version numbers with
+          // different data, so a surviving tag would silently re-point
+          // — worse than the immutability break it looks like. The
+          // tagged state was never published; rolling it back rolls
+          // back its tags with it.
+          tags(t).foreach { case (name, v) =>
+            if (v > tv) {
+              System.err.println(s"[catalog] rollback of $t to v$tv " +
+                s"drops tag '$name' (pinned the aborted v$v)")
+              Files.deleteIfExists(md.resolve(s"tag.$name"))
+            }
+          }
           (tv + 1 to head).foreach(v => Files.deleteIfExists(md.resolve(s"v$v")))
         }
       }
@@ -518,6 +543,13 @@ final class Catalog(val spark: SparkSession, val root: String,
   def tableAt(table: String, version: Int): DataFrame = {
     require(versions(table).contains(version),
       s"$table has no version $version (have: ${versions(table).mkString(",")})")
+    readPinned(table, version)
+  }
+
+  /** Read manifest `version` directly — the shared body of [[tableAt]]
+    * (which gates on read-scoped `versions()`) and [[tableAtTag]]
+    * (which trusts the tag's pin past that gate). */
+  private def readPinned(table: String, version: Int): DataFrame = {
     // fail here, naming the cause, rather than FileNotFound deep in the
     // scan: vacuum() keeps only the LATEST version's commit dirs
     val gone = commitsAt(table, version).filterNot(c => Files.exists(Paths.get(c)))
@@ -587,17 +619,48 @@ final class Catalog(val spark: SparkSession, val root: String,
     val names =
       try listing.iterator().asScala.map(_.getFileName.toString).toSeq
       finally listing.close()
+    // skip-and-report unparseable tag files instead of throwing:
+    // tags() feeds vacuum(), so one corrupt file (a pre-hard-link
+    // crashed claim, or outside interference) must not brick vacuuming
+    // and tag listing for the whole table
     names.filter(_.startsWith("tag."))
-      .map(f => f.stripPrefix("tag.") -> new String(
-        Files.readAllBytes(md.resolve(f)), StandardCharsets.UTF_8).trim.toInt)
-      .toMap
+      .flatMap { f =>
+        val raw = new String(
+          Files.readAllBytes(md.resolve(f)), StandardCharsets.UTF_8).trim
+        if (raw.nonEmpty && raw.forall(_.isDigit))
+          Some(f.stripPrefix("tag.") -> raw.toInt)
+        else {
+          System.err.println(s"[catalog] skipping unparseable tag file " +
+            s"${md.resolve(f)} (content '$raw') — a crashed or foreign " +
+            "write; delete it (or re-tag) to clear this warning")
+          None
+        }
+      }.toMap
   }
 
-  /** The table exactly as pinned by `name` (see [[tag]]). */
-  def tableAtTag(table: String, name: String): DataFrame =
-    tableAt(table, tags(table).getOrElse(name,
+  /** The table exactly as pinned by `name` (see [[tag]]).
+    *
+    * Resolved from the tag's pinned version DIRECTLY, not through
+    * [[tableAt]]'s `versions()` gate: `versions()` is scoped to the
+    * READ-resolved head (the published snapshot for scoped tables), and
+    * a tag may legitimately pin a version ahead of it — e.g. tagged
+    * inside a transaction whose snapshot publish later aborted. The
+    * "readable forever" contract depends only on the tag's claim file,
+    * its manifest, and its commit dirs, all of which [[vacuum]]
+    * preserves; the only loud failures are a dangling tag (manifest
+    * rolled back by recovery) or vacuumed commit dirs from BEFORE the
+    * tag existed. */
+  def tableAtTag(table: String, name: String): DataFrame = {
+    val v = tags(table).getOrElse(name,
       throw new IllegalArgumentException(s"$table has no tag '$name' " +
-        s"(have: ${tags(table).keys.toSeq.sorted.mkString(", ")})")))
+        s"(have: ${tags(table).keys.toSeq.sorted.mkString(", ")})"))
+    if (!Files.exists(manifestDir(table).resolve(s"v$v")))
+      throw new IllegalStateException(
+        s"tag '$name' on $table pins version $v but manifest v$v no " +
+          "longer exists (rolled back by transaction recovery?) — the " +
+          "tag is dangling; dropTag and re-tag a live version")
+    readPinned(table, v)
+  }
 
   /** Remove a tag; its version's commit dirs become vacuum-eligible
     * again (unless still the head / snapshot-referenced / otherwise
@@ -1229,8 +1292,12 @@ final class Catalog(val spark: SparkSession, val root: String,
     val snapRefs = snapshotVersions.get(table)
       .map(v => commitsAt(table, v)).getOrElse(Seq.empty)
     // tagged versions stay readable forever — their commit dirs are
-    // live no matter how far behind the head they fall (see [[tag]])
+    // live no matter how far behind the head they fall (see [[tag]]).
+    // A dangling tag (its manifest rolled back by recovery) pins
+    // nothing; skipping it here keeps vacuum runnable — tableAtTag is
+    // where the dangle is reported loudly
     val tagRefs = tags(table).values.toSeq.distinct
+      .filter(v => Files.exists(manifestDir(table).resolve(s"v$v")))
       .flatMap(v => commitsAt(table, v))
     val live = (latestVersion(table).map(commitsAt(table, _)).getOrElse(Seq.empty)
         ++ snapRefs ++ tagRefs)

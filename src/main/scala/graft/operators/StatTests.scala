@@ -42,7 +42,16 @@ object StatTests {
         sum(col(successCol)).cast("bigint").as("x"))
     byG.agg(
         min(struct(col("g"), col("n"), col("x"))).as("sa"),
-        max(struct(col("g"), col("n"), col("x"))).as("sb"))
+        max(struct(col("g"), col("n"), col("x"))).as("sb"),
+        count(lit(1)).as("k"))
+      // loud-error discipline: 3+ group values would silently DROP the
+      // middle groups from the min/max side selection and emit a
+      // plausible-looking wrong statistic — fail the (single) result
+      // row instead. The guard lives in a filter on the agg output so
+      // column pruning can never optimize it away.
+      .where(when(col("k") <= 2, lit(true)).otherwise(raise_error(concat(
+        lit("twoProportionZ: group column has "), col("k").cast("string"),
+        lit(" distinct values; need at most 2 — pre-filter the pools")))))
       .select(
         col("sa.g").as("grp_a"), col("sb.g").as("grp_b"),
         col("sa.n").as("n_a"), col("sa.x").as("x_a"),
@@ -122,8 +131,15 @@ object StatTests {
         when(col("k") === 2, col("sb.pop")).as("pb0"))
     // a bin seen by only one pop: its struct is both min and max —
     // decide which side it belongs to against the GLOBAL min pop
-    val globalA = df.agg(min(g).as("ga"), max(g).as("gb"))
+    val globalA = df.agg(min(g).as("ga"), max(g).as("gb"),
+      count_distinct(g).as("kpop"))
     sides.crossJoin(broadcast(globalA))
+      // the twoProportionZ arity guard: a third population would be
+      // lumped into side B by the per-bin min/max selection — loud
+      // failure instead of a plausible wrong distance
+      .where(when(col("kpop") <= 2, lit(true)).otherwise(raise_error(concat(
+        lit("driftTV: population column has "), col("kpop").cast("string"),
+        lit(" distinct values; need at most 2 — pre-filter the pools")))))
       .select(col("ga"), col("gb"),
         when(col("pa") === col("ga"), col("ca0")).otherwise(lit(0L)).as("ca"),
         when(col("pa") === col("ga"), col("cb0"))

@@ -218,6 +218,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r === (("a", 2L, "b", 1L)))
   }
 
+  test("two-proportion z / drift TV: a 3-valued group column fails loudly") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val z3 = Seq(("a", 1), ("b", 0), ("c", 1)).toDF("grp", "ok")
+    val ez = intercept[Exception](
+      StatTests.twoProportionZ(z3, "grp", "ok").collect())
+    assert(msgs(ez).exists(_.contains("3 distinct values")), msgs(ez).toString)
+    val d3 = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("pop", "v")
+    val ed = intercept[Exception](
+      StatTests.driftTV(d3, "pop", "v", 0L, 10L, 5).collect())
+    assert(msgs(ed).exists(_.contains("3 distinct values")), msgs(ed).toString)
+  }
+
   test("chi-square: hand-computed 2x2 contingency on the e2 grid") {
     // [[30,10],[20,40]]: true chi² = 16.667; quantized e_q grid → 1666
     val rows =

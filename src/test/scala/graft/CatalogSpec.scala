@@ -781,6 +781,50 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("tableAtTag reads a pin ahead of the published snapshot; rollback drops it loudly") {
+    val dir = Files.createTempDirectory("cat_tag_ahead").toString
+    val writer = new Catalog(spark, s"$dir/wh")
+    val reader = new Catalog(spark, s"$dir/wh")
+    writer.transaction { writer.replace("dim_tipo", tipoDf("a")) } // snapshot: tipo→1
+    // crash mid-transaction AFTER tagging the in-flight head: the
+    // snapshot never flips, so readers resolve v1 — but the tag's
+    // claim, manifest, and commit dirs all exist, and the "readable
+    // forever" contract must not depend on readVersion scoping
+    intercept[RuntimeException](writer.transaction {
+      writer.replace("dim_tipo", tipoDf("a", "b", "c"))            // head v2
+      assert(writer.tag("dim_tipo", "pre-release") === 2)
+      sys.error("executor lost")                                   // kill-point
+    })
+    assert(reader.table("dim_tipo").count() === 1)                 // snapshot holds
+    assert(reader.versions("dim_tipo") === Seq(1))                 // v2 unpublished
+    assert(reader.tableAtTag("dim_tipo", "pre-release").count() === 3)
+    reader.vacuum("dim_tipo")                                      // keeps the pin
+    assert(reader.tableAtTag("dim_tipo", "pre-release").count() === 3)
+    // the healing transaction rolls v2 back and RE-CLAIMS the version
+    // number with new data — the tag must be dropped (loudly), never
+    // silently re-pointed at data it did not pin
+    writer.transaction { writer.replace("dim_tipo", tipoDf("z")) }
+    assert(!writer.tags("dim_tipo").contains("pre-release"))
+    intercept[IllegalArgumentException](
+      writer.tableAtTag("dim_tipo", "pre-release"))
+  }
+
+  test("an unparseable tag file is skipped with a warning, never bricks vacuum") {
+    val dir = Files.createTempDirectory("cat_tag_corrupt").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.replace("dim_tipo", tipoDf("a"))                           // v1
+    cat.tag("dim_tipo", "good")
+    // plant the crash artifact the pre-hard-link claim could leave: an
+    // empty tag file (created, never written)
+    Files.write(Paths.get(s"$dir/wh/dim_tipo/_manifests/tag.bad"),
+      Array.emptyByteArray)
+    assert(cat.tags("dim_tipo") === Map("good" -> 1))              // skipped
+    cat.replace("dim_tipo", tipoDf("x", "y"))                      // v2
+    cat.vacuum("dim_tipo")                                         // must not throw
+    assert(cat.tableAtTag("dim_tipo", "good")
+      .select("nome_tipo").as[String].collect().toSeq === Seq("a"))
+  }
+
   test("tags are create-exclusive and immutable; dropTag releases the pin") {
     val dir = Files.createTempDirectory("cat_tags2").toString
     val cat = new Catalog(spark, s"$dir/wh")
