@@ -25,30 +25,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * the surrounding stage still whole-stage-codegens and calls into
   * eval — the win is the fused loop, not codegen of the loop itself.
   *
-  * k must be a foldable positive int.
+  * k must be a foldable positive int. The optional third argument
+  * `keep_duplicates` (foldable boolean, default false) switches to
+  * POSITIONAL shingles: every k-gram in document order, duplicates
+  * kept — the form exact-substring-dedup metrics need (each position
+  * counts, [[graft.queries.DedupQueries]] q143).
   */
-case class WordShingles(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+case class WordShingles(first: Expression, second: Expression,
+                        third: Expression)
+  extends TernaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = WordShingles.name
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!(left.dataType == StringType && right.dataType == IntegerType && right.foldable))
+    if (!(first.dataType == StringType && second.dataType == IntegerType &&
+        second.foldable && third.dataType ==
+        org.apache.spark.sql.types.BooleanType && third.foldable))
       TypeCheckResult.TypeCheckFailure(
-        s"${WordShingles.name} expects (string, foldable int)")
-    else right.eval(null) match {
+        s"${WordShingles.name} expects (string, foldable int, foldable bool)")
+    else (second.eval(null), third.eval(null)) match {
       // resolve-time rejection: a null k would unbox to 0 and k <= 0 would
       // silently yield a single empty shingle per row instead of failing.
-      case kk: Int if kk > 0 => TypeCheckResult.TypeCheckSuccess
+      case (kk: Int, _: Boolean) if kk > 0 => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"${WordShingles.name} expects k to be a non-null int > 0, got $other")
+        s"${WordShingles.name} expects non-null (int > 0, bool), got $other")
     }
 
   @transient private lazy val k: Int =
-    right.eval(null).asInstanceOf[Int]
+    second.eval(null).asInstanceOf[Int]
+  @transient private lazy val keepDuplicates: Boolean =
+    third.eval(null).asInstanceOf[Boolean]
 
-  override def nullSafeEval(text: Any, kAny: Any): Any = {
+  override def nullSafeEval(text: Any, kAny: Any, keepAny: Any): Any = {
     val lowered = text.asInstanceOf[UTF8String].toLowerCase.toString
     // tokenize: maximal runs of 'a'..'z'
     val words = mutable.ArrayBuffer.empty[String]
@@ -65,7 +74,11 @@ case class WordShingles(left: Expression, right: Expression)
     }
     if (words.length < k) new GenericArrayData(Array.empty[Any])
     else {
-      val seen = mutable.LinkedHashSet.empty[String] // first-occurrence order
+      // LinkedHashSet dedups in first-occurrence order (the default);
+      // ArrayBuffer keeps every position (keep_duplicates = true)
+      val out: mutable.Growable[String] with Iterable[String] =
+        if (keepDuplicates) mutable.ArrayBuffer.empty[String]
+        else mutable.LinkedHashSet.empty[String]
       val sb = new java.lang.StringBuilder
       var s = 0
       while (s <= words.length - k) {
@@ -76,16 +89,17 @@ case class WordShingles(left: Expression, right: Expression)
           sb.append(words(s + t))
           t += 1
         }
-        seen += sb.toString
+        out += sb.toString
         s += 1
       }
-      new GenericArrayData(seen.iterator.map(x => UTF8String.fromString(x): Any).toArray)
+      new GenericArrayData(out.iterator.map(x => UTF8String.fromString(x): Any).toArray)
     }
   }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): WordShingles =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): WordShingles =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 object WordShingles {
@@ -95,8 +109,10 @@ object WordShingles {
     FunctionIdentifier(name),
     new ExpressionInfo(classOf[WordShingles].getName, name),
     (exprs: Seq[Expression]) => {
-      require(exprs.length == 2, s"$name takes 2 arguments, got ${exprs.length}")
-      WordShingles(exprs.head, exprs(1))
+      require(exprs.length == 2 || exprs.length == 3,
+        s"$name takes 2 or 3 arguments, got ${exprs.length}")
+      WordShingles(exprs.head, exprs(1), exprs.lift(2).getOrElse(
+        org.apache.spark.sql.catalyst.expressions.Literal(false)))
     })
 }
 
@@ -883,6 +899,13 @@ object TextExpressions {
   /** Distinct k-shingles of [a-z] word runs, fused native loop. */
   def wordShingles(text: Column, k: Int): Column =
     call_function(WordShingles.name, text, org.apache.spark.sql.functions.lit(k))
+
+  /** POSITIONAL k-shingles — every k-gram in order, duplicates kept
+    * (exact-substring-dedup metrics count positions, not kinds). */
+  def wordShinglesAll(text: Column, k: Int): Column =
+    call_function(WordShingles.name, text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(true))
 
   /** 64 SimHash bits (0/1 ints), fused native loop. */
   def simhashBits(text: Column): Column =

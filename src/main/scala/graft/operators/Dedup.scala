@@ -535,4 +535,62 @@ object Dedup {
 
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, x) => acc + x)
+
+  /** Cross-document duplicated-span statistics — the exact-substring
+    * dedup metric (Lee et al. 2022, arXiv:2107.06499: a training
+    * corpus's quality is measured by the fraction of each document
+    * that is verbatim-repeated ELSEWHERE in the corpus) at word
+    * k-gram granularity: a POSITION in a document is duplicated when
+    * its k-gram also occurs in at least one other document. Returns
+    * one row per document:
+    * `(doc_id, total_pos, dup_pos, dup_frac_e6, flagged)` with
+    * `dup_frac_e6 = dup_pos * 1e6 div total_pos` (0 for empty docs)
+    * and `flagged = frac >= flagAtE6` — all BIGINT/boolean,
+    * engine-exact.
+    *
+    * Distinct from [[nearDupPairs]] (whole-doc similarity via sampled
+    * signatures) and the winnowing spans (per-doc sampled
+    * fingerprints): this is the EXHAUSTIVE position-level repeat
+    * accounting curation pipelines threshold on before training.
+    *
+    * Shape at scale: positional k-grams come from ONE native per-row
+    * pass ([[graft.expressions.TextExpressions.wordShinglesAll]] — no
+    * interpreted HOF chain); the only corpus-scale exchange is the
+    * map-side-combined (doc, gram) aggregate. Gram sharedness derives
+    * from THAT table (one gram-key exchange of (doc, gram, cnt) rows,
+    * already collapsed to per-doc multiplicities), the dup-count
+    * join-back runs on the same gram key, and the final per-doc sum is
+    * one small exchange. Nothing is ever all-pairs; no driver action.
+    * The (doc, gram) table is persisted (consumed by both the
+    * sharedness aggregate and the join-back) — the [[Graph]] runner
+    * contract: one-shot runners clear between queries.
+    */
+  def crossDocSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, flagAtE6: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(flagAtE6 >= 0, s"flagAtE6 must be >= 0, got $flagAtE6")
+    val per = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.expressions.TextExpressions
+          .wordShinglesAll(col(textCol), k)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `per` holds one row per (doc, gram), so sharedness = row count
+    // per gram >= 2 — no COUNT(DISTINCT) expand needed
+    val shared = per.groupBy(col("g")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2).select(col("g"))
+    val dup = per.join(shared, "g")
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("dp"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        greatest(size(words(col(textCol))) - (k - 1), lit(0))
+          .cast("bigint").as("total_pos"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_pos"),
+        coalesce(col("dp"), lit(0L)).cast("bigint").as("dup_pos"))
+      .withColumn("dup_frac_e6",
+        when(col("total_pos") > 0,
+          expr("dup_pos * 1000000L div total_pos")).otherwise(lit(0L)))
+      .withColumn("flagged", col("dup_frac_e6") >= flagAtE6 && col("total_pos") > 0)
+  }
 }

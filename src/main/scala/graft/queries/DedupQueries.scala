@@ -281,8 +281,21 @@ object DedupQueries {
             (r, b) => struct(r.as("r"), b.as("b"))),
           (x, rb) => abs(x.cast("double") - rb.getField("r")) <= rb.getField("b")),
           identity).as("recon_ok"))
-    })
+    }),
+
+    // exact-substring duplication accounting (Lee et al. 2022): the
+    // fraction of each document's word-8-gram POSITIONS whose gram
+    // recurs in another document, flagged at 50%. The exhaustive
+    // position-level complement to q20's sampled signatures and q94's
+    // winnowed fingerprints — what a curation pipeline thresholds on.
+    "q143_crossdoc_spans" -> ((s, d) =>
+      Dedup.crossDocSpanStats(docs(s, d), "doc_id", "text",
+        k = SpanK, flagAtE6 = SpanFlagE6))
   )
+
+  // cross-doc span parameters (shared by Spark + oracle SQL)
+  private val SpanK = 8
+  private val SpanFlagE6 = 500000L
 
   // decontamination parameters (shared by Spark + oracle SQL)
   private val DecontK = 4
@@ -649,6 +662,39 @@ object DedupQueries {
         |                            * (b.hi[i] - b.lo[i]) / 255.0))
         |           > ((b.hi[i] - b.lo[i]) / 510.0 * 1.2 + 1e-12))) = 0
         |      AS recon_ok
-        |  FROM embeddings, b)""".stripMargin
+        |  FROM embeddings, b)""".stripMargin,
+
+    // positional k-grams (list_transform over the word list — every
+    // position, duplicates KEPT, unlike duckShingles' list_distinct),
+    // sharedness = per-gram count over the (doc, gram)-collapsed
+    // table, dup positions = multiplicity sum over shared grams
+    "q143_crossdoc_spans" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |           FROM documents),
+         |pos AS (SELECT doc_id,
+         |          unnest(CASE WHEN len(ws) >= $SpanK
+         |            THEN list_transform(range(0, len(ws) - ${SpanK - 1}),
+         |              i -> array_to_string(
+         |                list_slice(ws, CAST(i AS INT) + 1, CAST(i AS INT) + $SpanK), ' '))
+         |            ELSE CAST([] AS VARCHAR[]) END) AS g
+         |        FROM w),
+         |per AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM pos GROUP BY 1, 2),
+         |sh AS (SELECT g FROM (SELECT g, COUNT(*) AS d FROM per GROUP BY 1)
+         |       WHERE d >= 2),
+         |dup AS (SELECT per.doc_id, CAST(SUM(cnt) AS BIGINT) AS dp
+         |        FROM per JOIN sh USING (g) GROUP BY 1),
+         |tot AS (SELECT doc_id,
+         |          CAST(greatest(len(ws) - ${SpanK - 1}, 0) AS BIGINT) AS total_pos
+         |        FROM w)
+         |SELECT t.doc_id, t.total_pos,
+         |       CAST(COALESCE(dup.dp, 0) AS BIGINT) AS dup_pos,
+         |       CAST(CASE WHEN t.total_pos > 0
+         |            THEN COALESCE(dup.dp, 0) * 1000000 // t.total_pos
+         |            ELSE 0 END AS BIGINT) AS dup_frac_e6,
+         |       (t.total_pos > 0 AND CASE WHEN t.total_pos > 0
+         |            THEN COALESCE(dup.dp, 0) * 1000000 // t.total_pos
+         |            ELSE 0 END >= $SpanFlagE6) AS flagged
+         |FROM tot t LEFT JOIN dup USING (doc_id)""".stripMargin
   )
 }

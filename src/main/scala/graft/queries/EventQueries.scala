@@ -298,8 +298,65 @@ object EventQueries {
         payload = Seq("ptus", "purchase_value"))
         .select(col("event_id"), col("user_id"),
           col("ptus").as("last_purchase_us"), col("purchase_value"))
+    }),
+
+    // linear multi-touch attribution: every purchase's cents are split
+    // (floor) equally across that user's clicks in the prior 24 h;
+    // output is the per-click credit ledger. The candidate join is
+    // user-keyed (per-user event counts are bounded — never all-pairs),
+    // the touch count is ONE window over the pair table, and all money
+    // stays integer cents, so both engines replay the floor splits
+    // bit-identically.
+    "q142_attribution" -> ((s, d) => {
+      val cents = expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      val p = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("tus").as("p_t"), cents.as("cents"))
+      val c = ev(s, d).filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("tus").as("c_t"))
+      p.join(c, Seq("user_id"))
+        .filter(col("c_t") < col("p_t") &&
+          col("c_t") >= col("p_t") - AttrWindowUs)
+        .withColumn("n_touch",
+          count(lit(1)).over(Window.partitionBy(col("p_id"))))
+        .select(col("c_id"), col("user_id"),
+          expr("cents div n_touch").as("credit"))
+        .groupBy(col("c_id"), col("user_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_credits"),
+          sum(col("credit")).cast("bigint").as("credit_cents"))
+    }),
+
+    // inter-arrival gap histogram — the empirical basis for the
+    // session-gap threshold (SessionGapUs = 2 h, q33) and for
+    // streaming state-timeout sizing: per user, the gap to the
+    // previous event, bucketed to hours (clamped at 48+), with the
+    // cumulative share each bucket covers ("a 2-hour cutoff splits
+    // x% of consecutive pairs"). The gap is ONE per-user lag window
+    // (partition-parallel); only the ≤49-row bucket table crosses a
+    // single-partition frame.
+    "q144_gap_histogram" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val buckets = ev(s, d)
+        .select(col("user_id"), col("event_id"), col("tus"))
+        .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .select(least(lit(48L), expr("gap_us div 3600000000L")).as("bucket_h"))
+        .groupBy(col("bucket_h")).agg(count(lit(1)).as("n"))
+      buckets
+        .withColumn("cum", sum(col("n")).over(
+          Window.orderBy(col("bucket_h"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(buckets.agg(sum(col("n")).as("total"))))
+        .select(col("bucket_h"), col("n").cast("bigint").as("n"),
+          expr("cum * 1000000L div total").cast("bigint").as("cum_share_e6"))
     })
   )
+
+  /** q142's attribution lookback (24 h in epoch micros; shared by
+    * Spark + oracle SQL). */
+  private val AttrWindowUs: Long = 86400000000L
 
   def oracleSql: Map[String, String] = Map(
 
@@ -464,6 +521,39 @@ object EventQueries {
         |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
         |       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q142_attribution" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus,
+         |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |  FROM events),
+         |p AS (SELECT user_id, event_id AS p_id, tus AS p_t, cents
+         |      FROM e WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id AS c_id, tus AS c_t
+         |      FROM e WHERE event_type = 'click'),
+         |pr AS (SELECT p.user_id, p_id, c_id, cents,
+         |              COUNT(*) OVER (PARTITION BY p_id) AS n_touch
+         |       FROM p JOIN c ON p.user_id = c.user_id
+         |        AND c_t < p_t AND c_t >= p_t - $AttrWindowUs)
+         |SELECT c_id, user_id, CAST(COUNT(*) AS BIGINT) AS n_credits,
+         |       CAST(SUM(cents // n_touch) AS BIGINT) AS credit_cents
+         |FROM pr GROUP BY 1, 2""".stripMargin,
+
+    "q144_gap_histogram" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus
+        |           FROM events),
+        |l AS (SELECT tus - lag(tus, 1) OVER (PARTITION BY user_id
+        |        ORDER BY tus, event_id) AS gap_us
+        |      FROM e),
+        |b AS (SELECT least(48, gap_us // 3600000000) AS bucket_h,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM l WHERE gap_us IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b)
+        |SELECT bucket_h, n,
+        |       CAST(CAST(SUM(n) OVER (ORDER BY bucket_h
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |            * 1000000 // t.total AS BIGINT) AS cum_share_e6
+        |FROM b, t""".stripMargin
   )
 }

@@ -122,6 +122,29 @@ object RelationalQueries {
       graft.operators.RangeJoin.binnedOverlapJoin(l, r,
         "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 8.0)
         .select(col("l_id"), col("r_id"))
+    }),
+
+    // join-key skew probe: the diagnostic a planner (or an operator
+    // choosing a salt factor — q32's input) runs BEFORE a big join.
+    // One map-combined key aggregate + one scalar fold; the hot key
+    // resolves deterministically via struct max (count, then key).
+    // skew_e2 = max_n / mean_n on an integer e2 grid; rec_salt =
+    // ceil(max_n / mean_n) — the partition multiplier that levels the
+    // hottest key. Overflow: max_n * n_keys <= total * n_keys; scale
+    // down first (the driftTV trick) past ~1e9 keys x 1e9 rows.
+    "q145_skew_probe" -> ((s, d) => {
+      val counts = Tables(s, d, "lineitem")
+        .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("n"))
+      counts.agg(
+          sum(col("n")).cast("bigint").as("total_rows"),
+          count(lit(1)).cast("bigint").as("n_keys"),
+          max(struct(col("n"), col("k"))).as("hot"))
+        .select(col("total_rows"), col("n_keys"),
+          col("hot.k").as("hot_key"), col("hot.n").as("max_n"))
+        .withColumn("skew_e2",
+          expr("max_n * 100L * n_keys div total_rows"))
+        .withColumn("rec_salt",
+          expr("(max_n * n_keys + total_rows - 1L) div total_rows"))
     })
   )
 
@@ -188,6 +211,20 @@ object RelationalQueries {
         |         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + 10 AS r_hi
         |  FROM orders WHERE o_custkey % 97 = 0)
         |SELECT l_id, r_id
-        |FROM l JOIN r ON l_lo < r_hi AND r_lo < l_hi""".stripMargin
+        |FROM l JOIN r ON l_lo < r_hi AND r_lo < l_hi""".stripMargin,
+
+    "q145_skew_probe" ->
+      """WITH c AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM lineitem GROUP BY 1),
+        |a AS (SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+        |             CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |             MAX(n) AS max_n
+        |      FROM c),
+        |h AS (SELECT k AS hot_key FROM c ORDER BY n DESC, k DESC LIMIT 1)
+        |SELECT total_rows, n_keys, hot_key, max_n,
+        |       CAST(max_n * 100 * n_keys // total_rows AS BIGINT) AS skew_e2,
+        |       CAST((max_n * n_keys + total_rows - 1) // total_rows AS BIGINT)
+        |         AS rec_salt
+        |FROM a, h""".stripMargin
   )
 }

@@ -493,8 +493,30 @@ object TextQueries {
           (col("est") >= col("n")).as("no_undercount"),
           (col("est") - col("n") <= expr(s"8L * element_at(sk, 3) div $CmsWidth"))
             .as("within_bound"))
-    })
+    }),
+
+    // exact phrase search: occurrences of a fixed word trigram per
+    // document. ONE native positional-shingle pass per row + an array
+    // filter — zero joins, zero corpus shuffle; the plan is a pure
+    // scan-side map, which is precisely the 100 TB answer for "count
+    // phrase hits per doc" (an inverted-index formulation pays three
+    // explode+join exchanges to produce the same bounded output).
+    "q141_phrase_match" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          size(filter(
+            graft.expressions.TextExpressions
+              .wordShinglesAll(col("text"), PhraseWords.length),
+            g => g === lit(PhraseWords.mkString(" "))))
+            .cast("bigint").as("n_matches"))
+        .filter(col("n_matches") > 0))
   )
+
+  /** q141's probe phrase (shared by Spark + oracle SQL) — occurs at
+    * EVERY testdata scale factor (the sf0.001 smoke requires rows > 0;
+    * "slow hash batch" was frequent at sf0.01 but absent from the
+    * 50-doc sf0.001 corpus), multiple times across several docs. */
+  private val PhraseWords = Seq("big", "order", "scan")
 
   /** q104 per-stratum sample quota (shared by Spark + oracle SQL). */
   private val StratQuota = 5
@@ -934,6 +956,24 @@ object TextQueries {
          |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
          |        FROM documents)
          |  GROUP BY 1)
-         |WHERE rnk <= $CmsProbes""".stripMargin
+         |WHERE rnk <= $CmsProbes""".stripMargin,
+
+    "q141_phrase_match" -> {
+      val k = PhraseWords.length
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |           FROM documents),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(ws) >= $k
+         |          THEN list_transform(range(0, len(ws) - ${k - 1}),
+         |            i -> array_to_string(
+         |              list_slice(ws, CAST(i AS INT) + 1, CAST(i AS INT) + $k), ' '))
+         |          ELSE CAST([] AS VARCHAR[]) END AS gs
+         |      FROM w)
+         |SELECT doc_id,
+         |       CAST(len(list_filter(gs, x -> x = '${PhraseWords.mkString(" ")}'))
+         |            AS BIGINT) AS n_matches
+         |FROM g
+         |WHERE len(list_filter(gs, x -> x = '${PhraseWords.mkString(" ")}')) > 0""".stripMargin
+    }
   )
 }

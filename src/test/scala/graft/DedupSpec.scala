@@ -40,6 +40,56 @@ class DedupSpec extends SparkSpec {
     assert(d2.count() === 0)
   }
 
+  test("positional word_shingles keeps every k-gram in order, duplicates included") {
+    import graft.expressions.TextExpressions.wordShinglesAll
+    val out = Seq("a b c d", "x x x x", "a b")
+      .toDF("t").select(wordShinglesAll(col("t"), 3)).as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq("x x x", "x x x")) // duplicates KEPT
+    assert(out(2) === Seq.empty)
+    // composed positional reference (the shinglesComposed chain minus
+    // the distinct): parity on real docs incl. tokenizer edges
+    def composed(c: org.apache.spark.sql.Column, k: Int) = {
+      val w = graft.functions.TextFunctions.words(c)
+      if (k == 1) w
+      else array_compact((1 until k).foldLeft(w) { (acc, j) =>
+        val shifted = slice(w, lit(j + 1), greatest(size(w) - j, lit(0)))
+        zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+      })
+    }
+    for (k <- Seq(1, 2, 3)) {
+      val diff = Tables(spark, sf001, "documents")
+        .select(wordShinglesAll(col("text"), k).as("fast"),
+          composed(col("text"), k).as("slow"))
+        .filter(col("fast") =!= col("slow"))
+      assert(diff.count() === 0, s"k=$k mismatch")
+    }
+    val edge = Seq("AÇÃO é ótima! X9y, Zz... ,,", "", "  ", "ab ab ab").toDF("text")
+    val d2 = edge.select(wordShinglesAll(col("text"), 2).as("fast"),
+      composed(col("text"), 2).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(d2.count() === 0)
+  }
+
+  test("crossDocSpanStats: planted cross-doc repeats, self-repeats, short docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // all 3 positions shared with doc 5
+      (2L, "a b c d e f g h x y"), // 1 of 3 positions shared (the prefix 8-gram)
+      (3L, "z z z z z z z z"),     // self-repeat only — within ONE doc, not shared
+      (4L, "q w e r t"),           // < 8 words: zero positions
+      (5L, "a b c d e f g h i j") // exact dup of doc 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocSpanStats(docs, "doc_id", "text", k = 8, flagAtE6 = 500000L)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      1L -> ((3L, 3L, 1000000L, true)),
+      2L -> ((3L, 1L, 333333L, false)),
+      3L -> ((1L, 0L, 0L, false)),
+      4L -> ((0L, 0L, 0L, false)),
+      5L -> ((3L, 3L, 1000000L, true))))
+  }
+
   test("nearDupPairs finds planted near-dup, not unrelated docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
