@@ -199,6 +199,50 @@ object Streams {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
 
+  final case class GapEvent(user_id: Long, tus: Long, event_id: Long)
+  final case class GapBucket(user_id: Long, bucket_h: Long, n: Long)
+
+  /** Streaming face of the q144 inter-arrival gap histogram
+    * ([[graft.queries.EventQueries]]): per-user keyed state holds the
+    * last seen timestamp; each micro-batch emits the batch's gap-bucket
+    * increments for that user (append mode — sum downstream, or in the
+    * test sink, for the running histogram). Within a batch the group's
+    * events sort by (tus, event_id) — the batch window's tie rule.
+    *
+    * Parity contract (StreamsSpec): when a keyed stream arrives in
+    * per-key time order across batches — the property a replayed
+    * ordered source has — the summed increments equal the batch
+    * query's lag-window bucket counts on the same data, because each
+    * consecutive (prev, next) pair is scored exactly once: inside a
+    * batch by the sort, across batches through the saved last
+    * timestamp. A late event (tus behind the state) has no
+    * well-defined predecessor gap anymore; it clamps into bucket 0
+    * rather than going negative, keeping the histogram total equal to
+    * the event count either way.
+    *
+    * State is ONE long per user — the fixed-footprint analog of the
+    * session-gap tuning readout; production deployments add a state
+    * timeout (the [[runningUserCounts]] note). */
+  def runningGapBuckets(events: Dataset[GapEvent],
+                        bucketUs: Long = 3600000000L,
+                        clamp: Long = 48L): Dataset[GapBucket] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[GapEvent], state: GroupState[Long]) =>
+          val evs = batch.toSeq.sortBy(e => (e.tus, e.event_id))
+          val tss = evs.map(_.tus)
+          val chain = state.getOption.toSeq ++ tss
+          val gaps = chain.sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+          if (tss.nonEmpty) state.update(math.max(
+            tss.last, state.getOption.getOrElse(Long.MinValue)))
+          gaps.groupBy(g => math.min(clamp, math.max(0L, g) / bucketUs))
+            .map { case (b, gs) => GapBucket(uid, b, gs.size.toLong) }
+            .iterator
+      }
+  }
+
   /** Dedup-on-ingest: each micro-batch is first near-dup-checked
     * AGAINST ITSELF ([[graft.operators.Dedup.nearDupPairs]] on the
     * batch alone — batch-sized, so the self-join is trivial; crawl

@@ -169,6 +169,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningGapBuckets: summed streamed increments equal the batch lag-window histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{GapBucket, GapEvent}
+    // per-user ordered arrivals split across 3 batches at time cuts, so
+    // cross-batch gaps must bridge through the saved last timestamp
+    val hr = 3600000000L
+    val evs = Seq( // (user, tus, event_id)
+      GapEvent(1L, 0L, 0L), GapEvent(1L, hr / 2, 1L),       // gap 0.5h → b0
+      GapEvent(2L, hr / 4, 2L),
+      GapEvent(1L, 3 * hr, 3L),                             // gap 2.5h → b2
+      GapEvent(2L, 50 * hr, 4L),                            // gap 49.75h → b48 (clamped)
+      GapEvent(1L, 3 * hr, 5L),                             // tie ts: gap 0 → b0
+      GapEvent(1L, 4 * hr, 6L), GapEvent(2L, 51 * hr, 7L))  // b0 (1h), b1 (1h)
+    val cuts = Seq(hr, 4 * hr, Long.MaxValue)
+    val mem = MemoryStream[GapEvent]
+    val q = Streams.runningGapBuckets(mem.toDS())
+      .writeStream.format("memory").queryName("gap_run")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      var lo = Long.MinValue
+      for (hi <- cuts) {
+        mem.addData(evs.filter(e => e.tus > lo && e.tus <= hi): _*)
+        q.processAllAvailable()
+        lo = hi
+      }
+      val streamed = spark.table("gap_run").as[GapBucket].collect()
+        .groupBy(_.bucket_h).map { case (b, v) => b -> v.map(_.n).sum }
+      val batch = evs.toDF("user_id", "tus", "event_id")
+        .withColumn("gap_us", col("tus") - org.apache.spark.sql.functions
+          .lag(col("tus"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))))
+        .filter(col("gap_us").isNotNull)
+        .select(org.apache.spark.sql.functions.least(lit(48L),
+          org.apache.spark.sql.functions.expr("gap_us div 3600000000L")).as("b"))
+        .groupBy("b").count().as[(Long, Long)].collect().toMap
+      assert(streamed === batch)
+      assert(streamed === Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 48L -> 1L))
+    } finally q.stop()
+  }
+
   test("attributedPairs: stream-stream join within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Regenerate README.md's decade-scale ratio tables from the committed
+bench artifacts (BENCH-sf0.1-same-code.json / BENCH-sf1ish.json /
+BENCH-sf10ish.json). Replaces the top-N and full <details> tables and
+the totals sentences in both "## Scale:" sections in place."""
+import json, re
+
+def load(p):
+    d = json.load(open(p))
+    return {k: v for k, v in d["queries"].items() if v > 0}
+
+def table(qa, qb, names):
+    rows = ["| query | before (s) | after (s) | ratio |", "|---|---|---|---|"]
+    for q in names:
+        rows.append(f"| {q} | {qa[q]:.2f} | {qb[q]:.2f} | {qb[q]/qa[q]:.1f}x |")
+    return "\n".join(rows)
+
+a = load("BENCH-sf0.1-same-code.json")
+b = load("BENCH-sf1ish.json")
+c = load("BENCH-sf10ish.json")
+
+readme = open("README.md").read()
+
+def replace_section(readme, qa, qb, heading, top_n):
+    shared = [q for q in qb if q in qa]
+    ta, tb = sum(qa[q] for q in shared), sum(qb[q] for q in shared)
+    by_ratio = sorted(shared, key=lambda q: -(qb[q] / qa[q]))
+    top = [q for q in by_ratio if qb[q] >= 0.3][:top_n]
+    full = sorted(shared, key=lambda q: -(qb[q] / qa[q]))
+    # section spans from heading to the </details> that closes its full table
+    start = readme.index(heading)
+    end = readme.index("</details>", start) + len("</details>")
+    sec = readme[start:end]
+    # totals sentence: the bold "**...**" line pair
+    sec = re.sub(r"\*\*10x the data costs [^*]+\*\*\s*\([^)]+\)",
+                 f"**10x the data costs {tb/ta:.2f}x the wall-clock** "
+                 f"({ta:.1f} s -> {tb:.1f} s across all {len(shared)} shared queries)",
+                 sec, count=1)
+    # top table: first "| query |" table up to blank line
+    m = re.search(r"\| query \| before[^\n]*\n\|---\|[^\n]*\n(?:\|[^\n]*\n)+", sec)
+    sec = sec[:m.start()] + table(qa, qb, top) + "\n" + sec[m.end():]
+    # full table inside <details>
+    m = re.search(r"(<details>.*?\n\n)(\| query \| before[^\n]*\n\|---\|[^\n]*\n(?:\|[^\n]*\n)+)",
+                  sec, re.S)
+    sec = sec[:m.start(2)] + table(qa, qb, full) + "\n" + sec[m.end(2):]
+    return readme[:start] + sec + readme[end:]
+
+readme = replace_section(readme, a, b, "## Scale: 10x bench (sf1ish)", 12)
+readme = replace_section(readme, b, c, "## Scale: 100x decade (sf10ish)", 20)
+open("README.md", "w").write(readme)
+print("rewrote README tables")
