@@ -144,8 +144,16 @@ object Graph {
     def ckpt(df: DataFrame) =
       if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
+    // the edge list is pre-partitioned on `a` BEFORE the persist: every
+    // iteration joins it on a = p, and a cached relation carries its
+    // outputPartitioning, so the loop-invariant m-row side shuffles ONCE
+    // at build instead of once per iteration — only the vertex-sized
+    // contrib side exchanges inside the loop. The deg aggregate below
+    // rides the same partitioning (groupBy key = partition key ⇒ no
+    // exchange).
     val e = ckpt(e0.select(col("a"), col("b"))
-      .unionAll(e0.select(col("b").as("a"), col("a").as("b"))))
+      .unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")))
     val deg = ckpt(e.groupBy(col("a").as("p")).agg(count(lit(1)).as("dg")))
     val cnt = deg.agg(count(lit(1)).as("n"))
     val r0 = deg.select(col("p")).crossJoin(cnt)
@@ -201,8 +209,12 @@ object Graph {
     def ckpt(df: DataFrame) =
       if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
+    // pre-partitioned on the per-hop join key `a` (the pageRank
+    // rationale): the m-row edge side shuffles once at build, and each
+    // hop's join exchanges only the vertex-sized frontier.
     val e = ckpt(e0.select(col("a"), col("b"))
-      .unionAll(e0.select(col("b").as("a"), col("a").as("b"))))
+      .unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")))
     val d0 = seeds.toDF("p").distinct().select(col("p"), lit(0).as("dist"))
     (1 to maxHops).foldLeft(ckpt(d0)) { (dPrev, k) =>
       // dist(v) at hop k = min(dist so far, k if any neighbor reached):
@@ -221,6 +233,49 @@ object Graph {
         .select(col("b").as("p"), lit(k).as("dist"))
       ckpt(dPrev.unionAll(relaxed)
         .groupBy(col("p")).agg(min(col("dist")).cast("int").as("dist")))
+    }
+  }
+
+  /** Bounded-hop weighted shortest path (Bellman–Ford relaxation) from
+    * a seed set over an undirected weighted edge list `(a, b, w)` with
+    * non-negative BIGINT weights: dist(v) after k rounds is the exact
+    * minimum path weight among paths of ≤ k edges. Returns
+    * `(p, dist BIGINT)` for every vertex reachable within `maxHops`.
+    *
+    * Unlike [[bfs]] the relaxation CANNOT restrict to the newest
+    * frontier — a vertex's distance may improve at any round through a
+    * longer-but-lighter path — so each round relaxes the FULL standing
+    * dist table (the textbook distributed Bellman–Ford). All
+    * arithmetic is BIGINT min/+ (the tropical semiring), so results
+    * replay bit-identically on any engine; overflow needs max path
+    * weight < 2⁶³, i.e. maxHops · max(w) bounded — trivially true for
+    * the compile-time hop counts this targets.
+    *
+    * Shape at scale: one hash join of the pre-partitioned edge list
+    * with the vertex-sized dist table plus one min-aggregate per
+    * round; the edge list shuffles once at build (the [[pageRank]]
+    * pre-partitioning), each round exchanges only vertex-sized tables;
+    * no driver action anywhere.
+    */
+  def weightedHops(e0: DataFrame, seeds: DataFrame, maxHops: Int,
+                   materialize: Boolean = true): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    def ckpt(df: DataFrame) =
+      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val e = ckpt(e0.select(col("a"), col("b"), col("w"))
+      .unionAll(e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .repartition(col("a")))
+    val d0 = seeds.toDF("p").distinct().select(col("p"), lit(0L).as("dist"))
+    (1 to maxHops).foldLeft(ckpt(d0)) { (dPrev, _) =>
+      // each round's dist table is consumed twice (keep + relax) —
+      // materialized for the bfs reason (the plan doubles per round
+      // otherwise). shuffle_hash: the dist side is vertex-sized, the
+      // edge side must never sort.
+      val relaxed = e.join(dPrev.hint("shuffle_hash"), col("a") === col("p"))
+        .select(col("b").as("p"), (col("dist") + col("w")).as("dist"))
+      ckpt(dPrev.unionAll(relaxed)
+        .groupBy(col("p")).agg(min(col("dist")).cast("bigint").as("dist")))
     }
   }
 

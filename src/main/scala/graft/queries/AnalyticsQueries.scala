@@ -236,6 +236,27 @@ object AnalyticsQueries {
       Graph.bfs(e0, seeds, maxHops = 3)
     }),
 
+    // bounded-hop WEIGHTED shortest path (distributed Bellman–Ford,
+    // the tropical-semiring generalization of q133's BFS): exact
+    // minimum path weight within 3 hops from the seed parts over a
+    // 1/7-sample co-order graph. Edge weights are a deterministic
+    // integer mix of the endpoint keys — engine-exact, and mirrored
+    // literally in the oracle. Each round is one hash join of the
+    // pre-partitioned edge list with the vertex-sized dist table plus
+    // one min-aggregate; BIGINT min/+ replays bit-identically.
+    "q147_weighted_path" -> ((s, d) => {
+      val op = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e0 = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        .withColumn("w", expr("(a * 7 + b * 13) % 97 + 1").cast("long"))
+      val seeds = t(s, d, "part")
+        .filter(col("p_partkey") % 89 === 0).select(col("p_partkey"))
+      Graph.weightedHops(e0, seeds, maxHops = 3)
+    }),
+
     // k-NN majority-vote classification over the embedding corpus:
     // for each query vector, the 7 nearest neighbors by exact cosine
     // vote on their labels; ties break to the smallest label.
@@ -441,6 +462,17 @@ object AnalyticsQueries {
        |    SELECT e.b, $k FROM e JOIN d_$prev ON e.a = d_$prev.p
        |    WHERE d_$prev.dist = ${k - 1}) GROUP BY 1)""".stripMargin
 
+  /** One Bellman–Ford relaxation round as a DuckDB CTE (q147): keep
+    * the standing dist table, relax EVERY vertex through every edge
+    * (weighted paths may improve at any round — no frontier filter),
+    * take the min. */
+  private def whopRound(prev: String, cur: String): String =
+    s"""w_$cur AS (SELECT p, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+       |    SELECT p, dist FROM w_$prev
+       |    UNION ALL
+       |    SELECT e.b, w_$prev.dist + e.w FROM e JOIN w_$prev ON e.a = w_$prev.p)
+       |    GROUP BY 1)""".stripMargin
+
   /** One PageRank iteration as a DuckDB CTE pair (contribution sums,
     * then the damped update). */
   private def prIter(prev: String, cur: String): String =
@@ -640,6 +672,21 @@ object AnalyticsQueries {
          |${bfsHop("1", "2", 2)},
          |${bfsHop("2", "3", 3)}
          |SELECT p, dist FROM d_3""".stripMargin,
+
+    "q147_weighted_path" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |           FROM lineitem WHERE l_orderkey % 7 = 0),
+         |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+         |ew AS (SELECT a, b, CAST((a * 7 + b * 13) % 97 + 1 AS BIGINT) AS w
+         |       FROM e0),
+         |e AS (SELECT a, b, w FROM ew UNION ALL SELECT b, a, w FROM ew),
+         |w_0 AS (SELECT DISTINCT p_partkey AS p, CAST(0 AS BIGINT) AS dist
+         |        FROM part WHERE p_partkey % 89 = 0),
+         |${whopRound("0", "1")},
+         |${whopRound("1", "2")},
+         |${whopRound("2", "3")}
+         |SELECT p, dist FROM w_3""".stripMargin,
 
     "q134_knn_vote" ->
       s"""WITH p AS (

@@ -63,7 +63,7 @@ object CoreQueries {
         root = tempRoots.poll()
       }
     }))
-  private def cleanupAtExit(root: java.nio.file.Path): Unit = {
+  private[queries] def cleanupAtExit(root: java.nio.file.Path): Unit = {
     cleanupHook
     tempRoots.add(root)
   }

@@ -132,6 +132,38 @@ object RelationalQueries {
     // ceil(max_n / mean_n) — the partition multiplier that levels the
     // hottest key. Overflow: max_n * n_keys <= total * n_keys; scale
     // down first (the driftTV trick) past ~1e9 keys x 1e9 rows.
+    // bucketed co-located join (Spark table bucketing — the 100 TB
+    // technique the rest of the suite's ad-hoc repartitioning can't
+    // show): both sides are written ONCE as bucketed+sorted tables on
+    // the join key, and every subsequent join on that key runs with
+    // ZERO exchange on either side — the bucket layout IS the shuffle,
+    // paid at write time and amortized over every read (the classic
+    // fact/fact co-location contract; Hive/Iceberg bucket transforms,
+    // Spark `bucketBy`). The only exchange in the whole plan is the
+    // tiny post-join priority aggregate — PlanSpec-pinned. Values are
+    // layout-independent, so the oracle is the plain join-agg.
+    "q146_bucketed_join" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q146")
+      CoreQueries.cleanupAtExit(root)
+      s.sql("DROP TABLE IF EXISTS g_q146_li")
+      s.sql("DROP TABLE IF EXISTS g_q146_ord")
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          (dec(col("l_extendedprice")) * 100).cast("bigint").as("gross_cents"))
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", root.resolve("li").toString)
+        .saveAsTable("g_q146_li")
+      Tables(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", root.resolve("ord").toString)
+        .saveAsTable("g_q146_ord")
+      s.table("g_q146_li").join(s.table("g_q146_ord"), "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("gross_cents")).as("rev_cents"))
+    }),
+
     "q145_skew_probe" -> ((s, d) => {
       val counts = Tables(s, d, "lineitem")
         .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("n"))
@@ -212,6 +244,13 @@ object RelationalQueries {
         |  FROM orders WHERE o_custkey % 97 = 0)
         |SELECT l_id, r_id
         |FROM l JOIN r ON l_lo < r_hi AND r_lo < l_hi""".stripMargin,
+
+    "q146_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q145_skew_probe" ->
       """WITH c AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS n

@@ -57,6 +57,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got2 === Map(1L -> 0, 2L -> 1, 3L -> 2, 99L -> 0))
   }
 
+  // ------------------------------------------- weighted shortest path (q147)
+
+  /** Sequential Bellman–Ford: relax every edge against the frozen
+    * start-of-round table, merge mins — the operator's exact contract. */
+  private def bruteWsp(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+                       maxHops: Int): Map[Long, Long] = {
+    val dir = edges ++ edges.map(e => (e._2, e._1, e._3))
+    var dist: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to maxHops) {
+      val relaxed = dir.flatMap { case (a, b, w) =>
+        dist.get(a).map(d => b -> (d + w)) }
+      dist = relaxed.foldLeft(dist) { case (m, (p, dd)) =>
+        if (m.get(p).forall(_ > dd)) m + (p -> dd) else m }
+    }
+    dist
+  }
+
+  test("weightedHops: matches sequential Bellman-Ford on random graphs") {
+    val edgeGen = Gen.listOfN(60, Gen.zip(
+      Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L), Gen.chooseNum(1L, 9L)))
+    for (seed <- 1L to 5L) {
+      val edges = sample(edgeGen, seed).filter(e => e._1 != e._2).distinct
+      val seeds = Set(0L, 7L, 13L)
+      val got = Graph.weightedHops(
+          edges.toDF("a", "b", "w"), seeds.toSeq.toDF("p"), maxHops = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got === bruteWsp(edges, seeds, 3), s"seed=$seed")
+    }
+  }
+
+  test("weightedHops: a lighter 2-hop path beats a heavy direct edge") {
+    // 1-2 costs 10 direct, but 1-3-2 costs 3 — a frontier-filtered
+    // relaxation (the BFS shortcut) would freeze dist(2) at 10
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L)).toDF("a", "b", "w")
+    val got1 = Graph.weightedHops(edges, Seq(1L).toDF("p"), maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got1 === Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+    val got2 = Graph.weightedHops(edges, Seq(1L).toDF("p"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 0L, 2L -> 3L, 3L -> 1L))
+  }
+
   // ------------------------------------------------------- association rules
 
   private def bruteRules(bi: Seq[(Long, String)], minSup: Long)

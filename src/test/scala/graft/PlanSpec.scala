@@ -350,6 +350,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q133 grew a cartesian:\n$p")
   }
 
+  test("q146: the bucketed join exchanges NOTHING but the final aggregate") {
+    // broadcast disabled for the pin: at spec scale AQE would broadcast
+    // the orders side and the co-location claim would pass vacuously —
+    // the production claim is exchange-free SMJ/SHJ between two
+    // bucketed tables, which only shows when neither side broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = finalPlan("q146_bucketed_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"q146 must join the bucketed tables (no broadcast at -1 threshold):\n$p")
+      assert(shuffles(p) <= 1,
+        s"q146's bucketed join must not exchange either side " +
+          s"(only the post-join priority agg may shuffle):\n$p")
+      assert(!p.contains("CartesianProduct"), s"q146 grew a cartesian:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q147: weighted-path rounds consume persisted tables via hash joins") {
+    // the q133 discipline, tropical-semiring variant: hop joins live in
+    // nested InMemoryRelation sub-plans, so assert the FULL plan string
+    val df = SparkEntry.queries("q147_weighted_path")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"q147's edge/dist tables must be persisted (columnar):\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"q147 regressed to localCheckpoint (deserialized row blocks):\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"q147's relaxation joins must stay hash:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q147 regressed to sorting the edge side per round:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q147 grew a cartesian:\n$p")
+  }
+
   test("q126: grid join buckets by cell — bounded generate, no cartesian") {
     val p = finalPlan("q126_grid_neighbors")
     // the probe side expands x9 through a Generate; candidates come
