@@ -164,6 +164,42 @@ object RelationalQueries {
           sum(col("gross_cents")).as("rev_cents"))
     }),
 
+    // dynamic partition pruning (the third classic layout lever after
+    // q146's bucketing and q80's z-order): the fact is written
+    // PARTITIONED BY year, the dim filter is only known at run time
+    // (a joined table, not a literal), and Spark's DPP turns the
+    // broadcast dim into a runtime partition filter on the fact scan —
+    // at 100 TB the fact reads 2 of N year partitions instead of all
+    // of them. PlanSpec pins the `dynamicpruning` subquery in the
+    // fact's PartitionFilters. Values are layout-independent, so the
+    // oracle is the plain join-agg over a VALUES dim.
+    "q148_dpp_prune" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q148")
+      CoreQueries.cleanupAtExit(root)
+      s.sql("DROP TABLE IF EXISTS g_q148_fact")
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          (dec(col("o_totalprice")) * 100).cast("bigint").as("cents"),
+          year(col("o_orderdate")).cast("int").as("oyear"))
+        .write.partitionBy("oyear")
+        .option("path", root.resolve("fact").toString)
+        .saveAsTable("g_q148_fact")
+      import s.implicits._
+      // the dim must be a REAL scan: an in-memory LocalRelation gets
+      // its filter constant-folded before the PartitionPruning rule
+      // looks for a selective predicate, and DPP never fires
+      Seq(
+        (1992, "cold"), (1993, "cold"), (1994, "cold"), (1995, "hot"),
+        (1996, "hot"), (1997, "cold"), (1998, "cold"))
+        .toDF("oyear", "tag")
+        .write.parquet(root.resolve("dim").toString)
+      val dim = s.read.parquet(root.resolve("dim").toString)
+      s.table("g_q148_fact")
+        .join(broadcast(dim.filter(col("tag") === "hot")), "oyear")
+        .groupBy(col("oyear"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    }),
+
     "q145_skew_probe" -> ((s, d) => {
       val counts = Tables(s, d, "lineitem")
         .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("n"))
@@ -250,6 +286,18 @@ object RelationalQueries {
         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
         |      AS BIGINT) AS rev_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q148_dpp_prune" ->
+      """WITH dim(oyear, tag) AS (VALUES
+        |  (1992,'cold'),(1993,'cold'),(1994,'cold'),(1995,'hot'),
+        |  (1996,'hot'),(1997,'cold'),(1998,'cold'))
+        |SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS oyear,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |FROM orders JOIN dim ON year(CAST(o_orderdate AS DATE)) = dim.oyear
+        |WHERE tag = 'hot'
         |GROUP BY 1""".stripMargin,
 
     "q145_skew_probe" ->

@@ -368,6 +368,16 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q148: the dim filter prunes fact partitions at runtime (DPP)") {
+    val df = SparkEntry.queries("q148_dpp_prune")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"q148's fact scan lost its runtime partition filter — " +
+        s"the full fact would be read at every year:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q148 grew a cartesian:\n$p")
+  }
+
   test("q147: weighted-path rounds consume persisted tables via hash joins") {
     // the q133 discipline, tropical-semiring variant: hop joins live in
     // nested InMemoryRelation sub-plans, so assert the FULL plan string
