@@ -2,10 +2,10 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 
 /** All ordered index pairs `(a[i], a[j]), i < j` of an array, as
   * `array<struct<ia, ib>>` — the market-basket candidate generator's
@@ -85,6 +85,105 @@ case class ArrayPairs(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): ArrayPairs =
     copy(child = newChild)
+}
+
+/** `|A ∩ B|` of two SORTED ascending `array<bigint>` SETS (distinct
+  * elements, no nulls) as one two-pointer merge — the triangle
+  * counter's per-row hot path ([[graft.operators.Graph]]).
+  *
+  * The built-in `size(array_intersect(a, b))` is semantically
+  * identical on set inputs but builds a hash set of one side PER ROW
+  * and materializes the intersection ARRAY it only gets sized — for
+  * the q111 basket graph that per-row allocation dominated the
+  * intersection stage at the 100× decade. This expression reads both
+  * arrays' primitive long storage directly and counts matches in one
+  * O(|A|+|B|) pass: no allocation, no boxing, no intermediate array —
+  * and unlike the hash form it codegens into the enclosing
+  * whole-stage span (the [[DotProductFloat]] precedent).
+  *
+  * Contract: both inputs ascending-sorted and duplicate-free (what
+  * `sort_array(collect_list(...))` over distinct values yields — the
+  * adjacency build). On unsorted/duplicated input the count is
+  * undefined by design; the operator owns the invariant, and the spec
+  * pins parity against `size(array_intersect)` on set inputs.
+  * Null ELEMENTS are rejected by the type check (`containsNull` must
+  * be false); null ARRAYS propagate null like every binary expression.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = SortedIntersectCount.name
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, containsNull) => !containsNull
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${SortedIntersectCount.name} expects two array<bigint> with " +
+        s"non-nullable elements, got (${left.dataType.simpleString}, " +
+        s"${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val an = x.numElements()
+    val bn = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < an && j < bn) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val an = ctx.freshName("an")
+      val bn = ctx.freshName("bn")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $an = $a.numElements();
+         |int $bn = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $an && $j < $bn) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  val name = "sorted_intersect_count"
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"$name takes 2 arguments, got ${exprs.length}")
+      SortedIntersectCount(exprs(0), exprs(1))
+    })
 }
 
 object ArrayPairs {

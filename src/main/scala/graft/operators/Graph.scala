@@ -56,7 +56,11 @@ object Graph {
       .select(
         when(aLower, col("a")).otherwise(col("b")).as("src"),
         when(aLower, col("b")).otherwise(col("a")).as("dst"))
-      .groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+      // sorted out-lists: O(deg log deg) once at build, and the
+      // triangle intersection below becomes ONE two-pointer merge per
+      // edge (native sorted_intersect_count) instead of a per-row hash
+      // set + materialized intersection array
+      .groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     if (materialize)
       adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else adj
@@ -85,7 +89,13 @@ object Graph {
       .select(col("nbrs").as("src_nbrs"), explode(col("nbrs")).as("dst"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("dst_nbrs"))
         .hint("shuffle_hash"), "dst")
-      .select(size(array_intersect(col("src_nbrs"), col("dst_nbrs"))).as("c"))
+      // native two-pointer |A ∩ B| over the sorted out-lists (see
+      // orientedAdjacency): codegen'd, allocation-free — replaces
+      // size(array_intersect(...)), which hashed one side and built
+      // the intersection array per edge (identical count on set
+      // inputs; parity spec-pinned)
+      .select(call_function(graft.expressions.SortedIntersectCount.name,
+        col("src_nbrs"), col("dst_nbrs")).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).cast("bigint").as("n_triangles"))
 
   /** Exact triangle count of an undirected simple graph.

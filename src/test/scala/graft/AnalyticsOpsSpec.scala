@@ -57,6 +57,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got2 === Map(1L -> 0, 2L -> 1, 3L -> 2, 99L -> 0))
   }
 
+  // --------------------------------------------------- sorted_intersect_count
+
+  test("sorted_intersect_count: equals size(array_intersect) on sorted sets") {
+    val gen = Gen.listOfN(40, Gen.chooseNum(0L, 60L))
+    for (seed <- 1L to 6L) {
+      val a = sample(gen, seed).distinct.sorted
+      val b = sample(gen, seed + 100).distinct.sorted
+      val df = Seq((a, b)).toDF("x", "y")
+      val got = df.select(call_function("sorted_intersect_count",
+        col("x"), col("y"))).as[Long].head()
+      val ref = df.select(size(array_intersect(col("x"), col("y")))
+        .cast("long")).as[Long].head()
+      assert(got === ref, s"seed=$seed")
+      assert(got === (a.toSet & b.toSet).size.toLong, s"seed=$seed")
+    }
+    val edge = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 3L), Seq(2L, 4L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))).toDF("x", "y")
+    assert(edge.select(call_function("sorted_intersect_count",
+      col("x"), col("y"))).as[Long].collect().toSeq === Seq(0L, 0L, 3L))
+  }
+
   // ------------------------------------------- weighted shortest path (q147)
 
   /** Sequential Bellman–Ford: relax every edge against the frozen
