@@ -56,7 +56,7 @@ case class ArrayPairs(child: Expression)
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
     // n is a basket size by contract (bounded upstream), but guard the
-    // quadratic explicitly: 65536 elements → 2^31 pairs overflows the
+    // quadratic explicitly: 65536 elements → ~2^31 pairs overflows the
     // output array — fail loudly instead of wrapping
     require(n < 65536,
       s"${ArrayPairs.name}: input array has $n elements; " +
@@ -68,7 +68,10 @@ case class ArrayPairs(child: Expression)
       vals(i) = if (arr.isNullAt(i)) null else arr.get(i, elemType)
       i += 1
     }
-    val out = new Array[Any](n * (n - 1) / 2)
+    // size computed in LONG then narrowed: for n in [46342, 65535] —
+    // inside the guard above — the Int product n*(n-1) wraps negative
+    // and threw NegativeArraySizeException instead of working
+    val out = new Array[Any]((n.toLong * (n - 1) / 2).toInt)
     var k = 0
     i = 0
     while (i < n) {

@@ -145,7 +145,9 @@ final class Catalog(val spark: SparkSession, val root: String,
     }
 
   private def atomicWrite(dir: Path, name: String, body: String): Unit = {
-    val tmp = dir.resolve(s"$name.tmp${java.util.UUID.randomUUID().toString.take(8)}")
+    // dot-prefixed for the claimVersionFile reason: a crash-orphaned
+    // temp must not match any listing's name-prefix filter
+    val tmp = dir.resolve(s".$name.tmp${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(name),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -193,8 +195,13 @@ final class Catalog(val spark: SparkSession, val root: String,
     * by a hard kill matches the `.tmp` pattern recover() deletes. */
   private def claimVersionFile(dir: Path, name: String, body: String,
                                what: String): Unit = {
+    // dot-prefixed temp: "tag.rel.tmpX" would match tags()' "tag."
+    // prefix filter (a fully-written orphan surfaces as a phantom tag,
+    // and rollback's tag-drop could delete a LIVE writer's temp);
+    // ".tag.rel.tmpX" matches no listing prefix while keeping the
+    // ".tmp" substring recover() cleans
     val tmp = dir.resolve(
-      s"$name.tmp${java.util.UUID.randomUUID().toString.take(8)}")
+      s".$name.tmp${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     try Files.createLink(dir.resolve(name), tmp)
     catch {
@@ -407,8 +414,11 @@ final class Catalog(val spark: SparkSession, val root: String,
         try listing.iterator().asScala.map(_.getFileName.toString).toSeq
         finally listing.close()
       val orphans = names.filter { n =>
-        (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) &&
-          n.drop(prefix.length).toInt > latest) || n.contains(".tmp")
+        // toIntOption (the tags() rationale): an over-long digit run
+        // from foreign interference must not brick recovery
+        (n.startsWith(prefix) &&
+          n.drop(prefix.length).toIntOption.exists(_ > latest)) ||
+          n.contains(".tmp")
       }
       orphans.foreach(n => Files.deleteIfExists(dir.resolve(n)))
       orphans.size
@@ -627,15 +637,21 @@ final class Catalog(val spark: SparkSession, val root: String,
       .flatMap { f =>
         val raw = new String(
           Files.readAllBytes(md.resolve(f)), StandardCharsets.UTF_8).trim
-        if (raw.nonEmpty && raw.forall(_.isDigit))
-          Some(f.stripPrefix("tag.") -> raw.toInt)
-        else {
-          System.err.println(s"[catalog] skipping unparseable tag file " +
-            s"${md.resolve(f)} (content '$raw') — a crashed or foreign " +
-            "write; delete it (or re-tag) to clear this warning")
-          None
+        // toIntOption, not isDigit+toInt: an all-digit value above
+        // Int.MaxValue would pass the digit guard and throw from toInt
+        raw.toIntOption match {
+          case Some(v) => Some(f.stripPrefix("tag.") -> v)
+          case None =>
+            dropUnparseable(md, f, raw)
         }
       }.toMap
+  }
+
+  private def dropUnparseable(md: Path, f: String, raw: String): Option[(String, Int)] = {
+    System.err.println(s"[catalog] skipping unparseable tag file " +
+      s"${md.resolve(f)} (content '$raw') — a crashed or foreign " +
+      "write; delete it (or re-tag) to clear this warning")
+    None
   }
 
   /** The table exactly as pinned by `name` (see [[tag]]).

@@ -344,11 +344,17 @@ object EventQueries {
         .filter(col("gap_us").isNotNull)
         .select(least(lit(48L), expr("gap_us div 3600000000L")).as("bucket_h"))
         .groupBy(col("bucket_h")).agg(count(lit(1)).as("n"))
+      // total as an unbounded frame over the SAME window ordering: both
+      // frames run in one WindowExec pass over the ≤49-row bucket
+      // table, and `buckets` is consumed once — a crossJoin against
+      // buckets.agg(...) re-executed the corpus scan + per-user lag
+      // window for the total branch (measured as the dominant cost)
+      val wAll = Window.orderBy(col("bucket_h"))
       buckets
         .withColumn("cum", sum(col("n")).over(
-          Window.orderBy(col("bucket_h"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .crossJoin(broadcast(buckets.agg(sum(col("n")).as("total"))))
+          wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(
+          wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .select(col("bucket_h"), col("n").cast("bigint").as("n"),
           expr("cum * 1000000L div total").cast("bigint").as("cum_share_e6"))
     })

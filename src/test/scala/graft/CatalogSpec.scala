@@ -818,6 +818,16 @@ class CatalogSpec extends SparkSpec {
     // empty tag file (created, never written)
     Files.write(Paths.get(s"$dir/wh/dim_tipo/_manifests/tag.bad"),
       Array.emptyByteArray)
+    // all-digit but above Int.MaxValue (foreign interference): passed
+    // the old isDigit guard, then toInt threw and bricked tags()
+    Files.write(Paths.get(s"$dir/wh/dim_tipo/_manifests/tag.huge"),
+      "4294967296".getBytes)
+    // an orphaned IN-FLIGHT claim temp (writer hard-killed between
+    // write and createLink): dot-prefixed since round 10, so it must
+    // match no listing prefix — the old "tag.rel.tmpX" naming surfaced
+    // it as a phantom tag "rel.tmpX"
+    Files.write(Paths.get(s"$dir/wh/dim_tipo/_manifests/.tag.rel.tmp1a2b3c4d"),
+      "7".getBytes)
     assert(cat.tags("dim_tipo") === Map("good" -> 1))              // skipped
     cat.replace("dim_tipo", tipoDf("x", "y"))                      // v2
     cat.vacuum("dim_tipo")                                         // must not throw
