@@ -110,6 +110,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedHops: exact at the 2^62 path-weight margin") {
+    // BIGINT min/+ must stay exact where double would round: 2^61 and
+    // 2^61+1 differ by 1 ulp-invisible unit at this magnitude
+    val w1 = 1L << 61
+    val edges = Seq((1L, 2L, w1), (1L, 3L, w1 + 1), (2L, 4L, w1), (3L, 4L, w1))
+      .toDF("a", "b", "w")
+    val got = Graph.weightedHops(edges, Seq(1L).toDF("p"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(4L) === 2L * w1)        // via 2, not via 3 (one unit more)
+    assert(got(2L) === w1 && got(3L) === w1 + 1)
+  }
+
   test("weightedHops: a lighter 2-hop path beats a heavy direct edge") {
     // 1-2 costs 10 direct, but 1-3-2 costs 3 — a frontier-filtered
     // relaxation (the BFS shortcut) would freeze dist(2) at 10
