@@ -1,0 +1,58 @@
+package graft
+
+/** Partition-count / AQE invariance — the single-box proxy for the
+  * 1000-executor claim: a query whose result depends on
+  * `spark.sql.shuffle.partitions` or on adaptive re-planning would
+  * return different answers on a different-sized cluster, which is
+  * exactly the failure mode the suite's determinism rules (integer
+  * arithmetic, total-order tie-breaks, order-invariant aggregates)
+  * exist to prevent. This spec REPLAYS one representative query from
+  * each determinism-sensitive family under three execution regimes —
+  * the suite default, a co-prime partition count (7 splits every
+  * hash distribution differently), and AQE disabled — and asserts the
+  * collected results are IDENTICAL as sorted row multisets.
+  *
+  * Families covered: iterative graph (q124 PageRank — floor divisions
+  * inside three unrolled iterations), basket mining (q131 — e6-grid
+  * confidence/lift), integer k-means (q136 — trajectory must not fork),
+  * robust stats (q112 — dyadic-rational medians), weighted median
+  * (q120 — cross-multiplied cumulative weights), connected components
+  * (q56 — min-label convergence), MinHash LSH (q20 — band buckets),
+  * weighted shortest path (q147 — tropical semiring), BM25 ranking
+  * (q103 — exact integer rationals), window FIFO (q125).
+  */
+class InvarianceSpec extends SparkSpec {
+
+  private val queries = Seq(
+    "q124_pagerank", "q131_brand_rules", "q136_kmeans", "q112_robust_stats",
+    "q120_weighted_median", "q56_dup_clusters", "q20_minhash_lsh",
+    "q147_weighted_path", "q103_bm25", "q125_fifo_alloc")
+
+  /** Sorted row-multiset fingerprint: row order and partitioning must
+    * not matter, so compare on sorted `toString` lines. */
+  private def rows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  for (q <- queries)
+    test(s"$q: identical under default, 7 partitions, and AQE off") {
+      val base = rows(q)
+      assert(base.nonEmpty, s"$q returned no rows at sf0.001")
+      withConfs("spark.sql.shuffle.partitions" -> "7") {
+        assert(rows(q) === base, s"$q depends on the shuffle partition count")
+      }
+      withConfs("spark.sql.adaptive.enabled" -> "false") {
+        assert(rows(q) === base, s"$q depends on adaptive re-planning")
+      }
+    }
+}
