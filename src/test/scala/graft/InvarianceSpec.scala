@@ -26,7 +26,16 @@ class InvarianceSpec extends SparkSpec {
   private val queries = Seq(
     "q124_pagerank", "q131_brand_rules", "q136_kmeans", "q112_robust_stats",
     "q120_weighted_median", "q56_dup_clusters", "q20_minhash_lsh",
-    "q147_weighted_path", "q103_bm25", "q125_fifo_alloc")
+    "q147_weighted_path", "q103_bm25", "q125_fifo_alloc",
+    // array/concatenated-string outputs: ROW sorting can't mask a
+    // nondeterministic INTERNAL order, so these pin that every emitted
+    // array/path/list is ordered by construction (sort_array, rank
+    // tie-breaks), not by partition accident
+    "q98_group_topk", "q102_tfidf_terms", "q113_session_paths",
+    "q70_pack_sequences", "q47_listagg", "q143_crossdoc_spans",
+    // layout-lever queries: the bucketed write (16 buckets) and the
+    // DPP-pruned scan must give identical answers at any parallelism
+    "q146_bucketed_join", "q148_dpp_prune")
 
   /** Sorted row-multiset fingerprint: row order and partitioning must
     * not matter, so compare on sorted `toString` lines. */
