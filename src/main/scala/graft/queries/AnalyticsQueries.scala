@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.operators.{AssocRules, Dedup, Expectations, Graph, SpatialJoin, StatTests}
+import graft.operators.{AssocRules, Dedup, Expectations, Graph, ItemSimilarity, SpatialJoin, StatTests}
 
 /** Round-9 analytics additions: iterative graph ranking, exact FIFO
   * allocation, grid-bucketed spatial join, and the declarative
@@ -29,6 +29,10 @@ object AnalyticsQueries {
   private val PrScale = 1000000000L
   private val PrIters = 3
   private val PrTopK = 20
+
+  /** q149 neighbor-table shape (shared by Spark + oracle SQL). */
+  private val ItemSimK = 5
+  private val ItemSimMinPair = 3L
 
   /** q126 grid geometry (shared by Spark + oracle SQL): one M×M tile
     * per replica key block, so point density — and with it pair and
@@ -256,6 +260,21 @@ object AnalyticsQueries {
         .filter(col("p_partkey") % 89 === 0).select(col("p_partkey"))
       Graph.weightedHops(e0, seeds, maxHops = 3)
     }),
+
+    // item-item collaborative filtering: top-5 cosine neighbors per
+    // supplier over order-basket co-occurrence — the recommender
+    // counterpart of q131's directional rules (operators.
+    // ItemSimilarity: same ONE basket-key shuffle + in-array pair
+    // generation, then a normalized symmetric ranking instead of
+    // confidence/lift). Squared cosine on the e6 grid is pure
+    // positive-BIGINT floor division, so the ranking replays
+    // bit-identically; (score desc, pair_n desc, neighbor) is a
+    // unique-key tie-break.
+    "q149_item_cosine" -> ((s, d) =>
+      ItemSimilarity.topNeighbors(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+        k = ItemSimK, minPair = ItemSimMinPair)),
 
     // k-NN majority-vote classification over the embedding corpus:
     // for each query vector, the 7 nearest neighbors by exact cosine
@@ -830,6 +849,29 @@ object AnalyticsQueries {
         |                        // GREATEST(1, (2 * n_a * n_b) // 1000000000000))
         |         AS tv_e6
         |FROM n""".stripMargin,
+
+    "q149_item_cosine" ->
+      s"""WITH e AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it
+         |           FROM lineitem),
+         |n AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+         |pr AS (SELECT x.it AS ia, y.it AS ib,
+         |              CAST(COUNT(*) AS BIGINT) AS pair_n
+         |       FROM e x JOIN e y ON x.bk = y.bk AND x.it < y.it
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= $ItemSimMinPair),
+         |r AS (SELECT ia AS item, ib AS neighbor, pair_n FROM pr
+         |      UNION ALL SELECT ib, ia, pair_n FROM pr),
+         |sc AS (SELECT r.item, r.neighbor, r.pair_n, na.n AS a_n,
+         |              nb.n AS b_n,
+         |              CAST((r.pair_n * 1000000 // na.n) * r.pair_n // nb.n
+         |                   AS BIGINT) AS score_e6
+         |       FROM r JOIN n na ON na.it = r.item
+         |              JOIN n nb ON nb.it = r.neighbor)
+         |SELECT item, neighbor, pair_n, a_n, b_n, score_e6, rn FROM (
+         |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY item
+         |           ORDER BY score_e6 DESC, pair_n DESC, neighbor) AS INT)
+         |         AS rn
+         |  FROM sc)
+         |WHERE rn <= $ItemSimK""".stripMargin,
 
     "q135_seasonality" ->
       """WITH e AS (SELECT event_type,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{AssocRules, Dedup, Graph, StatTests}
+import graft.operators.{AssocRules, Dedup, Graph, ItemSimilarity, StatTests}
 
 /** Round-9 analytics operators vs independent references: BFS against a
   * sequential queue BFS, association rules against a nested-Map brute
@@ -194,6 +194,70 @@ class AnalyticsOpsSpec extends SparkSpec {
       val lRef = (cRef * bk) / bn
       assert(BigInt(c) === cRef, s"confidence ($pn,$an)")
       assert(BigInt(l) === lRef, s"lift ($pn,$an,$bn,$bk)")
+    }
+  }
+
+  // ------------------------------------------------------- item similarity
+
+  /** Independent reference for ItemSimilarity.topNeighbors: nested-Map
+    * counts, integer e6 squared cosine, per-item sort + take(k). */
+  private def bruteNeighbors(bi: Seq[(Long, String)], minPair: Long, k: Int)
+      : Set[(String, String, Long, Long, Long, Long, Int)] = {
+    val baskets = bi.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toSet }
+    val itemN = baskets.values.toSeq.flatten
+      .groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+    val pairN = baskets.values.toSeq
+      .flatMap(its => for (a <- its.toSeq; b <- its.toSeq if a < b) yield (a, b))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= minPair)
+    val scored = pairN.toSeq
+      .flatMap { case ((a, b), pn) => Seq((a, b, pn), (b, a, pn)) }
+      .map { case (i, nb, pn) =>
+        val an = itemN(i); val bn = itemN(nb)
+        (i, nb, pn, an, bn, (pn * 1000000L / an) * pn / bn)
+      }
+    scored.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (-r._6, -r._3, r._2)).take(k).zipWithIndex
+        .map { case ((i, nb, pn, an, bn, sc), idx) =>
+          (i, nb, pn, an, bn, sc, idx + 1)
+        }
+    }.toSet
+  }
+
+  test("item similarity: matches nested-Map brute force on random baskets") {
+    val bGen = Gen.listOfN(150,
+      Gen.zip(Gen.chooseNum(0L, 24L), Gen.oneOf("s", "t", "u", "v", "w", "x")))
+    for (seed <- 1L to 5L) {
+      val bi = sample(bGen, seed)
+      val got = ItemSimilarity.topNeighbors(bi.toDF("bk", "it"),
+          k = 3, minPair = 2)
+        .as[(String, String, Long, Long, Long, Long, Int)].collect().toSet
+      assert(got === bruteNeighbors(bi, 2, 3), s"seed=$seed")
+    }
+  }
+
+  test("item similarity: e6 squared-cosine exact at the 9.2e12 margin") {
+    // same discipline as the AssocRules margin pin: evaluate the
+    // PRODUCTION ScoreExpr on synthetic counts grazing the documented
+    // overflow bound (pair_n * 1e6 and quotient * pair_n both near
+    // 2^63 under ANSI) and compare against BigInt floor division.
+    val margin = 9200000000000L
+    val cGen = for {
+      aN <- Gen.chooseNum(margin / 10, margin)
+      bN <- Gen.chooseNum(margin / 10, margin)
+      pairN <- Gen.chooseNum(1L, aN min bN)
+    } yield (pairN, aN, bN)
+    val cases = (1L to 40L).map(s => sample(cGen, s)) :+
+      (margin, margin, margin) :+   // cosine exactly 1 at the bound
+      (1L, margin, margin) :+       // floor-to-zero far corner
+      (margin, margin, 1L)          // b_n = 1 maximizes the 2nd quotient
+    val got = cases.toDF("pair_n", "a_n", "b_n")
+      .selectExpr("pair_n", "a_n", "b_n",
+        s"${ItemSimilarity.ScoreExpr} as sc")
+      .as[(Long, Long, Long, Long)].collect()
+    for ((pn, an, bn, sc) <- got) {
+      val ref = (BigInt(pn) * 1000000 / an) * pn / bn
+      assert(BigInt(sc) === ref, s"score ($pn,$an,$bn)")
     }
   }
 

@@ -19,7 +19,9 @@ package graft
   * (q120 — cross-multiplied cumulative weights), connected components
   * (q56 — min-label convergence), MinHash LSH (q20 — band buckets),
   * weighted shortest path (q147 — tropical semiring), BM25 ranking
-  * (q103 — exact integer rationals), window FIFO (q125).
+  * (q103 — exact integer rationals), window FIFO (q125),
+  * item-cosine neighbor ranking (q149 — e6 squared cosine + window
+  * top-k).
   */
 class InvarianceSpec extends SparkSpec {
 
@@ -27,6 +29,7 @@ class InvarianceSpec extends SparkSpec {
     "q124_pagerank", "q131_brand_rules", "q136_kmeans", "q112_robust_stats",
     "q120_weighted_median", "q56_dup_clusters", "q20_minhash_lsh",
     "q147_weighted_path", "q103_bm25", "q125_fifo_alloc",
+    "q149_item_cosine",
     // array/concatenated-string outputs: ROW sorting can't mask a
     // nondeterministic INTERNAL order, so these pin that every emitted
     // array/path/list is ordered by construction (sort_array, rank

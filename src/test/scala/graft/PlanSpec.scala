@@ -444,6 +444,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q131 grew a cartesian:\n$p")
   }
 
+  test("q149: neighbor ranking consumes materialized tables; rank prunes via WindowGroupLimit") {
+    val p = finalPlan("q149_item_cosine")
+    // the FACT is exchanged exactly once — the basket build inside the
+    // InMemoryRelation; pair generation re-reads that cache, and the
+    // itemN lookups ride broadcast (their checkpoint scans live inside
+    // elided broadcast stages, so they are pinned by the join type)
+    assert(p.contains("InMemoryTableScan"),
+      s"q149's pair generation must consume the persisted basket table:\n$p")
+    assert(count(p, "collect_set") <= 2, // partial + final of ONE build
+      s"q149 must build the basket table once, not per consumer:\n$p")
+    assert(count(p, "BroadcastHashJoin") == 2,
+      s"q149's two item-count lookups must broadcast the vocabulary side:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"q149's rn<=k filter must push into WindowGroupLimit (top-k per item, not full sort):\n$p")
+    assert(!p.contains("CartesianProduct"), s"q149 grew a cartesian:\n$p")
+  }
+
   test("q136: k-means assigns via one-row broadcast carriers, seeds via TakeOrdered") {
     val p = finalPlan("q136_kmeans")
     // exactly 3 assignment passes (2 iterations + final report), each a
