@@ -75,6 +75,10 @@ object ItemSimilarity {
       .groupBy(col("pr.ia").as("ia"), col("pr.ib").as("ib"))
       .agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minPair)
+      // consumed twice (the two rule directions) — unmaterialized, each
+      // union branch re-runs pair generation over the basket cache;
+      // small by construction (frequent pairs only)
+      .localCheckpoint()
     // cosine is symmetric: both directions of each frequent pair feed
     // the same per-item ranking
     val both = pairN.select(col("ia").as("item"), col("ib").as("neighbor"), col("pair_n"))

@@ -199,6 +199,32 @@ object Streams {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
 
+  /** Streaming face of the q131/q149 basket machinery: continuously-
+    * maintained item co-occurrence counts over streamed COMPLETE
+    * baskets (one row per basket, `itemsCol` its item array; a basket
+    * whose lines straggle across batches must be closed upstream —
+    * e.g. by [[sessionWindows]] — because a pair count is not
+    * incrementally patchable when a basket grows). The pair-count
+    * table is a LINEAR sketch — counts merge by addition — so the
+    * state store folds micro-batch partials exactly like batch
+    * partials and the running table after any number of micro-batches
+    * equals the batch pair count of the union (the [[runningCms]]
+    * argument; StreamsSpec pins it). Canonical (i < j) pairs are
+    * generated INSIDE each deduped sorted array by the same native
+    * `array_pairs` the batch operators use — per-batch work is
+    * C(size, 2)-bounded per basket, state is one row per DISTINCT
+    * co-occurring pair. Downstream of the sink, the [[graft.operators.
+    * ItemSimilarity]] scoring/ranking is a trivial fold over this
+    * table plus the (also linear) per-item counts. */
+  def runningPairCounts(baskets: DataFrame, itemsCol: String): DataFrame =
+    baskets
+      .select(explode(call_function(
+        graft.expressions.ArrayPairs.name,
+        sort_array(array_distinct(col(itemsCol))))).as("pr"))
+      .groupBy(col("pr.ia").as("ia"), col("pr.ib").as("ib"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("pair_n"))
+
   final case class GapEvent(user_id: Long, tus: Long, event_id: Long)
   final case class GapBucket(user_id: Long, bucket_h: Long, n: Long)
 

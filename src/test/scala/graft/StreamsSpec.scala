@@ -128,6 +128,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningPairCounts: streamed co-occurrence equals batch pair counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Seq[String]]
+    val q = Streams.runningPairCounts(mem.toDF().toDF("items"), "items")
+      .writeStream.format("memory").queryName("pairs_run")
+      .outputMode(OutputMode.Complete()).start()
+    // duplicate items inside a basket and singleton baskets included:
+    // the face must dedup in-array and emit nothing for size-1 sets
+    val baskets = Seq(
+      Seq("a", "b", "c"), Seq("b", "c"), Seq("c", "a", "a"),
+      Seq("d"), Seq("a", "b"), Seq("b", "c", "d"))
+    try {
+      mem.addData(baskets.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(baskets.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pairs_run")
+        .as[(String, String, Long)].collect().toSet
+      // linearity across the state store: running pair counts == the
+      // nested-loop counts of the union (canonical i < j pairs)
+      val brute = baskets.map(_.distinct.sorted)
+        .flatMap(its => for (i <- its; j <- its if i < j) yield (i, j))
+        .groupBy(identity).map { case ((i, j), xs) => (i, j, xs.size.toLong) }
+        .toSet
+      assert(streamed === brute)
+      // spot-pin two cells by hand: (a,b) rides baskets 1 and 5,
+      // (b,c) rides baskets 1, 2 and 6
+      assert(streamed.contains(("a", "b", 2L)))
+      assert(streamed.contains(("b", "c", 3L)))
+    } finally q.stop()
+  }
+
   test("runningDriftBins: streamed histogram equals batch; TV readout matches driftTV") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
