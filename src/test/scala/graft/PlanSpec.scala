@@ -474,6 +474,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q136 grew a cartesian:\n$p")
   }
 
+  test("global sweep: no query's final plan contains an unbroadcast cartesian") {
+    // the whole-surface guarantee behind the per-query pins: a
+    // CartesianProduct (both sides unbroadcast, no key) is never an
+    // acceptable shape at 100 TB — the deliberate small-side products
+    // (q55's dim×dim cross join, q134's scorer, q136's centroid
+    // carriers, the one-row total carriers) all plan as
+    // BroadcastNestedLoopJoin, never CartesianProduct, because one
+    // side is always bounded. Runs every declared query at sf0.001.
+    val plans = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      name -> df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+    }
+    val cartesians = plans.collect {
+      case (name, p) if p.contains("CartesianProduct") => name
+    }
+    assert(cartesians.isEmpty,
+      s"final plans with CartesianProduct: ${cartesians.mkString(", ")}")
+    // global sorts (range-partition exchanges): currently NO query
+    // needs one — every ordered result rides TakeOrdered (bounded
+    // top-k) or a window rank. A query whose contract genuinely
+    // requires a full ordered corpus would earn an allowlist here;
+    // until then any appearance is an accidental orderBy regression.
+    val globalSorts = plans.collect {
+      case (name, p) if p.contains("Exchange rangepartitioning") => name
+    }
+    assert(globalSorts.isEmpty,
+      s"unexpected global sorts (rangepartitioning): ${globalSorts.mkString(", ")}")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
     val scans = df.queryExecution.executedPlan.toString
