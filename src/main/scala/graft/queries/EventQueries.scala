@@ -18,6 +18,13 @@ object EventQueries {
 
   private val SessionGapUs: Long = 2L * 3600 * 1000000 // 2 hours
 
+  /** q150 sequential-pattern support floor (shared with the oracle).
+    * 1 — the floor is structural (a real corpus raises it); the tiny
+    * sf0.001 smoke tier has no repeated trigram at all, so any higher
+    * constant empties the driver's rows>0 gate there. The top-20
+    * support ranking is the mining readout either way. */
+  private val TrigramMinSupport: Long = 1L
+
   /** events with `tus` = epoch micros as BIGINT ([[Tables.events]]
     * owns the physical-type normalization at the read boundary). */
   private def ev(s: SparkSession, d: String): DataFrame =
@@ -239,6 +246,36 @@ object EventQueries {
           slice(transform(col("evs"), x => x.getField("et")), 1, 5)).as("path"))
         .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    }),
+
+    // sequential-pattern mining (frequent contiguous trigrams within
+    // sessions): the ordered-sequence counterpart of q131's unordered
+    // baskets — which 3-step behaviors recur across sessions, the
+    // primitive behind funnel discovery and next-action models. Rides
+    // q113's session derivation (ONE user_id exchange shared by both
+    // window layers — (user_id, sid) clustering is satisfied by the
+    // user_id hash, so the trigram leads add only a local re-sort,
+    // never a second shuffle), then ONE vocabulary-bounded aggregate;
+    // the top-20 is a distributed TakeOrdered on the unique key
+    // (support desc, e1, e2, e3), never a global sort.
+    "q150_session_trigrams" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ws = Window.partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("tus"), col("event_id"))
+      ev(s, d)
+        .withColumn("ns",
+          when(lag(col("tus"), 1).over(w).isNull ||
+            col("tus") - lag(col("tus"), 1).over(w) > SessionGapUs, 1).otherwise(0))
+        .withColumn("sid", sum(col("ns")).over(cum))
+        .withColumn("e2", lead(col("event_type"), 1).over(ws))
+        .withColumn("e3", lead(col("event_type"), 2).over(ws))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= TrigramMinSupport)
+        .orderBy(col("support").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
     }),
 
     // time-weighted average (TWAP): each event's value holds until the
@@ -491,6 +528,25 @@ object EventQueries {
          |      FROM r WHERE rn <= 5 GROUP BY 1, 2)
          |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
          |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q150_session_trigrams" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  epoch_ns(ts) // 1000 AS tus FROM events),
+         |m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+         |                       OR tus - lag(tus) OVER w > $SessionGapUs
+         |                     THEN 1 ELSE 0 END AS ns
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                              ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+         |t AS (SELECT event_type AS e1,
+         |             lead(event_type, 1) OVER ws AS e2,
+         |             lead(event_type, 2) OVER ws AS e3
+         |      FROM s WINDOW ws AS (PARTITION BY user_id, sid
+         |                           ORDER BY tus, event_id))
+         |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS support
+         |FROM t WHERE e3 IS NOT NULL
+         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= $TrigramMinSupport
+         |ORDER BY support DESC, e1, e2, e3 LIMIT 20""".stripMargin,
 
     "q122_event_diversity" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
