@@ -57,7 +57,7 @@ class InvarianceSpec extends SparkSpec {
   }
 
   for (q <- queries)
-    test(s"$q: identical under default, 7 partitions, and AQE off") {
+    test(s"$q: identical under default, 7 partitions, AQE off, tiny splits") {
       val base = rows(q)
       assert(base.nonEmpty, s"$q returned no rows at sf0.001")
       withConfs("spark.sql.shuffle.partitions" -> "7") {
@@ -65,6 +65,15 @@ class InvarianceSpec extends SparkSpec {
       }
       withConfs("spark.sql.adaptive.enabled" -> "false") {
         assert(rows(q) === base, s"$q depends on adaptive re-planning")
+      }
+      // the INPUT-side lever: 32 KiB splits multiply the scan task
+      // count (and with it partial-aggregate grouping and row arrival
+      // order) the way a wider executor fleet would — a collect_list
+      // or first() that survives the shuffle levers can still fork
+      // here if its order pin is accidental
+      withConfs("spark.sql.files.maxPartitionBytes" -> "32768",
+        "spark.sql.files.openCostInBytes" -> "0") {
+        assert(rows(q) === base, s"$q depends on input split boundaries")
       }
     }
 }
