@@ -236,6 +236,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("item similarity: degenerate inputs yield empty neighbor tables, not errors") {
+    // all-singleton baskets: no pair ever forms
+    val singletons = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("bk", "it")
+    assert(ItemSimilarity.topNeighbors(singletons, k = 3, minPair = 1).count() === 0)
+    // a support floor above every co-occurrence count
+    val pairs = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")).toDF("bk", "it")
+    assert(ItemSimilarity.topNeighbors(pairs, k = 3, minPair = 5).count() === 0)
+    // empty input
+    val empty = spark.emptyDataset[(Long, String)].toDF("bk", "it")
+    assert(ItemSimilarity.topNeighbors(empty, k = 3, minPair = 1).count() === 0)
+    // invalid parameters fail loudly at the definition site
+    intercept[IllegalArgumentException] {
+      ItemSimilarity.topNeighbors(pairs, k = 0, minPair = 1)
+    }
+    intercept[IllegalArgumentException] {
+      ItemSimilarity.topNeighbors(pairs, k = 3, minPair = 0)
+    }
+  }
+
   test("item similarity: e6 squared-cosine exact at the 9.2e12 margin") {
     // same discipline as the AssocRules margin pin: evaluate the
     // PRODUCTION ScoreExpr on synthetic counts grazing the documented
