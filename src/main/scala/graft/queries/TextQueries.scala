@@ -93,6 +93,30 @@ object TextQueries {
             "[0-9]+", "#").as("masked"),
           col("t2").rlike("@example\\.com").as("had_email"))),
 
+    // weighted priority sampling (the Duffield–Lund–Thorup shape with
+    // the uniform draw replaced by the deterministic md5 grid): each
+    // doc's priority is hash div weight, so heavier docs systematically
+    // draw smaller priorities and the k smallest form a reproducible
+    // length-weighted sample — the data-mixing primitive behind
+    // "sample documents proportional to length/quality" that the
+    // uniform samplers (q64/q104/q117) cannot express. ONE scan +
+    // distributed TakeOrdered(k); the rank window runs on k rows.
+    // Integer-exact: h and n_chars are positive BIGINTs, so div and
+    // // agree, and (priority, doc_id) is a unique total order.
+    "q151_weighted_sample" -> ((s, d) => {
+      val h = conv(substring(md5(concat(lit("q151:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      val top = docs(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"), h.as("h"))
+        .select(col("doc_id"), col("n_chars"),
+          expr("h div n_chars").as("priority"))
+        .orderBy(col("priority"), col("doc_id")).limit(WeightedSampleK)
+      top.select(
+        row_number().over(Window.orderBy(col("priority"), col("doc_id")))
+          .cast("int").as("rn"),
+        col("doc_id"), col("n_chars"), col("priority"))
+    }),
+
     // deterministic per-stratum sampling: the k docs with the smallest
     // md5(id) per language — hash ordering is THE reproducible sampler
     // at pipeline scale (no RNG, no partition-order dependence, stable
@@ -521,6 +545,9 @@ object TextQueries {
   /** q104 per-stratum sample quota (shared by Spark + oracle SQL). */
   private val StratQuota = 5
 
+  /** q151 sample size (shared with the oracle). */
+  private val WeightedSampleK = 50
+
   /** q108 minimum collection frequency (shared by Spark + oracle SQL). */
   private val BurstMinCf = 20
 
@@ -906,6 +933,19 @@ object TextQueries {
     // 60-bit prefixes per stratum; fixed-width lowercase hex compares
     // identically as string and as number, and prefix ties break on
     // the zero-padded id exactly like the heap's payload order.
+    "q151_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |             CAST(('0x' || substring(md5('q151:' ||
+         |               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |           FROM documents WHERE n_chars > 0),
+         |p AS (SELECT doc_id, n_chars, h // n_chars AS priority FROM d),
+         |t AS (SELECT * FROM p ORDER BY priority, doc_id
+         |      LIMIT $WeightedSampleK)
+         |SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT)
+         |         AS rn,
+         |       doc_id, n_chars, CAST(priority AS BIGINT) AS priority
+         |FROM t""".stripMargin,
+
     "q104_stratified_sample" ->
       s"""SELECT lang, source, rn, doc_id FROM (
          |  SELECT lang, source, doc_id,
