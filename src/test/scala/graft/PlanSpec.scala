@@ -474,7 +474,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q136 grew a cartesian:\n$p")
   }
 
-  test("global sweep: no query's final plan contains an unbroadcast cartesian") {
+  test("global sweep: every query cartesian-free, sort-free, partition-invariant") {
     // the whole-surface guarantee behind the per-query pins: a
     // CartesianProduct (both sides unbroadcast, no key) is never an
     // acceptable shape at 100 TB — the deliberate small-side products
@@ -482,14 +482,15 @@ class PlanSpec extends SparkSpec {
     // carriers, the one-row total carriers) all plan as
     // BroadcastNestedLoopJoin, never CartesianProduct, because one
     // side is always bounded. Runs every declared query at sf0.001.
-    val plans = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
-      df.collect()
-      name -> df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0)
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      (name,
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0),
+        rows)
     }
-    val cartesians = plans.collect {
-      case (name, p) if p.contains("CartesianProduct") => name
+    val cartesians = results.collect {
+      case (name, p, _) if p.contains("CartesianProduct") => name
     }
     assert(cartesians.isEmpty,
       s"final plans with CartesianProduct: ${cartesians.mkString(", ")}")
@@ -498,11 +499,25 @@ class PlanSpec extends SparkSpec {
     // top-k) or a window rank. A query whose contract genuinely
     // requires a full ordered corpus would earn an allowlist here;
     // until then any appearance is an accidental orderBy regression.
-    val globalSorts = plans.collect {
-      case (name, p) if p.contains("Exchange rangepartitioning") => name
+    val globalSorts = results.collect {
+      case (name, p, _) if p.contains("Exchange rangepartitioning") => name
     }
     assert(globalSorts.isEmpty,
       s"unexpected global sorts (rangepartitioning): ${globalSorts.mkString(", ")}")
+    // determinism net over the WHOLE surface (InvarianceSpec replays
+    // its 19 family representatives under four regimes; this replays
+    // every query under the single sharpest lever): a co-prime
+    // shuffle-partition count must not change any sorted row multiset
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val forks = try {
+      results.collect { case (name, _, rows)
+        if SparkEntry.queries(name)(spark, sf0001)
+          .collect().map(_.toString).sorted.toSeq != rows => name
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(forks.isEmpty,
+      s"results change with the shuffle partition count: ${forks.mkString(", ")}")
   }
 
   test("scans prune columns: q1 reads only the aggregated lineitem fields") {
