@@ -21,14 +21,15 @@ import org.apache.spark.sql.functions._
   * Overflow bound: pair_n <= a_n keeps the first quotient <= 1e6, so
   * the lift numerator is <= 1e6 * baskets — safe to ~9e12 baskets.
   *
-  * Shape at scale: candidate pairs are generated by a self-join on
-  * the basket key — ONE shuffle both sides share — and the pair count
-  * is bounded by Σ C(basket_size, 2), linear in the data for bounded
+  * Shape at scale ([[Baskets.counts]], shared with
+  * [[ItemSimilarity]]): ONE basket-key shuffle builds the deduped
+  * item arrays, canonical pairs are generated INSIDE each array —
+  * Σ C(basket_size, 2) candidates, linear in the data for bounded
   * baskets (TPC-H orders: ≤ 7 lines). The `minSupport` filter runs on
   * the pair aggregate BEFORE the per-item-count joins, so the rule
   * join only sees frequent pairs (tiny); per-item counts join the
   * frequent pairs on the item key. Nothing is ever all-pairs across
-  * baskets.
+  * baskets, and no fact-sized cache outlives the call.
   */
 object AssocRules {
 
@@ -45,50 +46,18 @@ object AssocRules {
     * within a basket; `minSupport` is the minimum co-occurrence count
     * for a pair to generate its two rules. Basket sizes must be
     * bounded (pair generation is C(size, 2) per basket) — cap or
-    * pre-filter pathological baskets upstream.
-    *
-    * Materialization contract (the [[Graph]] rule): the basket table
-    * persist below stays pinned in the session CacheManager until
-    * unpersist/clearCache — one-shot runners clear between queries
-    * (`Bench.steadyState`); long-lived sessions must clear once the
-    * rules are consumed. */
+    * pre-filter pathological baskets upstream. */
   def mine(baskets: DataFrame, minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    // ONE basket-key shuffle total: collect each basket's distinct
-    // item set (collect_set dedups in the aggregate — no separate
-    // DISTINCT exchange), then generate canonical pairs INSIDE the
-    // array (sorted, i < j) and re-derive item/basket counts from the
-    // same materialized basket table — a self-join formulation paid
-    // this fact-table exchange three times (x side, y side, itemN)
-    val bkts = baskets.toDF("bk", "it")
-      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("items"))
-      // consumed by pairs, item counts, basket count; columnar persist,
-      // not localCheckpoint — the basket table is corpus-sized and
-      // checkpoint blocks store deserialized rows (Graph.pageRank's
-      // measured-OOM rationale)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // itemN is consumed twice (the a_n and b_n lookups) and pairN
-    // twice (the two rule directions) — materialized, or each branch
-    // re-runs its aggregate over the full basket table. Both are
-    // small by construction: item vocabulary / frequent-pair set.
-    val itemN = bkts.select(explode(col("items")).as("it"))
-      .groupBy(col("it")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val basketN = bkts.agg(count(lit(1)).as("baskets"))
-    // native array_pairs, not the composed flatten(transform(sequence,
-    // slice, …)) form: the HOF chain allocates O(size²) intermediate
-    // arrays per basket in interpreted evaluation and was the measured
-    // dominant stage of the 100×-decade mine (14 s of 24; the
-    // expression Scaladoc has the breakdown). Same (i < j) pair order,
-    // same results.
-    val pairN = bkts
-      .filter(size(col("items")) >= 2)
-      .select(explode(call_function(
-        graft.expressions.ArrayPairs.name, col("items"))).as("pr"))
-      .groupBy(col("pr.ia").as("ia"), col("pr.ib").as("ib"))
-      .agg(count(lit(1)).as("pair_n"))
-      .filter(col("pair_n") >= minSupport)
-      .localCheckpoint()
+    // ONE basket-key shuffle total ([[Baskets.counts]]): item and
+    // basket counts re-derive from the same materialized basket table
+    // — a self-join formulation paid that fact-table exchange three
+    // times (x side, y side, itemN). itemN is consumed twice (a_n and
+    // b_n lookups), pairN twice (the two rule directions): all
+    // checkpointed, and the fact-sized cache dies inside the call.
+    val (itemN, pairN, basketNOpt) =
+      Baskets.counts(baskets, minSupport, withBasketTotal = true)
+    val basketN = basketNOpt.get
     // both directions of each frequent pair, then the two item-count
     // lookups and the one-row basket total (broadcast by AQE — the
     // frequent-rule side is small by construction, but the item-count

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared basket machinery for [[AssocRules]] (directional
+  * confidence/lift rules) and [[ItemSimilarity]] (symmetric cosine
+  * ranking) — extracted so the materialization discipline lives in ONE
+  * place (its omission in an early ItemSimilarity copy measured 33 vs
+  * 20.5 s at the 100× decade).
+  *
+  * ONE basket-key shuffle builds the deduped sorted item arrays
+  * (collect_set dedups in the aggregate — no separate DISTINCT
+  * exchange); per-item counts and the minPair-pruned canonical
+  * (i < j) pair counts are derived from that cached table and eagerly
+  * materialized via localCheckpoint, because every one of them is
+  * consumed by 2+ downstream branches (unmaterialized, each branch
+  * would re-run its fact-sized aggregate). Pairs are generated INSIDE
+  * each array by the native `array_pairs` expression — C(size, 2) per
+  * basket, bounded for bounded baskets; cap pathological baskets
+  * upstream.
+  *
+  * The corpus-scale basket cache is UNPERSISTED before returning:
+  * all escaping tables are checkpointed (vocabulary-, frequent-pair-
+  * and one-row-sized), so nothing downstream re-reads it and no
+  * fact-sized CacheManager entry outlives the call — callers need no
+  * clearCache contract.
+  */
+private[operators] object Baskets {
+
+  /** `baskets`: two columns (basket id, item id). Returns
+    * (itemN: (it, n), pairN: (ia, ib, pair_n) with pair_n >= minPair,
+    * basketN: one-row (baskets) — only when `withBasketTotal`, which
+    * costs one extra count pass over the basket cache). */
+  def counts(baskets: DataFrame, minPair: Long, withBasketTotal: Boolean)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
+    require(minPair >= 1, s"minPair must be >= 1, got $minPair")
+    val bkts = baskets.toDF("bk", "it")
+      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("items"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val itemN = bkts.select(explode(col("items")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val pairN = bkts
+      .filter(size(col("items")) >= 2)
+      .select(explode(call_function(
+        graft.expressions.ArrayPairs.name, col("items"))).as("pr"))
+      .groupBy(col("pr.ia").as("ia"), col("pr.ib").as("ib"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPair)
+      .localCheckpoint()
+    val basketN =
+      if (withBasketTotal)
+        Some(bkts.agg(count(lit(1)).as("baskets")).localCheckpoint())
+      else None
+    bkts.unpersist(blocking = false)
+    (itemN, pairN, basketN)
+  }
+}

@@ -71,23 +71,31 @@ object EventQueries {
         }).as("st"))
   }
 
+  /** Gap-based sessionization: appends `sid` (per-user 1-based session
+    * ordinal — running sum over the 2 h gap marker, ordered by the
+    * (tus, event_id) total order). THE single session definition;
+    * q33/q113/q150 all ride it, so the gap rule and tie-break cannot
+    * fork between them. */
+  private def sessionized(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__ns",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > SessionGapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("__ns")).over(cum))
+      .drop("__ns")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // gap-based sessionization via lag + running sum (batch twin of the
     // streaming session_window).
-    "q33_sessions" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev(s, d)
-        .withColumn("new_sess",
-          when(lag(col("tus"), 1).over(w).isNull ||
-            col("tus") - lag(col("tus"), 1).over(w) > SessionGapUs, 1).otherwise(0))
-        .withColumn("session_id", sum(col("new_sess")).over(cum).cast("int"))
-        .groupBy(col("user_id"), col("session_id"))
+    "q33_sessions" -> ((s, d) =>
+      sessionized(ev(s, d))
+        .groupBy(col("user_id"), col("sid").cast("int").as("session_id"))
         .agg(count(lit(1)).as("n_events"),
           min(col("tus")).as("session_start_us"),
-          max(col("tus")).as("session_end_us"))
-    }),
+          max(col("tus")).as("session_end_us"))),
 
     // JSON property extraction + rollup by event type.
     "q34_json_extract" -> ((s, d) =>
@@ -232,13 +240,7 @@ object EventQueries {
     // distributed TakeOrdered on (count desc, path), never a global
     // sort.
     "q113_session_paths" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev(s, d)
-        .withColumn("ns",
-          when(lag(col("tus"), 1).over(w).isNull ||
-            col("tus") - lag(col("tus"), 1).over(w) > SessionGapUs, 1).otherwise(0))
-        .withColumn("sid", sum(col("ns")).over(cum))
+      sessionized(ev(s, d))
         .groupBy(col("user_id"), col("sid"))
         .agg(sort_array(collect_list(struct(
           col("tus"), col("event_id"), col("event_type").as("et")))).as("evs"))
@@ -259,15 +261,9 @@ object EventQueries {
     // the top-20 is a distributed TakeOrdered on the unique key
     // (support desc, e1, e2, e3), never a global sort.
     "q150_session_trigrams" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ws = Window.partitionBy(col("user_id"), col("sid"))
         .orderBy(col("tus"), col("event_id"))
-      ev(s, d)
-        .withColumn("ns",
-          when(lag(col("tus"), 1).over(w).isNull ||
-            col("tus") - lag(col("tus"), 1).over(w) > SessionGapUs, 1).otherwise(0))
-        .withColumn("sid", sum(col("ns")).over(cum))
+      sessionized(ev(s, d))
         .withColumn("e2", lead(col("event_type"), 1).over(ws))
         .withColumn("e3", lead(col("event_type"), 2).over(ws))
         .filter(col("e3").isNotNull)

@@ -41,10 +41,15 @@ class InvarianceSpec extends SparkSpec {
     "q146_bucketed_join", "q148_dpp_prune")
 
   /** Sorted row-multiset fingerprint: row order and partitioning must
-    * not matter, so compare on sorted `toString` lines. */
-  private def rows(name: String): Seq[String] =
+    * not matter, so compare on sorted `toString` lines. The cache is
+    * cleared FIRST — a persist left by a prior replay would serve the
+    * fact-sized stages from the CacheManager (plan-matched across
+    * invocations) and the regime lever would never reach them. */
+  private def rows(name: String): Seq[String] = {
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf0001)
       .collect().map(_.toString).sorted.toSeq
+  }
 
   private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }

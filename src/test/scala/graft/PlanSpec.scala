@@ -435,8 +435,10 @@ class PlanSpec extends SparkSpec {
 
   test("q131: rules join materialized aggregates; only the one-row basket total nests") {
     val p = finalPlan("q131_brand_rules")
-    // basket table (columnar persist) / itemN / pairN (checkpoints)
-    // are materialized: the fact shuffle must happen ONCE, upstream
+    // itemN / pairN / basketN are all checkpointed (Baskets.counts —
+    // the fact-sized basket cache dies inside the operator): the final
+    // plan may only join ExistingRDD scans, the fact shuffle having
+    // happened ONCE, upstream
     assert(count(p, "Scan ExistingRDD|InMemoryTableScan") >= 4,
       s"q131 must consume materialized basket/item/pair tables, not recompute them:\n$p")
     assert(count(p, "BroadcastNestedLoopJoin") <= 1,
@@ -483,6 +485,7 @@ class PlanSpec extends SparkSpec {
     // BroadcastNestedLoopJoin, never CartesianProduct, because one
     // side is always bounded. Runs every declared query at sf0.001.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      spark.catalog.clearCache() // a neighbor's persist must not shape this plan
       val df = SparkEntry.queries(name)(spark, sf0001)
       val rows = df.collect().map(_.toString).sorted.toSeq
       (name,
@@ -512,8 +515,11 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     val forks = try {
       results.collect { case (name, _, rows)
-        if SparkEntry.queries(name)(spark, sf0001)
-          .collect().map(_.toString).sorted.toSeq != rows => name
+        if {
+          spark.catalog.clearCache() // replay must re-EXECUTE, not re-read cache
+          SparkEntry.queries(name)(spark, sf0001)
+            .collect().map(_.toString).sorted.toSeq != rows
+        } => name
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert(forks.isEmpty,
