@@ -117,6 +117,18 @@ object TextQueries {
         col("doc_id"), col("n_chars"), col("priority"))
     }),
 
+    // contiguous export numbering: dense 0-based example ids in
+    // (lang, doc_id) order — operators.ContiguousIds: the scalable
+    // ORDER BY (range layout + in-partition sort, nothing funnels
+    // through one task) with ids attached by RDD zipWithIndex (one
+    // partition-size count pass + one offset map). The unique sort key
+    // makes the assignment independent of sampled range bounds and
+    // partition count (the global-sweep fork check exercises that).
+    "q152_contiguous_ids" -> ((s, d) =>
+      graft.operators.ContiguousIds.assign(
+        docs(s, d).select(col("doc_id"), col("lang"), col("source")),
+        Seq("lang", "doc_id"), "ex_id")),
+
     // deterministic per-stratum sampling: the k docs with the smallest
     // md5(id) per language — hash ordering is THE reproducible sampler
     // at pipeline scale (no RNG, no partition-order dependence, stable
@@ -933,6 +945,12 @@ object TextQueries {
     // 60-bit prefixes per stratum; fixed-width lowercase hex compares
     // identically as string and as number, and prefix ties break on
     // the zero-padded id exactly like the heap's payload order.
+    "q152_contiguous_ids" ->
+      """SELECT doc_id, lang, source,
+        |       CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+        |         AS ex_id
+        |FROM documents""".stripMargin,
+
     "q151_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
          |             CAST(('0x' || substring(md5('q151:' ||

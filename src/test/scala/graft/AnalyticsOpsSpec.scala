@@ -280,6 +280,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------- contiguous ids
+
+  test("contiguous ids: equal row_number()-1 at any partition count and input layout") {
+    // the determinism claim behind q152: sampled range bounds and the
+    // shuffle-partition count decide only WHERE partitions split,
+    // never the id a row gets — with a unique order key the ids are
+    // the total-order ordinals, full stop
+    val df = (1 to 97).map(i => ((i % 7).toLong, i.toLong)).toDF("g", "id")
+    val expect = (1 to 97).map(i => ((i % 7).toLong, i.toLong))
+      .sortBy(identity).zipWithIndex
+      .map { case ((g, id), ix) => (g, id, ix.toLong) }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (parts <- Seq("3", "7", "32"); inputParts <- Seq(1, 5)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        val got = graft.operators.ContiguousIds
+          .assign(df.repartition(inputParts), Seq("g", "id"), "ex_id")
+          .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+        assert(got === expect, s"parts=$parts inputParts=$inputParts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ------------------------------------------------------------ array_pairs
 
   /** The composed HOF form array_pairs replaced (AssocRules' previous
