@@ -425,7 +425,24 @@ final class Catalog(val spark: SparkSession, val root: String,
     }
     val tables = Schemas.tableNames.map(t =>
       clean(manifestDir(t), latestVersion(t).getOrElse(0), "v")).sum
-    val cleared = tables + clean(snapDir, latestSnapshot.getOrElse(0), "s")
+    // rollbackScopedHeads drops tags atop the manifests it rewinds, but
+    // a crash between its LATEST flip and its tag loop leaves a tag
+    // pinning a version ABOVE the head; once a later commit re-claims
+    // that version number, tableAtTag's liveness check passes again and
+    // the tag silently serves data it never pinned. Recovery owns that
+    // window: a tag above the recovered head can never become valid.
+    val droppedTags = Schemas.tableNames.map { t =>
+      val head = latestVersion(t).getOrElse(0)
+      tags(t).count { case (name, v) =>
+        v > head && {
+          System.err.println(s"[catalog] recover drops tag '$name' of $t " +
+            s"(pinned v$v above the recovered head v$head)")
+          Files.deleteIfExists(manifestDir(t).resolve(s"tag.$name"))
+        }
+      }
+    }.sum
+    val cleared = tables + droppedTags +
+      clean(snapDir, latestSnapshot.getOrElse(0), "s")
     if (!Files.exists(snapDir.resolve("INFLIGHT")) && latestSnapshot.isDefined) {
       val published = snapshotVersions
       val stale = snapshotScoped.exists(t =>
@@ -645,6 +662,23 @@ final class Catalog(val spark: SparkSession, val root: String,
             dropUnparseable(md, f, raw)
         }
       }.toMap
+  }
+
+  /** Tag files whose content does not parse as a version — crashed
+    * claims or foreign writes. Listing ([[tags]]) skips them with a
+    * warning; the destructive path ([[vacuum]]) must abort on them. */
+  private def unparseableTagFiles(table: String): Seq[String] = {
+    val md = manifestDir(table)
+    if (!Files.exists(md)) return Seq.empty
+    val listing = Files.list(md)
+    val names =
+      try listing.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally listing.close()
+    names.filter(_.startsWith("tag."))
+      .filter { f =>
+        new String(Files.readAllBytes(md.resolve(f)), StandardCharsets.UTF_8)
+          .trim.toIntOption.isEmpty
+      }
   }
 
   private def dropUnparseable(md: Path, f: String, raw: String): Option[(String, Int)] = {
@@ -1305,6 +1339,17 @@ final class Catalog(val spark: SparkSession, val root: String,
     * history). Assumes no reader is pinned to an older version — run
     * from the single writer, like compaction in any MVCC table format. */
   def vacuum(table: String): Int = {
+    // DESTRUCTIVE path: an unparseable tag file may be a crashed claim
+    // on a version this vacuum would otherwise collect — tags() skips
+    // it for LISTING, but deleting data under a possible pin breaks
+    // the "tagged versions stay readable forever" contract with
+    // permanent loss. Abort loudly; the operator clears the corrupt
+    // file (delete or re-tag) and re-runs.
+    val corrupt = unparseableTagFiles(table)
+    require(corrupt.isEmpty,
+      s"vacuum aborted for '$table': unparseable tag file(s) " +
+        s"${corrupt.mkString(", ")} may pin versions this vacuum would " +
+        "delete — remove or re-tag them first (see the tags() warning)")
     val snapRefs = snapshotVersions.get(table)
       .map(v => commitsAt(table, v)).getOrElse(Seq.empty)
     // tagged versions stay readable forever — their commit dirs are

@@ -130,9 +130,13 @@ object StatTests {
         when(col("k") === 2, col("sb.c")).otherwise(lit(0L)).as("cb0"),
         when(col("k") === 2, col("sb.pop")).as("pb0"))
     // a bin seen by only one pop: its struct is both min and max —
-    // decide which side it belongs to against the GLOBAL min pop
-    val globalA = df.agg(min(g).as("ga"), max(g).as("gb"),
-      count_distinct(g).as("kpop"))
+    // decide which side it belongs to against the GLOBAL min pop.
+    // Derived from the tiny cells table, NOT the raw input: a
+    // count_distinct on df triggers the distinct-aggregate Expand
+    // rewrite over the full fact, doubling the corpus-scale aggregate
+    // for a readout the ≤ pops×bins cell table already carries.
+    val globalA = cells.agg(min(col("pop")).as("ga"), max(col("pop")).as("gb"),
+      count_distinct(col("pop")).as("kpop"))
     sides.crossJoin(broadcast(globalA))
       // the twoProportionZ arity guard: a third population would be
       // lumped into side B by the per-bin min/max selection — loud

@@ -338,8 +338,10 @@ object EventQueries {
     // output is the per-click credit ledger. The candidate join is
     // user-keyed (per-user event counts are bounded — never all-pairs),
     // the touch count is ONE window over the pair table, and all money
-    // stays integer cents, so both engines replay the floor splits
-    // bit-identically.
+    // stays integer cents, so both engines replay the splits
+    // bit-identically — the oracle mirrors Spark's trunc-toward-zero
+    // `div` with the q136 CASE idiom, so a refund-valued purchase
+    // (negative cents) cannot fork the engines on floor-vs-trunc.
     "q142_attribution" -> ((s, d) => {
       val cents = expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
       val p = ev(s, d).filter(col("event_type") === "purchase")
@@ -595,7 +597,9 @@ object EventQueries {
          |       FROM p JOIN c ON p.user_id = c.user_id
          |        AND c_t < p_t AND c_t >= p_t - $AttrWindowUs)
          |SELECT c_id, user_id, CAST(COUNT(*) AS BIGINT) AS n_credits,
-         |       CAST(SUM(cents // n_touch) AS BIGINT) AS credit_cents
+         |       CAST(SUM(CASE WHEN cents >= 0 THEN cents // n_touch
+         |                     ELSE -((-cents) // n_touch) END) AS BIGINT)
+         |         AS credit_cents
          |FROM pr GROUP BY 1, 2""".stripMargin,
 
     "q144_gap_histogram" ->

@@ -497,11 +497,14 @@ class PlanSpec extends SparkSpec {
     }
     assert(cartesians.isEmpty,
       s"final plans with CartesianProduct: ${cartesians.mkString(", ")}")
-    // global sorts (range-partition exchanges): currently NO query
-    // needs one — every ordered result rides TakeOrdered (bounded
-    // top-k) or a window rank. A query whose contract genuinely
-    // requires a full ordered corpus would earn an allowlist here;
-    // until then any appearance is an accidental orderBy regression.
+    // global sorts (range-partition exchanges): every ordered result
+    // rides TakeOrdered (bounded top-k) or a window rank, so any
+    // appearance here is an accidental orderBy regression. The ONE
+    // legitimate global order — q152's contiguous-id contract — is
+    // structurally invisible to this check rather than allowlisted:
+    // its range exchange runs behind ContiguousIds' .rdd/
+    // createDataFrame hop, so the returned plan is a Scan ExistingRDD
+    // (the operator's own spec pins its behavior instead).
     val globalSorts = results.collect {
       case (name, p, _) if p.contains("Exchange rangepartitioning") => name
     }
