@@ -809,7 +809,8 @@ class CatalogSpec extends SparkSpec {
       writer.tableAtTag("dim_tipo", "pre-release"))
   }
 
-  test("an unparseable tag file is skipped with a warning, never bricks vacuum") {
+  test("unparseable tag files: tags() skips with a warning; vacuum aborts " +
+      "loudly until the operator clears them, then succeeds with pins intact") {
     val dir = Files.createTempDirectory("cat_tag_corrupt").toString
     val cat = new Catalog(spark, s"$dir/wh")
     cat.replace("dim_tipo", tipoDf("a"))                           // v1
@@ -830,9 +831,21 @@ class CatalogSpec extends SparkSpec {
       "7".getBytes)
     assert(cat.tags("dim_tipo") === Map("good" -> 1))              // skipped
     cat.replace("dim_tipo", tipoDf("x", "y"))                      // v2
-    cat.vacuum("dim_tipo")                                         // must not throw
+    // DESTRUCTIVE op must not guess: a corrupt tag may be a crashed
+    // claim pinning a version this vacuum would collect. It aborts
+    // naming every corrupt file so the operator can act.
+    val ex = intercept[IllegalArgumentException](cat.vacuum("dim_tipo"))
+    assert(ex.getMessage.contains("tag.bad") && ex.getMessage.contains("tag.huge"))
     assert(cat.tableAtTag("dim_tipo", "good")
       .select("nome_tipo").as[String].collect().toSeq === Seq("a"))
+    // operator clears the corrupt files (here: deletes; re-tagging
+    // also works) and re-runs — vacuum proceeds, pins stay readable.
+    Files.delete(Paths.get(s"$dir/wh/dim_tipo/_manifests/tag.bad"))
+    Files.delete(Paths.get(s"$dir/wh/dim_tipo/_manifests/tag.huge"))
+    cat.vacuum("dim_tipo")
+    assert(cat.tableAtTag("dim_tipo", "good")
+      .select("nome_tipo").as[String].collect().toSeq === Seq("a"))
+    assert(cat.table("dim_tipo").count() === 2)                    // head v2 intact
   }
 
   test("tags are create-exclusive and immutable; dropTag releases the pin") {
