@@ -192,7 +192,10 @@ final class Catalog(val spark: SparkSession, val root: String,
     * existing target on POSIX, losing exclusivity. link(2) is both:
     * the final name appears atomically with its full content, or fails
     * EEXIST. The temp file is cleaned here on every path; one orphaned
-    * by a hard kill matches the `.tmp` pattern recover() deletes. */
+    * by a hard kill matches the `.tmp` pattern recover() deletes.
+    * Filesystems without hard-link support fall back to CREATE_NEW
+    * (exclusive, but with the empty-file crash window back open —
+    * contained by the unparseable-tag skip/abort machinery). */
   private def claimVersionFile(dir: Path, name: String, body: String,
                                what: String): Unit = {
     // dot-prefixed temp: "tag.rel.tmpX" would match tags()' "tag."
@@ -210,6 +213,24 @@ final class Catalog(val spark: SparkSession, val root: String,
           s"lost the race claiming $what: another writer holds " +
             s"${dir.resolve(name)} (or a crashed one left it behind — " +
             "run recover() after confirming no writer is live)")
+      case _: UnsupportedOperationException =>
+        // filesystems without hard links (some NFS/object-store
+        // mounts): fall back to CREATE_NEW + write. Still exclusive
+        // (CREATE_NEW fails EEXIST); NOT crash-atomic — a writer dying
+        // between create and write leaves an empty claim file, the
+        // exact artifact the unparseable-tag machinery (tags() skips
+        // with a warning, vacuum aborts loudly) exists to contain.
+        try Files.write(dir.resolve(name),
+          body.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new Catalog.ConcurrentWriteException(
+              s"lost the race claiming $what: another writer holds " +
+                s"${dir.resolve(name)} (or a crashed one left it behind — " +
+                "run recover() after confirming no writer is live)")
+        }
     } finally Files.deleteIfExists(tmp)
   }
 

@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * (collect_set dedups in the aggregate — no separate DISTINCT
   * exchange); per-item counts and the minPair-pruned canonical
   * (i < j) pair counts are derived from that cached table and eagerly
-  * materialized via localCheckpoint, because every one of them is
+  * materialized via [[Materialize.pin]] (localCheckpoint locally,
+  * reliable checkpoint when the session has a checkpoint dir — an
+  * executor loss must not kill the truncated-lineage consumers on a
+  * real cluster), because every one of them is
   * consumed by 2+ downstream branches (unmaterialized, each branch
   * would re-run its fact-sized aggregate). Pairs are generated INSIDE
   * each array by the native `array_pairs` expression — C(size, 2) per
@@ -26,7 +29,7 @@ import org.apache.spark.sql.functions._
   * fact-sized CacheManager entry outlives the call — callers need no
   * clearCache contract.
   */
-private[operators] object Baskets {
+private[graft] object Baskets {
 
   /** `baskets`: two columns (basket id, item id). Returns
     * (itemN: (it, n), pairN: (ia, ib, pair_n) with pair_n >= minPair,
@@ -38,20 +41,18 @@ private[operators] object Baskets {
     val bkts = baskets.toDF("bk", "it")
       .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("items"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val itemN = bkts.select(explode(col("items")).as("it"))
-      .groupBy(col("it")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val pairN = bkts
+    val itemN = Materialize.pin(bkts.select(explode(col("items")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n")))
+    val pairN = Materialize.pin(bkts
       .filter(size(col("items")) >= 2)
       .select(explode(call_function(
         graft.expressions.ArrayPairs.name, col("items"))).as("pr"))
       .groupBy(col("pr.ia").as("ia"), col("pr.ib").as("ib"))
       .agg(count(lit(1)).as("pair_n"))
-      .filter(col("pair_n") >= minPair)
-      .localCheckpoint()
+      .filter(col("pair_n") >= minPair))
     val basketN =
       if (withBasketTotal)
-        Some(bkts.agg(count(lit(1)).as("baskets")).localCheckpoint())
+        Some(Materialize.pin(bkts.agg(count(lit(1)).as("baskets"))))
       else None
     bkts.unpersist(blocking = false)
     (itemN, pairN, basketN)

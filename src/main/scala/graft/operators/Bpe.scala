@@ -17,9 +17,10 @@ import graft.functions.TextFunctions.words
   * table distributed. Per iteration: one pair-count aggregate over the
   * word table and ONE bounded driver action (the argmax pair — a
   * 1-row collect, the q56 CC-loop discipline), then the merge applies
-  * as a per-row array fold. Lineage is localCheckpoint-truncated each
-  * iteration — 50 nested HOF layers would otherwise double the plan
-  * per round (the dupClusters lesson).
+  * as a per-row array fold. Lineage is truncated each iteration
+  * ([[Materialize.pin]]: localCheckpoint locally, reliable checkpoint
+  * when a dir is configured) — 50 nested HOF layers would otherwise
+  * double the plan per round (the dupClusters lesson).
   *
   * Determinism: ties in pair frequency break lexicographically on the
   * pair — training is reproducible across engines, partitionings, and
@@ -54,10 +55,9 @@ object Bpe {
             minPairFreq: Long = 2): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     // the one corpus-scale pass: word frequencies
-    var state = df.select(explode(words(col(textCol))).as("w"))
+    var state = Materialize.pin(df.select(explode(words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(chars(col("w")).as("sym"), col("freq"))
-      .localCheckpoint()
+      .select(chars(col("w")).as("sym"), col("freq")))
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
     var done = false
@@ -77,9 +77,8 @@ object Bpe {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
-        state = state
-          .select(applyMerge(col("sym"), a, b).as("sym"), col("freq"))
-          .localCheckpoint() // truncate the per-iteration HOF lineage
+        state = Materialize.pin(state // truncate the per-iteration HOF lineage
+          .select(applyMerge(col("sym"), a, b).as("sym"), col("freq")))
         i += 1
       }
     }

@@ -394,8 +394,7 @@ object Dedup {
     // localCheckpoint action) — each round is exactly ONE driver
     // action; the previous separate fingerprint job per round was the
     // single largest cost of the loop (round-3 verdict task 2).
-    val reliableAvailable =
-      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val reliableAvailable = Materialize.reliableAvailable(pairs)
     def materialize(df: DataFrame, reliable: Boolean = false): (DataFrame, Option[Long]) = {
       val obs = org.apache.spark.sql.Observation()
       val observed = df.observe(obs, bit_xor(xxhash64(col("id").cast("string"),
@@ -562,8 +561,12 @@ object Dedup {
     * join-back runs on the same gram key, and the final per-doc sum is
     * one small exchange. Nothing is ever all-pairs; no driver action.
     * The (doc, gram) table is persisted (consumed by both the
-    * sharedness aggregate and the join-back) — the [[Graph]] runner
-    * contract: one-shot runners clear between queries.
+    * sharedness aggregate and the join-back) ONLY for the duration of
+    * the call: the escaping per-doc dup table is doc-count-sized and
+    * eagerly pinned ([[Materialize.pin]]), after which the corpus-scale
+    * cache is unpersisted — the [[Baskets.counts]] discipline, so no
+    * fact-sized CacheManager entry outlives the call and callers need
+    * no clearCache contract.
     */
   def crossDocSpanStats(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, flagAtE6: Long): DataFrame = {
@@ -579,8 +582,9 @@ object Dedup {
     // per gram >= 2 — no COUNT(DISTINCT) expand needed
     val shared = per.groupBy(col("g")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= 2).select(col("g"))
-    val dup = per.join(shared, "g")
-      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("dp"))
+    val dup = Materialize.pin(per.join(shared, "g")
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("dp")))
+    per.unpersist(blocking = false)
     docs
       .select(col(idCol).as("doc_id"),
         greatest(size(words(col(textCol))) - (k - 1), lit(0))

@@ -32,16 +32,25 @@ object Graph {
     * / Chiba–Nishizeki arboricity argument) and Σ size(nbrs) = m
     * exactly.
     *
-    * `materialize = true` (the default) caches the built adjacency
-    * (columnar MEMORY_AND_DISK persist — the [[pageRank]] rationale:
-    * checkpoint blocks hold deserialized rows, GB-scale for a decade
-    * graph): the adjacency is consumed from BOTH sides of the
-    * triangle join below, and without materialization each branch
-    * re-executes the whole upstream lineage — the edge build, the
-    * degree aggregate, and two degree joins, measured 1.9× slower than
-    * the materialized plan at the 10× decade.
+    * `materialize = true` (the default) pins the built adjacency
+    * ([[Materialize.loopPin]] — columnar MEMORY_AND_DISK persist on a
+    * checkpoint-dir-less session, reliable checkpoint otherwise): the
+    * adjacency is consumed from BOTH sides of the triangle join below,
+    * and without materialization each branch re-executes the whole
+    * upstream lineage — the edge build, the degree aggregate, and two
+    * degree joins, measured 1.9× slower than the materialized plan at
+    * the 10× decade.
+    *
+    * Vertex ids are cast to BIGINT at intake (lossless for any
+    * integral input — the [[triangleCount]] contract): the downstream
+    * `sorted_intersect_count` intersection is a native expression over
+    * `array<bigint>`, so without the cast an int/short edge list fails
+    * its type check where the old `size(array_intersect(...))` path
+    * accepted any element type.
     */
-  def orientedAdjacency(e0: DataFrame, materialize: Boolean = true): DataFrame = {
+  def orientedAdjacency(e0in: DataFrame, materialize: Boolean = true): DataFrame = {
+    val e0 = e0in.select(col("a").cast("bigint").as("a"),
+      col("b").cast("bigint").as("b"))
     val deg = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     // total order = lexicographic (degree, id) — compared directly,
@@ -61,9 +70,7 @@ object Graph {
       // edge (native sorted_intersect_count) instead of a per-row hash
       // set + materialized intersection array
       .groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    if (materialize)
-      adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else adj
+    if (materialize) Materialize.loopPin(adj) else adj
   }
 
   /** Triangle count given oriented adjacency lists (see
@@ -100,7 +107,9 @@ object Graph {
 
   /** Exact triangle count of an undirected simple graph.
     *
-    * `edges` must have two integral columns; loops are dropped and
+    * `edges` must have two integral columns (ids are cast to BIGINT
+    * internally — the native sorted-intersection requires
+    * `array<bigint>` adjacency); loops are dropped and
     * each undirected edge may appear in either or both directions and
     * with duplicates — the input is canonicalized first (skip that
     * full-edge shuffle with `assumeCanonical` when the caller already
@@ -143,17 +152,18 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // the directed edge list and the degree table are consumed by
     // EVERY iteration — materialized once, so the upstream edge build
-    // runs once instead of once per iteration per branch. persist
-    // (columnar, compressed, disk-spillable), NOT localCheckpoint:
-    // checkpoint blocks store deserialized rows — several GB for a
-    // decade-scale edge list, and that storage squeezed the execution
-    // memory of the iteration joins into intermittent OOM at the 100×
-    // bench's 8 GiB heap. The iteration count is a small compile-time
-    // constant, so lineage depth (dupClusters' reason for a real
-    // checkpoint) is not a concern here.
+    // runs once instead of once per iteration per branch. loopPin:
+    // persist (columnar, compressed, disk-spillable) on a local
+    // session, NOT localCheckpoint — local checkpoint blocks store
+    // deserialized rows, several GB for a decade-scale edge list, and
+    // that storage squeezed the execution memory of the iteration
+    // joins into intermittent OOM at the 100× bench's 8 GiB heap;
+    // reliable checkpoint when a dir is configured (cluster: survives
+    // executor loss, holds no executor memory). The iteration count is
+    // a small compile-time constant, so lineage depth (dupClusters'
+    // reason for a checkpoint cadence) is not a concern here.
     def ckpt(df: DataFrame) =
-      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (materialize) Materialize.loopPin(df) else df
     // the edge list is pre-partitioned on `a` BEFORE the persist: every
     // iteration joins it on a = p, and a cached relation carries its
     // outputPartitioning, so the loop-invariant m-row side shuffles ONCE
@@ -213,12 +223,12 @@ object Graph {
   def bfs(e0: DataFrame, seeds: DataFrame, maxHops: Int,
           materialize: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    // persist, not localCheckpoint — the pageRank rationale: columnar
-    // compressed storage instead of GB-scale deserialized row blocks,
-    // and hop count bounds lineage depth by construction
+    // loopPin, not localCheckpoint — the pageRank rationale: columnar
+    // compressed storage instead of GB-scale deserialized row blocks
+    // locally, reliable checkpoint on a cluster, and hop count bounds
+    // lineage depth by construction
     def ckpt(df: DataFrame) =
-      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (materialize) Materialize.loopPin(df) else df
     // pre-partitioned on the per-hop join key `a` (the pageRank
     // rationale): the m-row edge side shuffles once at build, and each
     // hop's join exchanges only the vertex-sized frontier.
@@ -271,8 +281,7 @@ object Graph {
                    materialize: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     def ckpt(df: DataFrame) =
-      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (materialize) Materialize.loopPin(df) else df
     val e = ckpt(e0.select(col("a"), col("b"), col("w"))
       .unionAll(e0.select(col("b").as("a"), col("a").as("b"), col("w")))
       .repartition(col("a")))

@@ -145,20 +145,23 @@ object RelationalQueries {
     "q146_bucketed_join" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_q146")
       CoreQueries.cleanupAtExit(root)
-      s.sql("DROP TABLE IF EXISTS g_q146_li")
-      s.sql("DROP TABLE IF EXISTS g_q146_ord")
+      // table names carry the per-invocation temp-dir token: two
+      // sessions sharing one metastore (or two concurrent suite runs)
+      // must not race on a fixed catalog entry and read each other's
+      // temp paths
+      val tok = root.getFileName.toString
       Tables(s, d, "lineitem")
         .select(col("l_orderkey"),
           (dec(col("l_extendedprice")) * 100).cast("bigint").as("gross_cents"))
         .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
         .option("path", root.resolve("li").toString)
-        .saveAsTable("g_q146_li")
+        .saveAsTable(s"${tok}_li")
       Tables(s, d, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
         .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
         .option("path", root.resolve("ord").toString)
-        .saveAsTable("g_q146_ord")
-      s.table("g_q146_li").join(s.table("g_q146_ord"), "l_orderkey")
+        .saveAsTable(s"${tok}_ord")
+      s.table(s"${tok}_li").join(s.table(s"${tok}_ord"), "l_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("gross_cents")).as("rev_cents"))
@@ -176,14 +179,15 @@ object RelationalQueries {
     "q148_dpp_prune" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_q148")
       CoreQueries.cleanupAtExit(root)
-      s.sql("DROP TABLE IF EXISTS g_q148_fact")
+      // per-invocation table name — the q146 concurrent-run rationale
+      val tok = root.getFileName.toString
       Tables(s, d, "orders")
         .select(col("o_orderkey"),
           (dec(col("o_totalprice")) * 100).cast("bigint").as("cents"),
           year(col("o_orderdate")).cast("int").as("oyear"))
         .write.partitionBy("oyear")
         .option("path", root.resolve("fact").toString)
-        .saveAsTable("g_q148_fact")
+        .saveAsTable(s"${tok}_fact")
       import s.implicits._
       // the dim must be a REAL scan: an in-memory LocalRelation gets
       // its filter constant-folded before the PartitionPruning rule
@@ -194,7 +198,7 @@ object RelationalQueries {
         .toDF("oyear", "tag")
         .write.parquet(root.resolve("dim").toString)
       val dim = s.read.parquet(root.resolve("dim").toString)
-      s.table("g_q148_fact")
+      s.table(s"${tok}_fact")
         .join(broadcast(dim.filter(col("tag") === "hot")), "oyear")
         .groupBy(col("oyear"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))

@@ -303,6 +303,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("contiguous ids: empty input yields an empty frame with the id column") {
+    // zipWithIndex has historically surprised on empty partitions —
+    // pin the degenerate layouts explicitly (round-10 verdict #7)
+    val empty = spark.emptyDataset[(Long, Long)].toDF("g", "id")
+    val got = graft.operators.ContiguousIds.assign(empty, Seq("g", "id"), "ex_id")
+    assert(got.columns.toSeq === Seq("g", "id", "ex_id"))
+    assert(got.count() === 0)
+  }
+
+  test("contiguous ids: single row gets id 0") {
+    val one = Seq((5L, 9L)).toDF("g", "id")
+    val got = graft.operators.ContiguousIds.assign(one, Seq("g", "id"), "ex_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((5L, 9L, 0L)))
+  }
+
+  test("contiguous ids: all rows in one range (constant leading key) stay dense") {
+    // every row shares g=1, so range sampling can put the whole input
+    // in ONE populated partition with the rest empty — ids must still
+    // be the dense 0..n-1 ordinals of the (g, id) order
+    val df = (1 to 41).map(i => (1L, (43 - i).toLong)).toDF("g", "id")
+    val got = graft.operators.ContiguousIds.assign(df, Seq("g", "id"), "ex_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+    val expect = (1 to 41).map(i => (1L, (43 - i).toLong)).sortBy(_._2)
+      .zipWithIndex.map { case ((g, id), ix) => (g, id, ix.toLong) }
+    assert(got === expect)
+  }
+
   // ------------------------------------------------------------ array_pairs
 
   /** The composed HOF form array_pairs replaced (AssocRules' previous

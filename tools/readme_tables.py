@@ -21,6 +21,13 @@ c = load("BENCH-sf10ish.json")
 
 readme = open("README.md").read()
 
+def must(m, what, heading):
+    # fail NAMING the missing anchor, not with AttributeError on None
+    assert m is not None, (
+        f"README anchor not found: {what} under section {heading!r} — "
+        "the section heading or table format drifted; fix README or this script")
+    return m
+
 def replace_section(readme, qa, qb, heading, top_n):
     shared = [q for q in qb if q in qa]
     ta, tb = sum(qa[q] for q in shared), sum(qb[q] for q in shared)
@@ -28,20 +35,27 @@ def replace_section(readme, qa, qb, heading, top_n):
     top = [q for q in by_ratio if qb[q] >= 0.3][:top_n]
     full = sorted(shared, key=lambda q: -(qb[q] / qa[q]))
     # section spans from heading to the </details> that closes its full table
+    assert heading in readme, f"README section heading not found: {heading!r}"
     start = readme.index(heading)
+    assert "</details>" in readme[start:], f"no </details> closing {heading!r}"
     end = readme.index("</details>", start) + len("</details>")
     sec = readme[start:end]
     # totals sentence: the bold "**...**" line pair
-    sec = re.sub(r"\*\*10x the data costs [^*]+\*\*\s*\([^)]+\)",
+    totals = r"\*\*10x the data costs [^*]+\*\*\s*\([^)]+\)"
+    must(re.search(totals, sec), "totals sentence '**10x the data costs ...**'",
+         heading)
+    sec = re.sub(totals,
                  f"**10x the data costs {tb/ta:.2f}x the wall-clock** "
                  f"({ta:.1f} s -> {tb:.1f} s across all {len(shared)} shared queries)",
                  sec, count=1)
     # top table: first "| query |" table up to blank line
-    m = re.search(r"\| query \| before[^\n]*\n\|---\|[^\n]*\n(?:\|[^\n]*\n)+", sec)
+    m = must(re.search(r"\| query \| before[^\n]*\n\|---\|[^\n]*\n(?:\|[^\n]*\n)+", sec),
+             "top '| query | before ...' table", heading)
     sec = sec[:m.start()] + table(qa, qb, top) + "\n" + sec[m.end():]
     # full table inside <details>
-    m = re.search(r"(<details>.*?\n\n)(\| query \| before[^\n]*\n\|---\|[^\n]*\n(?:\|[^\n]*\n)+)",
-                  sec, re.S)
+    m = must(re.search(r"(<details>.*?\n\n)(\| query \| before[^\n]*\n\|---\|[^\n]*\n(?:\|[^\n]*\n)+)",
+                       sec, re.S),
+             "full '| query | before ...' table inside <details>", heading)
     sec = sec[:m.start(2)] + table(qa, qb, full) + "\n" + sec[m.end(2):]
     return readme[:start] + sec + readme[end:]
 
