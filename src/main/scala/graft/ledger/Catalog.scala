@@ -783,11 +783,18 @@ final class Catalog(val spark: SparkSession, val root: String,
 
   def registerAll(): Unit = Schemas.tableNames.foreach(register)
 
-  /** K1: full-replace write (staging semantics, reference app/app.py:79). */
-  def replace(table: String, df: DataFrame): Unit = {
+  /** K1: full-replace write (staging semantics, reference app/app.py:79).
+    * `partitionBy` lays the commit out hive-partitioned on those
+    * columns (reads recover them via the per-commit basePath) — the
+    * sharded-export layout, where a consumer fetches one shard
+    * directory without listing the rest. */
+  def replace(table: String, df: DataFrame,
+              partitionBy: Seq[String] = Seq.empty): Unit = {
     val base = writeBase(table)
     val dir = newCommitDir(table)
-    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir)
     commit(table, Seq(dir), base)
     register(table)
   }

@@ -129,6 +129,35 @@ object TextQueries {
         docs(s, d).select(col("doc_id"), col("lang"), col("source")),
         Seq("lang", "doc_id"), "ex_id")),
 
+    // per-source curation (C4/RefinedWeb cap-and-blocklist by host):
+    // broadcast anti-join drops blocklisted sources, then at most
+    // CurationCap docs survive per source in deterministic salted-hash
+    // order (q64's reproducible-sampler shape). WindowGroupLimit prunes
+    // each map task to its partial top-cap BEFORE the exchange, so a
+    // hot source never funnels the corpus through one partition.
+    "q153_source_curation" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.SourceCuration.curate(
+        docs(s, d).select(col("doc_id"), col("source")),
+        "source", "doc_id", CurationCap,
+        CurationBlocked.toDF("source"), "q153:")
+    }),
+
+    // shard-balanced export manifest atop q152's numbering: shard =
+    // ex_id div ExportShardSize (every shard = ExportShardSize
+    // consecutive examples), manifest = per-shard doc/byte counts +
+    // id range — the resumable-download record a consumer checks
+    // against the data. The committed-through-Catalog face (data
+    // partitionBy(shard) + manifest in ONE atomic flip) is
+    // CatalogSpec-pinned; values are layout-independent, so the oracle
+    // is the plain window-derived aggregate.
+    "q154_export_manifest" -> ((s, d) =>
+      graft.operators.ShardedExport.manifest(
+        graft.operators.ShardedExport.withShards(
+          docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang", "doc_id"), ExportShardSize),
+        "n_chars")),
+
     // deterministic per-stratum sampling: the k docs with the smallest
     // md5(id) per language — hash ordering is THE reproducible sampler
     // at pipeline scale (no RNG, no partition-order dependence, stable
@@ -560,6 +589,14 @@ object TextQueries {
   /** q151 sample size (shared with the oracle). */
   private val WeightedSampleK = 50
 
+  /** q153 per-source doc cap + blocklisted sources (shared with the
+    * oracle SQL). */
+  private val CurationCap = 8
+  private val CurationBlocked = Seq("src7", "src13")
+
+  /** q154 examples per export shard (shared with the oracle SQL). */
+  private val ExportShardSize = 64L
+
   /** q108 minimum collection frequency (shared by Spark + oracle SQL). */
   private val BurstMinCf = 20
 
@@ -950,6 +987,28 @@ object TextQueries {
         |       CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
         |         AS ex_id
         |FROM documents""".stripMargin,
+
+    "q153_source_curation" ->
+      s"""SELECT doc_id, source, rn FROM (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('q153:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS INT) AS rn
+         |  FROM documents
+         |  WHERE source NOT IN (${CurationBlocked.map("'" + _ + "'").mkString(", ")}))
+         |WHERE rn <= $CurationCap""".stripMargin,
+
+    "q154_export_manifest" ->
+      s"""WITH e AS (SELECT n_chars,
+         |    CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+         |      AS ex_id
+         |  FROM documents)
+         |SELECT CAST(ex_id // $ExportShardSize AS BIGINT) AS shard,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+         |       CAST(MIN(ex_id) AS BIGINT) AS min_ex_id,
+         |       CAST(MAX(ex_id) AS BIGINT) AS max_ex_id
+         |FROM e GROUP BY 1""".stripMargin,
 
     "q151_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, n_chars,

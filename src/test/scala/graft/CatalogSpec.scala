@@ -848,6 +848,50 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("dim_tipo").count() === 2)                    // head v2 intact
   }
 
+  test("sharded export: data laid out by shard + manifest, ONE atomic snapshot flip") {
+    val dir = Files.createTempDirectory("cat_export").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val docs = (0L until 10L).map(i => (i, s"l${i % 2}", 100L + i))
+      .toDF("doc_id", "lang", "n_chars")
+    val committed = graft.operators.ShardedExport.export(cat,
+      "export_docs", "export_manifest", docs,
+      Seq("lang", "doc_id"), shardSize = 4L, byteCol = "n_chars")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // manifest describes the COMMITTED data exactly
+    val recomputed = graft.operators.ShardedExport
+      .manifest(cat.table("export_docs"), "n_chars")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(committed === recomputed)
+    assert(committed.map(m => (m._1, m._2)) === Seq((0L, 4L), (1L, 4L), (2L, 2L)))
+    // hive layout: a consumer fetches one shard dir without listing the rest
+    val commitDirs = Files.list(Paths.get(s"$dir/wh/export_docs"))
+    val shardDirs =
+      try {
+        import scala.jdk.CollectionConverters._
+        commitDirs.iterator().asScala.filter(p =>
+          Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
+          .flatMap { c =>
+            val l = Files.list(c)
+            try l.iterator().asScala.map(_.getFileName.toString).toList
+            finally l.close()
+          }.toSet
+      } finally commitDirs.close()
+    assert(Set("shard=0", "shard=1", "shard=2").subsetOf(shardDirs), shardDirs)
+    // atomicity: the flip published BOTH tables in one snapshot — and a
+    // second export replaces both, never exposing new data with the old
+    // manifest (read through the same snapshot-scoped table())
+    graft.operators.ShardedExport.export(cat,
+      "export_docs", "export_manifest",
+      docs.filter($"doc_id" < 6), Seq("lang", "doc_id"), 4L, "n_chars")
+    val m2 = graft.operators.ShardedExport
+      .manifest(cat.table("export_docs"), "n_chars")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val committed2 = cat.table("export_manifest")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(committed2 === m2)
+    assert(committed2.map(_._2).sum === 6L)
+  }
+
   test("tags are create-exclusive and immutable; dropTag releases the pin") {
     val dir = Files.createTempDirectory("cat_tags2").toString
     val cat = new Catalog(spark, s"$dir/wh")

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ShardedExport, SourceCuration}
+
+/** q153/q154 operator cores: per-source cap-and-blocklist curation and
+  * the shard-balanced export manifest. */
+class ExportCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate: blocklisted sources vanish, caps bind per source, hash order is stable") {
+    // hostA: 5 docs (cap 3 binds), hostB: 2 docs (under cap), bad: blocked
+    val docs = (1L to 5L).map(i => (i, "hostA")) ++
+      Seq((10L, "hostB"), (11L, "hostB"), (20L, "bad"), (21L, "bad"))
+    val bl = Seq("bad").toDF("source")
+    val out = SourceCuration.curate(docs.toDF("doc_id", "source"),
+      "source", "doc_id", cap = 3, bl, "t:")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(!out.exists(_._2 == "bad"))
+    assert(out.count(_._2 == "hostA") === 3)
+    assert(out.filter(_._2 == "hostB").map(_._1).toSet === Set(10L, 11L))
+    // survivors = the 3 smallest salted hashes among hostA's 5 — the
+    // sequential reference of the windowed rank
+    val expectA = (1L to 5L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i)).take(3).toSet
+    assert(out.filter(_._2 == "hostA").map(_._1).toSet === expectA)
+    // ranks are 1..k dense per source
+    assert(out.filter(_._2 == "hostA").map(_._3).sorted === Seq(1, 2, 3))
+    // layout-invariant: same survivors from a different input layout
+    val out2 = SourceCuration.curate(
+      docs.reverse.toDF("doc_id", "source").repartition(7),
+      "source", "doc_id", cap = 3, bl, "t:")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out2.toSet === out.toSet)
+  }
+
+  test("curate: the cap filter plans as WindowGroupLimit (map-side top-k, not a full window)") {
+    val docs = (1L to 50L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val plan = SourceCuration.curate(docs, "source", "doc_id", cap = 3,
+      Seq("none").toDF("source"), "t:")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("withShards + manifest: exact shard sizes, byte sums, contiguous id ranges") {
+    // 10 docs, shardSize 4 -> shards 0,1 of 4 docs and shard 2 of 2
+    val docs = (0L until 10L).map(i => (i, s"l${i % 2}", 100L + i))
+      .toDF("doc_id", "lang", "n_chars")
+    val sharded = ShardedExport.withShards(docs, Seq("lang", "doc_id"), 4L)
+    val m = ShardedExport.manifest(sharded, "n_chars")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // order: l0 docs 0,2,4,6,8 then l1 docs 1,3,5,7,9
+    val ordered = Seq(0L, 2L, 4L, 6L, 8L, 1L, 3L, 5L, 7L, 9L)
+    val expect = ordered.zipWithIndex.groupBy(_._2 / 4).toSeq.sortBy(_._1)
+      .map { case (sh, rows) =>
+        (sh.toLong, rows.size.toLong, rows.map(100L + _._1).sum,
+          rows.map(_._2.toLong).min, rows.map(_._2.toLong).max) }
+    assert(m === expect)
+    // every shard's id range is exactly [shard*size, shard*size+n-1]
+    for ((sh, n, _, lo, hi) <- m) {
+      assert(lo === sh * 4 && hi === lo + n - 1)
+    }
+  }
+}
