@@ -4,17 +4,32 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_ISOLATED=1: artifact mode — a FRESH SparkSession
+    // (full SparkContext restart) per query, so no block-manager /
+    // shuffle-file / JIT residue from one query is ever charged to the
+    // next (round-10 verdict #2: the committed 100× sweep carried up to
+    // 1.8× noise that isolated re-measures disproved; the artifact must
+    // not need a prose footnote to be believed). Costs ~2-4 s restart
+    // per query — pay it for committed artifacts, skip it while
+    // iterating. SPARK_GRAFT_REPS overrides the per-query rep count.
+    val isolated = sys.env.get("SPARK_GRAFT_ISOLATED")
+      .exists(v => v == "1" || v == "true")
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
     Preflight.check(sfDir) // testdata-drift probe: named diagnostics first
 
-    val spark = SparkSession.builder().withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm up scheduler + codegen paths so the first timed query doesn't
-    // absorb session startup (~3-4 s). Touches no benchmark data.
-    spark.range(100000).selectExpr("sum(id)").collect()
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder().withExtensions(new GraftExtensions)
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // Warm up scheduler + codegen paths so the first timed query doesn't
+      // absorb session startup (~3-4 s). Touches no benchmark data.
+      s.range(100000).selectExpr("sum(id)").collect()
+      s
+    }
+    var spark = newSession()
     // optional args: bench only these queries (local iteration aid; the
     // driver passes no args → full run). A misspelled name must fail
     // loudly — silently benching nothing looks like an all-green fast run.
@@ -30,6 +45,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .sortBy(_ == "q68_warehouse_e2e") // stable: alphabetical, q68 last
       .filter(n => only.isEmpty || only(n))
+    val loadStart = load1()
     // noop sink, not count(): count() lets the optimizer prune the
     // aggregate/projection expressions away, timing a cheaper plan
     // than the query actually is. noop materializes every column.
@@ -41,8 +57,9 @@ object Bench {
     // a failing query reports -1, never its fast-fail elapsed time
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val reps = if (name == "q68_warehouse_e2e") 1 else 2
-      val times = (1 to reps).map { _ =>
+      if (isolated) { spark.stop(); spark = newSession() }
+      val nReps = if (name == "q68_warehouse_e2e") 1 else reps
+      val times = (1 to nReps).map { _ =>
         steadyState(spark)
         val t0 = System.nanoTime()
         try {
@@ -63,9 +80,20 @@ object Bench {
     // total over successes only: summing the -1 sentinels would make
     // failing rounds look FASTER than passing ones
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the artifact self-describes its measurement conditions: host load
+    // (1-min average) at start/end and the isolation mode — a sweep
+    // taken under external load is visibly suspect from the JSON alone
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","isolated":$isolated,""" +
+      s""""load1_start":$loadStart,"load1_end":${load1()}}""")
     spark.stop()
   }
+
+  /** 1-minute host load average (-1 where /proc is unavailable). */
+  private def load1(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 
   /** Return the JVM to steady state before each timed run (round-3
     * verdict: the full-run artifact read as a 2.8× regression that
