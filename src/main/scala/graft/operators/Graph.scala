@@ -47,6 +47,18 @@ object Graph {
     * `array<bigint>`, so without the cast an int/short edge list fails
     * its type check where the old `size(array_intersect(...))` path
     * accepted any element type.
+    *
+    * Variance note (round-11 q111 diagnosis, 100× decade, isolated
+    * min-of-3 sweeps): this deserialized pin measures 25.5/31.1/30.9 s
+    * over three consecutive sweeps (±10% — the round-10 23.7–35.9 s
+    * band was in-sweep interference, not this operator). The suggested
+    * MEMORY_AND_DISK_SER alternative measured 26.0/29.3/40.6 s — no
+    * better warm and strictly worse cold (the 40.6 s run had the page
+    * cache cold; SER adds a deserialization pass on every one of the
+    * triangle join's TWO reads of the adjacency). Kept deserialized.
+    * An int-array adjacency (half the payload) was considered and
+    * rejected: real corpus ids exceed 2³¹, and a dual-type fast path
+    * would fork the native intersection for a local-bench-only win.
     */
   def orientedAdjacency(e0in: DataFrame, materialize: Boolean = true): DataFrame = {
     val e0 = e0in.select(col("a").cast("bigint").as("a"),
