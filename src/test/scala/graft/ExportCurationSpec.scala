@@ -46,6 +46,24 @@ class ExportCurationSpec extends SparkSpec {
       s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("curate: empty blocklist keeps every source; cap above input is a no-op") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val out = SourceCuration.curate(docs, "source", "doc_id", cap = 99,
+      spark.emptyDataset[String].toDF("source"), "t:")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out.map(_._1).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("withShards + manifest: empty input yields an empty manifest with the schema") {
+    val empty = spark.emptyDataset[(Long, String, Long)]
+      .toDF("doc_id", "lang", "n_chars")
+    val m = ShardedExport.manifest(
+      ShardedExport.withShards(empty, Seq("lang", "doc_id"), 4L), "n_chars")
+    assert(m.columns.toSeq ===
+      Seq("shard", "n_docs", "n_bytes", "min_ex_id", "max_ex_id"))
+    assert(m.count() === 0)
+  }
+
   test("withShards + manifest: exact shard sizes, byte sums, contiguous id ranges") {
     // 10 docs, shardSize 4 -> shards 0,1 of 4 docs and shard 2 of 2
     val docs = (0L until 10L).map(i => (i, s"l${i % 2}", 100L + i))
