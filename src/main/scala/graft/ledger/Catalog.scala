@@ -72,9 +72,53 @@ final class Catalog(val spark: SparkSession, val root: String,
     * schema that [[Warehouse.run]] must publish atomically. Staging and
     * rejects are batch scratch — per-table commits are the right
     * granularity there. */
-  private val snapshotScoped: Set[String] = Set(
+  private val baseSnapshotScoped: Set[String] = Set(
     "dim_tempo", "dim_tipo", "dim_grupo", "dim_categoria",
     "dim_classificacao", "fato_lancamento")
+
+  /** Tables registered into snapshot scope beyond the star schema
+    * ([[registerSnapshotScoped]]) — e.g. an export's data+manifest pair
+    * that must flip together. Concurrent set: registration may race a
+    * reader thread resolving scope. */
+  private val extraSnapshotScoped =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def snapshotScoped(t: String): Boolean =
+    baseSnapshotScoped(t) || extraSnapshotScoped.contains(t)
+
+  /** Every snapshot-scoped table, base + registered, in stable order. */
+  private def scopedTables: Seq[String] =
+    (baseSnapshotScoped ++ extraSnapshotScoped.asScala).toSeq.sorted
+
+  /** Extend snapshot scope to `tables`: their commits inside a
+    * [[transaction]] stay invisible until the single snapshot flip,
+    * their begin-state is recorded in INFLIGHT (so a crashed
+    * transaction rolls them back too), and direct commits bump the
+    * snapshot pointer like any star-schema table. The mechanism
+    * [[graft.operators.ShardedExport.export]] needs for its
+    * "data + manifest appear together or not at all" contract —
+    * without scope, each replace flips that table's LATEST
+    * immediately and a reader between the two replaces sees new data
+    * with the old manifest.
+    *
+    * Scope is per-instance: a reader wanting the atomic view of
+    * registered tables must register the same names (otherwise it
+    * reads their per-table LATEST). A table that already exists with
+    * a head the published snapshot does not cover is migrated in with
+    * a single-table snapshot bump — registration asserts that head is
+    * fully committed (do not register mid-crash-recovery; a head
+    * ABOVE an existing snapshot entry is the crashed-transaction
+    * shape that [[recoverTransaction]] owns, and is left alone here).
+    * Idempotent; not allowed inside a transaction. */
+  def registerSnapshotScoped(tables: String*): Unit = {
+    require(!inTxn, "cannot change snapshot scope inside a transaction")
+    tables.foreach { t =>
+      val added = extraSnapshotScoped.add(t)
+      if (added && !baseSnapshotScoped(t) && latestSnapshot.isDefined &&
+          !snapshotVersions.contains(t))
+        latestVersion(t).foreach(v => publishSnapshot(single = Some(t -> v)))
+    }
+  }
 
   /** AtomicBoolean, not a @volatile check-then-act: two threads racing
     * [[transaction]] on the same instance must leave exactly one inside
@@ -206,31 +250,35 @@ final class Catalog(val spark: SparkSession, val root: String,
     val tmp = dir.resolve(
       s".$name.tmp${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    def lostRace(): Nothing =
+      throw new Catalog.ConcurrentWriteException(
+        s"lost the race claiming $what: another writer holds " +
+          s"${dir.resolve(name)} (or a crashed one left it behind — " +
+          "run recover() after confirming no writer is live)")
+    // filesystems without hard links fall back to CREATE_NEW + write.
+    // Still exclusive (CREATE_NEW fails EEXIST); NOT crash-atomic — a
+    // writer dying between create and write leaves an empty claim
+    // file, the exact artifact the unparseable-tag machinery (tags()
+    // skips with a warning, vacuum aborts loudly) exists to contain.
+    def createNewFallback(): Unit =
+      try Files.write(dir.resolve(name),
+        body.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => lostRace()
+      }
     try Files.createLink(dir.resolve(name), tmp)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new Catalog.ConcurrentWriteException(
-          s"lost the race claiming $what: another writer holds " +
-            s"${dir.resolve(name)} (or a crashed one left it behind — " +
-            "run recover() after confirming no writer is live)")
-      case _: UnsupportedOperationException =>
-        // filesystems without hard links (some NFS/object-store
-        // mounts): fall back to CREATE_NEW + write. Still exclusive
-        // (CREATE_NEW fails EEXIST); NOT crash-atomic — a writer dying
-        // between create and write leaves an empty claim file, the
-        // exact artifact the unparseable-tag machinery (tags() skips
-        // with a warning, vacuum aborts loudly) exists to contain.
-        try Files.write(dir.resolve(name),
-          body.getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            throw new Catalog.ConcurrentWriteException(
-              s"lost the race claiming $what: another writer holds " +
-                s"${dir.resolve(name)} (or a crashed one left it behind — " +
-                "run recover() after confirming no writer is live)")
-        }
+      // ordered before FileSystemException (its supertype): EEXIST is
+      // the race, not a missing-capability signal
+      case _: java.nio.file.FileAlreadyExistsException => lostRace()
+      case _: UnsupportedOperationException => createNewFallback()
+      // NFS and FUSE object-store mounts reject link(2) with EPERM /
+      // ENOTSUP surfaced as FileSystemException, not
+      // UnsupportedOperationException — same missing capability, same
+      // fallback
+      case _: java.nio.file.FileSystemException => createNewFallback()
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -258,7 +306,7 @@ final class Catalog(val spark: SparkSession, val root: String,
         case Some((t, v)) =>
           (if (base == 0) Map.empty[String, Int] else snapshotVersionsAt(base)) + (t -> v)
         case None =>
-          snapshotScoped.toSeq.flatMap(t => latestVersion(t).map(t -> _)).toMap
+          scopedTables.flatMap(t => latestVersion(t).map(t -> _)).toMap
       }
       val body = versions.toSeq.sorted.map { case (t, v) => s"$t $v" }.mkString("\n")
       try {
@@ -331,8 +379,13 @@ final class Catalog(val spark: SparkSession, val root: String,
       // window where the atomicity promise used to be void. The initial
       // snapshot freezes whatever bootstrap state exists (usually empty).
       if (latestSnapshot.isEmpty) publishSnapshot()
-      val beginState = (s"owner $instanceId" +: snapshotScoped.toSeq.sorted
-        .flatMap(t => latestVersion(t).map(v => s"$t $v"))).mkString("\n")
+      // every scoped table is recorded, absent ones as version 0: a
+      // crashed transaction that CREATED a registered table must roll
+      // it back to nonexistence, even when the recovering instance has
+      // a different registration set (rollback iterates the union of
+      // its own scope and the marker's recorded tables)
+      val beginState = (s"owner $instanceId" +: scopedTables
+        .map(t => s"$t ${latestVersion(t).getOrElse(0)}")).mkString("\n")
       // atomic write: a crash mid-write must never leave a truncated
       // marker (a half-recorded state would roll tables back too far)
       atomicWrite(snapDir, "INFLIGHT", beginState)
@@ -382,7 +435,7 @@ final class Catalog(val spark: SparkSession, val root: String,
     * rolled below what readers already resolve. */
   private def rollbackScopedHeads(target: Map[String, Int]): Unit = {
     val published = snapshotVersions
-    snapshotScoped.foreach { t =>
+    (scopedTables ++ target.keys).distinct.foreach { t =>
       latestVersion(t).foreach { head =>
         val tv = math.max(target.getOrElse(t, 0), published.getOrElse(t, 0))
         if (head > tv) {
@@ -466,7 +519,7 @@ final class Catalog(val spark: SparkSession, val root: String,
       clean(snapDir, latestSnapshot.getOrElse(0), "s")
     if (!Files.exists(snapDir.resolve("INFLIGHT")) && latestSnapshot.isDefined) {
       val published = snapshotVersions
-      val stale = snapshotScoped.exists(t =>
+      val stale = scopedTables.exists(t =>
         latestVersion(t).exists(_ > published.getOrElse(t, 0)))
       if (stale) publishSnapshot() // rebuild from per-table heads
     }

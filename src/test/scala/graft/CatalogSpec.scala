@@ -892,6 +892,55 @@ class CatalogSpec extends SparkSpec {
     assert(committed2.map(_._2).sum === 6L)
   }
 
+  test("sharded export atomicity: a reader between the two replaces sees the " +
+      "OLD pair; a crash before the flip rolls BOTH tables back") {
+    val dir = Files.createTempDirectory("cat_export_atomic").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val docs = (0L until 8L).map(i => (i, s"l${i % 2}", 100L + i))
+      .toDF("doc_id", "lang", "n_chars")
+    graft.operators.ShardedExport.export(cat,
+      "export_docs", "export_manifest", docs,
+      Seq("lang", "doc_id"), shardSize = 4L, byteCol = "n_chars")
+    // the atomic view is snapshot-scoped: a consumer registers the same
+    // pair on its own instance (export() registered them on the writer)
+    val reader = new Catalog(spark, s"$dir/wh")
+    reader.registerSnapshotScoped("export_docs", "export_manifest")
+    def readerDocs(): Long = reader.table("export_docs").count()
+    def readerManifestDocs(): Long = reader.table("export_manifest")
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(readerDocs() === 8L && readerManifestDocs() === 8L)
+    // replay export()'s body with reader probes between the steps: the
+    // round-11 version flipped each table's LATEST immediately, so the
+    // first probe saw 4-doc data under the 8-doc manifest
+    val sharded4 = graft.operators.ShardedExport.withShards(
+      docs.filter($"doc_id" < 4), Seq("lang", "doc_id"), 4L)
+    cat.transaction {
+      cat.replace("export_docs", sharded4, partitionBy = Seq("shard"))
+      assert(readerDocs() === 8L && readerManifestDocs() === 8L)
+      cat.replace("export_manifest", graft.operators.ShardedExport
+        .manifest(cat.table("export_docs"), "n_chars"))
+      // both replaced, flip not yet published: still the old pair
+      assert(readerDocs() === 8L && readerManifestDocs() === 8L)
+    }
+    // after the single flip both move together
+    assert(readerDocs() === 4L && readerManifestDocs() === 4L)
+    // crash between the replaces (body throws): nothing published, and
+    // the writer's next transaction begin rolls the data head back —
+    // a subsequent full export re-claims the rolled-back version
+    // numbers cleanly and the reader only ever sees committed pairs
+    intercept[RuntimeException](cat.transaction {
+      cat.replace("export_docs", graft.operators.ShardedExport.withShards(
+        docs.filter($"doc_id" < 6), Seq("lang", "doc_id"), 4L),
+        partitionBy = Seq("shard"))
+      throw new RuntimeException("crash between data and manifest")
+    })
+    assert(readerDocs() === 4L && readerManifestDocs() === 4L)
+    graft.operators.ShardedExport.export(cat,
+      "export_docs", "export_manifest", docs.filter($"doc_id" < 6),
+      Seq("lang", "doc_id"), shardSize = 4L, byteCol = "n_chars")
+    assert(readerDocs() === 6L && readerManifestDocs() === 6L)
+  }
+
   test("tags are create-exclusive and immutable; dropTag releases the pin") {
     val dir = Files.createTempDirectory("cat_tags2").toString
     val cat = new Catalog(spark, s"$dir/wh")
