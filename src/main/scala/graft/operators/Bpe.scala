@@ -77,11 +77,17 @@ object Bpe {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
-        state = Materialize.pin(state // truncate the per-iteration HOF lineage
-          .select(applyMerge(col("sym"), a, b).as("sym"), col("freq")))
+        // truncate the per-iteration HOF lineage; pinReplacing deletes
+        // the superseded reliable checkpoint so a numMerges-iteration
+        // run keeps ONE state copy on the checkpoint store, not
+        // numMerges (cleanCheckpoints defaults to false)
+        state = Materialize.pinReplacing(state
+          .select(applyMerge(col("sym"), a, b).as("sym"), col("freq")), state)
         i += 1
       }
     }
+    // the final state dies with this call — reclaim its files too
+    Materialize.deleteCheckpoint(state)
     merges.result()
   }
 

@@ -56,4 +56,40 @@ private[graft] object Materialize {
   /** Release a [[loopPin]]'d table: unpersist is a no-op on a
     * checkpointed frame, so callers can release unconditionally. */
   def release(df: DataFrame): Unit = df.unpersist(blocking = false)
+
+  /** [[pin]] for an iteratively REPLACED loop state (BPE's symbol
+    * table): pins the new state eagerly, then deletes the superseded
+    * reliable checkpoint backing `prev` — the new pin is fully
+    * materialized, so its lost-partition recovery reads only its own
+    * files and nothing ever reads `prev`'s again. Without this, a
+    * checkpoint-dir run of an N-iteration trainer keeps N full copies
+    * of the state on the reliable store for the whole job
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+    * false, and even enabled it frees only on GC). No-op deletion on
+    * the local path (localCheckpoint frames have no checkpoint file).
+    */
+  def pinReplacing(df: DataFrame, prev: DataFrame): DataFrame = {
+    val out = pin(df)
+    deleteCheckpoint(prev)
+    out
+  }
+
+  /** Delete the reliable checkpoint files backing `df`, if any — call
+    * only when nothing will read `df` again (the final state of a
+    * [[pinReplacing]] loop, after its last consumer). Safe no-op for
+    * localCheckpoint'd, persisted, or un-pinned frames. */
+  def deleteCheckpoint(df: DataFrame): Unit =
+    checkpointPathOf(df).foreach { p =>
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+
+  /** The reliable checkpoint dir backing a [[pin]]'d frame: the
+    * LogicalRDD a Dataset.checkpoint wraps carries the checkpointed
+    * RDD, whose getCheckpointFile is Some only on the reliable path. */
+  private def checkpointPathOf(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.flatMap(_.getCheckpointFile).map(new org.apache.hadoop.fs.Path(_))
 }

@@ -161,10 +161,19 @@ object RelationalQueries {
         .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
         .option("path", root.resolve("ord").toString)
         .saveAsTable(s"${tok}_ord")
-      s.table(s"${tok}_li").join(s.table(s"${tok}_ord"), "l_orderkey")
+      val out = s.table(s"${tok}_li").join(s.table(s"${tok}_ord"), "l_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("gross_cents")).as("rev_cents"))
+      // drop the catalog entries NOW: Datasets analyze eagerly, so the
+      // plan above already holds the resolved bucketed relations (file
+      // paths + bucket spec) and never resolves the names again; the
+      // EXTERNAL tables' files live until the temp-root exit hook. A
+      // long-lived session (verify sweep, user shell) would otherwise
+      // accumulate one dangling pair per invocation forever.
+      s.sql(s"DROP TABLE IF EXISTS ${tok}_li")
+      s.sql(s"DROP TABLE IF EXISTS ${tok}_ord")
+      out
     }),
 
     // dynamic partition pruning (the third classic layout lever after
@@ -179,15 +188,17 @@ object RelationalQueries {
     "q148_dpp_prune" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_q148")
       CoreQueries.cleanupAtExit(root)
-      // per-invocation table name — the q146 concurrent-run rationale
-      val tok = root.getFileName.toString
+      // plain hive-layout parquet, not saveAsTable: DPP fires on any
+      // partitioned file-source scan, and skipping the metastore means
+      // no per-invocation catalog entry to leak (a catalog-table fact
+      // would also resolve through a LAZY CatalogFileIndex, so the
+      // entry could not even be dropped before the frame is consumed)
       Tables(s, d, "orders")
         .select(col("o_orderkey"),
           (dec(col("o_totalprice")) * 100).cast("bigint").as("cents"),
           year(col("o_orderdate")).cast("int").as("oyear"))
         .write.partitionBy("oyear")
-        .option("path", root.resolve("fact").toString)
-        .saveAsTable(s"${tok}_fact")
+        .parquet(root.resolve("fact").toString)
       import s.implicits._
       // the dim must be a REAL scan: an in-memory LocalRelation gets
       // its filter constant-folded before the PartitionPruning rule
@@ -198,7 +209,7 @@ object RelationalQueries {
         .toDF("oyear", "tag")
         .write.parquet(root.resolve("dim").toString)
       val dim = s.read.parquet(root.resolve("dim").toString)
-      s.table(s"${tok}_fact")
+      s.read.parquet(root.resolve("fact").toString)
         .join(broadcast(dim.filter(col("tag") === "hot")), "oyear")
         .groupBy(col("oyear"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Path}
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 import graft.operators.{Baskets, Bpe, Graph, Materialize}
@@ -79,10 +80,53 @@ class MaterializeSpec extends SparkSpec {
       assert(pairN.as[(String, String, Long)].collect().toSet === expectPairs)
       val before = rddFiles(dir)
       assert(Bpe.train(docs, "txt", numMerges = 2) === expectMerges)
-      assert(rddFiles(dir) > before, "Bpe.train must pin reliably under a dir")
+      // Bpe pins reliably each iteration but deletes superseded
+      // checkpoints as it goes and the final one on return (round-11
+      // ADVICE: unbounded checkpoint-dir growth) — correct merges with
+      // ZERO net files left behind. The reliable path itself is pinned
+      // by the pinReplacing test below.
+      assert(rddFiles(dir) === before,
+        "Bpe.train must clean up all its checkpoints")
       val mid = rddFiles(dir)
       assert(Graph.triangleCount(edges).as[Long].head() === expectTri)
       assert(rddFiles(dir) > mid, "Graph adjacency must pin reliably under a dir")
+    }
+  }
+
+  test("pinReplacing: one live state copy on the reliable store, not N") {
+    withCheckpointDir { dir =>
+      def rddDirs(): Set[String] = {
+        val root = java.nio.file.Paths.get(dir)
+        val s = Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("rdd-"))
+            .map(_.getFileName.toString).toSet
+        } finally s.close()
+      }
+      var state = Materialize.pin((1L to 10L).toDF("v"))
+      val first = rddDirs()
+      assert(first.size === 1, s"expected one checkpoint dir, got $first")
+      // three replacement rounds: each pin supersedes the previous —
+      // exactly one rdd-* dir alive at any point, and it ROTATES
+      (1 to 3).foreach { _ =>
+        val before = rddDirs()
+        state = Materialize.pinReplacing(
+          state.select((col("v") + 1).as("v")), state)
+        val after = rddDirs()
+        assert(after.size === 1, s"expected one live checkpoint, got $after")
+        assert(after.intersect(before).isEmpty,
+          "superseded checkpoint must be deleted")
+      }
+      // the surviving state stays fully readable off its own files
+      assert(state.as[Long].collect().sorted.toSeq === (4L to 13L))
+      Materialize.deleteCheckpoint(state)
+      assert(rddDirs().isEmpty, "final cleanup must reclaim the last copy")
+      // local path: deleteCheckpoint is a safe no-op
+      val local = (1L to 3L).toDF("v").localCheckpoint(true)
+      Materialize.deleteCheckpoint(local)
+      assert(local.count() === 3L)
     }
   }
 }
