@@ -1415,6 +1415,38 @@ final class Catalog(val spark: SparkSession, val root: String,
     n
   }
 
+  /** Move every unparseable `tag.*` file (crashed pre-hard-link
+    * claims, foreign writes — the artifacts [[vacuum]] aborts on) to
+    * `_manifests/quarantine/`, returning the quarantined file names.
+    * The one audited recovery step the vacuum runbook needs: after a
+    * quarantine, [[vacuum]] proceeds and valid pins stay readable,
+    * while the quarantined bytes remain inspectable (was this a
+    * crashed claim on a version we are about to collect?) instead of
+    * being raw-deleted. Re-quarantining the same name uniquifies the
+    * target — successive incidents never overwrite each other's
+    * evidence. Run from the single writer, like vacuum itself: a
+    * LIVE writer's claim mid-flight is indistinguishable from a
+    * crashed one here. */
+  def quarantineCorruptTags(table: String): Seq[String] = {
+    val md = manifestDir(table)
+    val corrupt = unparseableTagFiles(table)
+    if (corrupt.isEmpty) return Seq.empty
+    val qd = md.resolve("quarantine")
+    Files.createDirectories(qd)
+    corrupt.map { f =>
+      var target = qd.resolve(f)
+      var n = 1
+      while (Files.exists(target)) {
+        target = qd.resolve(s"$f.$n")
+        n += 1
+      }
+      Files.move(md.resolve(f), target)
+      System.err.println(s"[catalog] quarantined corrupt tag file $f " +
+        s"of $table -> $target")
+      target.getFileName.toString
+    }
+  }
+
   /** Delete commit dirs referenced by neither the LATEST manifest nor
     * the published snapshot (crashed writers, replaced/compacted
     * history). Assumes no reader is pinned to an older version — run

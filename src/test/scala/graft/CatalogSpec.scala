@@ -848,6 +848,39 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("dim_tipo").count() === 2)                    // head v2 intact
   }
 
+  test("quarantineCorruptTags: one audited call clears the vacuum abort; " +
+      "evidence stays inspectable; repeat incidents never overwrite it") {
+    val dir = Files.createTempDirectory("cat_tag_quarantine").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.replace("dim_tipo", tipoDf("a"))                           // v1
+    cat.tag("dim_tipo", "good")
+    cat.replace("dim_tipo", tipoDf("x", "y"))                      // v2
+    val md = s"$dir/wh/dim_tipo/_manifests"
+    Files.write(Paths.get(s"$md/tag.bad"), Array.emptyByteArray)
+    Files.write(Paths.get(s"$md/tag.huge"), "4294967296".getBytes)
+    intercept[IllegalArgumentException](cat.vacuum("dim_tipo"))
+    // the runbook step: one method, not raw file surgery
+    val moved = cat.quarantineCorruptTags("dim_tipo")
+    assert(moved.toSet === Set("tag.bad", "tag.huge"))
+    cat.vacuum("dim_tipo")                                         // proceeds
+    assert(cat.tableAtTag("dim_tipo", "good")
+      .select("nome_tipo").as[String].collect().toSeq === Seq("a"))
+    assert(cat.tags("dim_tipo") === Map("good" -> 1))
+    // evidence inspectable: original bytes under _manifests/quarantine
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$md/quarantine/tag.huge"))) === "4294967296")
+    assert(Files.size(Paths.get(s"$md/quarantine/tag.bad")) === 0L)
+    // a SECOND incident with the same file name uniquifies, never
+    // overwrites the first incident's evidence
+    Files.write(Paths.get(s"$md/tag.huge"), "still bad".getBytes)
+    assert(cat.quarantineCorruptTags("dim_tipo") === Seq("tag.huge.1"))
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$md/quarantine/tag.huge.1"))) === "still bad")
+    // nothing corrupt left: the call is an idempotent no-op
+    assert(cat.quarantineCorruptTags("dim_tipo") === Seq.empty)
+    cat.vacuum("dim_tipo")
+  }
+
   test("sharded export: data laid out by shard + manifest, ONE atomic snapshot flip") {
     val dir = Files.createTempDirectory("cat_export").toString
     val cat = new Catalog(spark, s"$dir/wh")
