@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing for training-data
@@ -10,16 +12,21 @@ import org.apache.spark.sql.functions._
   * analog of `mapInPandas` (one iterator per partition, vectorizable,
   * no per-row JVM↔interpreter round-trips).
   *
-  * The actual codec calls are STUBS (this container has no image/audio
-  * libraries): [[StubCodec]] derives deterministic fake pixels/samples
-  * from the payload bytes. Everything around the stub — schemas, typed
-  * encoders, batch iteration, partitioning, output shapes — is the real
-  * production plumbing; swap [[StubCodec]] for a JNI/javacpp codec and
-  * nothing else changes.
+  * The IMAGE path is a real codec: [[ImageCodec]] decodes PNG/JPEG/
+  * BMP/GIF through JDK `javax.imageio` (ships with the JDK — zero new
+  * dependencies) and computes exact pixel statistics; [[pngMedia]]
+  * synthesizes genuine PNGs so the decode is exercised end-to-end and
+  * oracle-checked (q155). Audio keeps a byte-statistic stand-in
+  * ([[ByteStatCodec]]): the JDK ships no PCM/compressed-audio decoder,
+  * so that one call is a clearly-marked fake while everything around
+  * it — schemas, typed encoders, batch iteration, output shapes — is
+  * the production plumbing.
   *
-  * Scale: media rows are large (MBs); transforms are per-row and
-  * shuffle-free. Repartition by `media_id` ONLY when a downstream join
-  * needs co-location; otherwise let file splits drive parallelism with
+  * Scale: media rows are large (MBs); decode/feature transforms are
+  * per-row and shuffle-free — at a 100 TB image lake the cost is
+  * decode CPU, embarrassingly parallel across file splits. Repartition
+  * by `media_id` ONLY when a downstream join needs co-location;
+  * otherwise let file splits drive parallelism with
   * `spark.sql.files.maxPartitionBytes` sized so one task holds a few
   * dozen payloads in memory.
   */
@@ -36,13 +43,129 @@ object Multimodal {
   final case class Frame(
       media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** STUB codec — deterministic fakes in place of real decoders. */
-  object StubCodec {
-    /** "Decode" an image: in production this is the JPEG/PNG decoder
-      * (??? until a codec lib is linked); the stub derives k fake
-      * "pixel statistics" from payload bytes so pipelines are testable
-      * end-to-end and byte-deterministic. */
-    def imageFeature(payload: Array[Byte], k: Int): Array[Float] = {
+  /** Decoded-image statistics row (q155): dims read from the DECODED
+    * raster (validated against declared metadata), exact integer pixel
+    * sum and a position-weighted checksum that pins every sample to
+    * its row-major slot — a transposed or row-swapped decode cannot
+    * pass. */
+  final case class ImageStats(
+      media_id: Long, decoded_w: Int, decoded_h: Int,
+      n_px: Long, px_sum: Long, px_check: Long)
+
+  /** Real image codec over JDK `javax.imageio` (PNG/JPEG/BMP/GIF
+    * readers ship in every JDK). PNG is lossless, so [[syntheticPng]]
+    * → [[stats]] round-trips exact sample values. */
+  object ImageCodec {
+
+    /** Deterministic 8-bit grayscale PNG: sample at (x, y) is
+      * `(seed + y*width + x) mod 256` — the row-major flat index
+      * offset by the seed, so every pixel value AND position is
+      * independently checkable (the q155 oracle regenerates the grid
+      * arithmetically in DuckDB). */
+    def syntheticPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0,
+            java.lang.Math.floorMod(seed + y.toLong * width + x, 256L).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode or fail loudly: ImageIO returns null when no registered
+      * reader claims the bytes — silently treating garbage as a
+      * zero-pixel image is how a curation pipeline ships junk. */
+    def decode(payload: Array[Byte]): BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        "payload is not a decodable image (no ImageIO reader claims it)")
+      img
+    }
+
+    /** Exact first-band pixel statistics of a decoded image:
+      * `px_sum = Σ v(i)`, `px_check = Σ i·v(i)` over row-major index
+      * `i = y*w + x`. Integer-exact: `px_check ≤ 255·n(n−1)/2 ≈
+      * 128·n²`, so n ≤ 2^27 pixels (134 MPx — beyond any training
+      * image) keeps it under 2^63; the require guards the bound
+      * instead of overflowing silently. */
+    def stats(payload: Array[Byte]): (Int, Int, Long, Long) = {
+      val img = decode(payload)
+      val r = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w.toLong * h <= (1L << 27),
+        s"image too large for exact int64 checksum: ${w}x$h")
+      var sum = 0L
+      var check = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = r.getSample(x, y, 0).toLong
+          sum += v
+          check += (y.toLong * w + x) * v
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum, check)
+    }
+
+    /** Feature vector from the DECODED raster: per-band mean and
+      * variance (population), flattened `[mean0, var0, mean1, …]` and
+      * fitted to `k` (zero-padded / truncated) — a fixed declared
+      * shape like any embedding column. */
+    def feature(payload: Array[Byte], k: Int): Array[Float] = {
+      val img = decode(payload)
+      val r = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = w.toLong * h
+      val bands = r.getNumBands
+      val out = new Array[Float](k)
+      var b = 0
+      while (b < bands && 2 * b < k) {
+        var sum = 0L
+        var sumSq = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = r.getSample(x, y, b).toLong
+            sum += v
+            sumSq += v * v
+            x += 1
+          }
+          y += 1
+        }
+        val mean = sum.toDouble / n
+        out(2 * b) = mean.toFloat
+        if (2 * b + 1 < k)
+          out(2 * b + 1) = (sumSq.toDouble / n - mean * mean).toFloat
+        b += 1
+      }
+      out
+    }
+  }
+
+  /** Byte-statistic stand-in features for modalities the JDK ships no
+    * decoder for (audio PCM/compressed, opaque video containers):
+    * windowed byte energies, deterministic in the payload. Clearly a
+    * fake — a real pipeline links an audio codec here; the Spark-side
+    * plumbing (schema, batching, output shape) is identical either
+    * way. */
+  object ByteStatCodec {
+    def feature(payload: Array[Byte], k: Int): Array[Float] = {
       val out = new Array[Float](k)
       var i = 0
       while (i < payload.length) {
@@ -51,11 +174,6 @@ object Multimodal {
       }
       out
     }
-
-    /** "Decode" audio: production = PCM decode + resample; stub =
-      * windowed byte energies. */
-    def audioFeature(payload: Array[Byte], k: Int): Array[Float] =
-      imageFeature(payload, k) // same deterministic shape for the stub
 
     /** "Sample" every `stride`-th frame of a fake video container whose
       * frames are fixed-size byte slices. */
@@ -66,9 +184,11 @@ object Multimodal {
   }
 
   /** Build a deterministic synthetic media table from `documents`: the
-    * payload is the utf-8 text bytes (stand-in for real image bytes),
-    * metadata derived from doc stats. Real pipelines read
-    * `binaryFile` sources or parquet with a binary column instead. */
+    * payload is the utf-8 text bytes (opaque-binary plumbing — q25/q26
+    * byte-level stats), metadata derived from doc stats. Real
+    * pipelines read `binaryFile` sources or parquet with a binary
+    * column instead; [[pngMedia]] is the variant with DECODABLE image
+    * payloads. */
   def syntheticMedia(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
@@ -80,17 +200,48 @@ object Multimodal {
       lit(16000).as("sample_rate"),
       (pmod(col("doc_id"), lit(30)) + 1).cast("int").as("n_frames"))
 
+  /** [[syntheticMedia]] with REAL payloads on image rows: a genuine
+    * grayscale PNG (seed `media_id mod 256`, declared dims) produced
+    * by the same `ImageIO` stack that decodes it. Partition-local map
+    * — the encode is the fixture's cost, not a shuffle. */
+  def pngMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val rows = asMediaRows(syntheticMedia(docs))
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      if (r.kind == "image")
+        r.copy(payload = ImageCodec.syntheticPng(
+          java.lang.Math.floorMod(r.media_id, 256L), r.width, r.height))
+      else r
+    })
+  }
+
+  /** Decode every image row and emit exact pixel statistics, failing
+    * loudly when the decoded dims disagree with the declared metadata
+    * (a lying metadata column must never flow silently into a
+    * training manifest). Partition-local, shuffle-free. */
+  def decodeImageStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { r =>
+      val (w, h, sum, check) = ImageCodec.stats(r.payload)
+      require(w == r.width && h == r.height,
+        s"decoded dims ${w}x$h != declared ${r.width}x${r.height} " +
+          s"for media ${r.media_id}")
+      ImageStats(r.media_id, w, h, w.toLong * h, sum, check)
+    })
+  }
+
   /** Partition-local batched feature extraction (mapInPandas analog):
-    * one iterator per partition; the stub codec is called per row
-    * inside the partition loop. Output keeps a stable, declared shape
-    * (fixed-length feature vector). */
+    * one iterator per partition. Images go through the REAL decoder
+    * ([[ImageCodec.feature]] — per-band mean/variance of the decoded
+    * raster); audio/video use the byte-statistic stand-in. Output
+    * keeps a stable, declared shape (fixed-length feature vector). */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val feat = r.kind match {
-          case "audio" => StubCodec.audioFeature(r.payload, dim)
-          case _       => StubCodec.imageFeature(r.payload, dim)
+          case "image" => ImageCodec.feature(r.payload, dim)
+          case _       => ByteStatCodec.feature(r.payload, dim)
         }
         MediaFeature(r.media_id, r.kind, r.payload.length.toLong, feat)
       }
@@ -103,7 +254,7 @@ object Multimodal {
                         stride: Int = 4): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      StubCodec.sampleFrames(r.payload, frameSize, stride)
+      ByteStatCodec.sampleFrames(r.payload, frameSize, stride)
         .map { case (idx, bytes) => Frame(r.media_id, idx, bytes) }
     }
   }

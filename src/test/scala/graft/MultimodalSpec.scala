@@ -2,33 +2,90 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
+import graft.operators.Multimodal.ImageCodec
 
 class MultimodalSpec extends SparkSpec {
 
-  private def media = Multimodal.asMediaRows(
-    Multimodal.syntheticMedia(
-      Tables(spark, sf0001, "documents").limit(60)))
+  // real PNGs on the image rows — the decode path runs against them
+  private def media = Multimodal.pngMedia(
+    Tables(spark, sf0001, "documents").limit(60))
 
-  test("syntheticMedia: binary payload with typed metadata, all kinds present") {
-    val kinds = media.toDF().select("kind").distinct()
-      .as[String](spark.implicits.newStringEncoder).collect().sorted
-    assert(kinds.toSeq === Seq("audio", "image", "video"))
-    val r = media.head()
+  test("pngMedia: binary payload with typed metadata, all kinds present, " +
+      "image payloads carry the PNG magic") {
+    val rows = media.collect()
+    assert(rows.map(_.kind).distinct.sorted.toSeq ===
+      Seq("audio", "image", "video"))
+    val r = rows.head
     assert(r.payload.nonEmpty && r.width >= 16 && r.sample_rate === 16000)
+    rows.filter(_.kind == "image").foreach { img =>
+      assert((img.payload(0) & 0xff) === 0x89 &&
+        img.payload(1) === 'P'.toByte, s"media ${img.media_id} not a PNG")
+    }
   }
 
-  test("extractFeatures: fixed-dim vectors, deterministic across runs") {
+  test("golden decode: a synthesized PNG round-trips exact sample values, " +
+      "with and without mod-256 wraparound") {
+    // seed 5, 4x3: v(i) = 5+i row-major, no wrap
+    val img = ImageCodec.decode(ImageCodec.syntheticPng(5, 4, 3))
+    assert(img.getWidth === 4 && img.getHeight === 3)
+    val samples = for (y <- 0 until 3; x <- 0 until 4)
+      yield img.getRaster.getSample(x, y, 0)
+    assert(samples === (0 until 12).map(i => 5 + i))
+    assert(ImageCodec.stats(ImageCodec.syntheticPng(5, 4, 3)) ===
+      ((4, 3, 126L, 836L))) // Σv = 12·5+66; Σ i·v = 5·66 + 506
+    // seed 250, 4x2: wraps 250..255,0,1
+    assert(ImageCodec.stats(ImageCodec.syntheticPng(250, 4, 2)) ===
+      ((4, 2, 1516L, 3812L)))
+  }
+
+  test("decode fails loudly on non-image bytes and on metadata that lies " +
+      "about dims") {
+    intercept[IllegalArgumentException](
+      ImageCodec.decode("not a png".getBytes))
+    import spark.implicits._
+    val lying = Seq(Multimodal.MediaRow(7L, "image",
+      ImageCodec.syntheticPng(7, 4, 3), 5, 3, 16000, 1)).toDS()
+    val ex = intercept[Exception](
+      Multimodal.decodeImageStats(lying).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("decoded dims")), chain(ex).mkString("; "))
+  }
+
+  test("decodeImageStats: image rows only, stats match the generator grid") {
+    val stats = Multimodal.decodeImageStats(media).collect()
+    val imgs = media.filter(_.kind == "image").collect()
+    assert(stats.length === imgs.length && stats.nonEmpty)
+    stats.foreach { s =>
+      // regenerate arithmetically: v(i) = (seed + i) mod 256
+      val seed = java.lang.Math.floorMod(s.media_id, 256L)
+      val n = s.n_px
+      val expSum = (0L until n).map(i => (seed + i) % 256).sum
+      val expCheck = (0L until n).map(i => i * ((seed + i) % 256)).sum
+      assert(s.decoded_w.toLong * s.decoded_h === n)
+      assert(s.px_sum === expSum && s.px_check === expCheck,
+        s"media ${s.media_id}")
+    }
+  }
+
+  test("extractFeatures: fixed-dim, deterministic; image features are " +
+      "DECODED-raster mean/var; audio keeps the byte-stat invariant") {
     val f1 = Multimodal.extractFeatures(media, dim = 8).collect()
       .sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media, dim = 8).collect()
       .sortBy(_.media_id)
     assert(f1.forall(_.feature.length === 8))
     assert(f1.map(_.feature.toSeq).toSeq === f2.map(_.feature.toSeq).toSeq)
-    // feature mass equals total byte mass / 255 (stub invariant)
-    val payloads = media.collect().map(r => r.media_id -> r.payload).toMap
-    val r = f1.head
-    val expected = payloads(r.media_id).map(b => (b & 0xff) / 255.0).sum
-    assert(math.abs(r.feature.sum - expected) < 1e-3)
+    val byId = media.collect().map(r => r.media_id -> r).toMap
+    // image: feature(0) = grayscale mean of the DECODED pixels
+    val img = f1.filter(_.kind == "image").head
+    val (w, h, pxSum, _) = ImageCodec.stats(byId(img.media_id).payload)
+    assert(math.abs(img.feature(0) - pxSum.toDouble / (w.toLong * h)) < 1e-3)
+    assert(img.feature(1) > 0f, "grayscale variance of a gradient is > 0")
+    // audio: byte-statistic stand-in — feature mass = byte mass / 255
+    val aud = f1.filter(_.kind == "audio").head
+    val expected = byId(aud.media_id).payload.map(b => (b & 0xff) / 255.0).sum
+    assert(math.abs(aud.feature.sum - expected) < 1e-3)
   }
 
   test("sampleVideoFrames: every stride-th fixed-size slice, video only") {
