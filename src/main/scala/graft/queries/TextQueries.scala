@@ -158,6 +158,24 @@ object TextQueries {
           Seq("lang", "doc_id"), ExportShardSize),
         "n_chars")),
 
+    // training-order export (round-11 verdict #2): q154's (lang,
+    // doc_id) order ships language-GROUPED shards — the wrong layout
+    // to train from (shard 0 would be all-one-language batches).
+    // Ordering by a salted md5 of the doc id instead makes every
+    // shard a representative mixture of the corpus (ExportCuration-
+    // Spec pins per-shard lang fractions within tolerance of the
+    // corpus'). Same ShardedExport operator, different orderCols —
+    // the hash materializes as a column because ContiguousIds sorts
+    // by NAMED columns; doc_id appended breaks any collision
+    // deterministically. Scale shape identical to q152/q154: ONE
+    // range exchange, no single-task stage.
+    "q156_training_order" -> ((s, d) =>
+      graft.operators.ShardedExport.withShards(
+        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("h",
+            md5(concat(lit("q156:"), col("doc_id").cast("string")))),
+        Seq("h", "doc_id"), ExportShardSize)),
+
     // deterministic per-stratum sampling: the k docs with the smallest
     // md5(id) per language — hash ordering is THE reproducible sampler
     // at pipeline scale (no RNG, no partition-order dependence, stable
@@ -1009,6 +1027,17 @@ object TextQueries {
          |       CAST(MIN(ex_id) AS BIGINT) AS min_ex_id,
          |       CAST(MAX(ex_id) AS BIGINT) AS max_ex_id
          |FROM e GROUP BY 1""".stripMargin,
+
+    "q156_training_order" ->
+      s"""WITH e AS (SELECT doc_id, lang, n_chars,
+         |    md5('q156:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars, h,
+         |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+         |    AS ex_id,
+         |  CAST((row_number() OVER (ORDER BY h, doc_id) - 1)
+         |    // $ExportShardSize AS BIGINT) AS shard
+         |FROM e""".stripMargin,
 
     "q151_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, n_chars,

@@ -83,4 +83,43 @@ class ExportCurationSpec extends SparkSpec {
       assert(lo === sh * 4 && hi === lo + n - 1)
     }
   }
+
+  test("training order (q156 shape): hash-ordered shards are mixture-" +
+      "representative; lang-ordered shards are not") {
+    // the real corpus slice: 500 docs, 5 languages, en ~39%
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val corpus = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val total = corpus.values.sum.toDouble
+    def shardLangFracs(ordered: org.apache.spark.sql.DataFrame)
+        : Map[(Long, String), Double] = {
+      val counts = ordered.groupBy("shard", "lang").count()
+        .as[(Long, String, Long)].collect()
+      val sizes = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      counts.map { case (sh, l, n) => (sh, l) -> n.toDouble / sizes(sh) }.toMap
+    }
+    val hashOrdered = ShardedExport.withShards(
+      docs.withColumn("h",
+        md5(concat(lit("q156:"), col("doc_id").cast("string")))),
+      Seq("h", "doc_id"), 64L)
+    val hashFracs = shardLangFracs(hashOrdered)
+    val shards = hashFracs.keys.map(_._1).toSet
+    assert(shards.size === 8) // ceil(500/64)
+    // every shard's per-lang fraction within ±0.25 of the corpus' —
+    // hash-binomial std at 64 docs is ~0.06, so 0.25 is noise-proof
+    // while language-grouped shards (fraction 1.0 vs corpus ≤0.39)
+    // blow through it
+    for (sh <- shards; (l, c) <- corpus) {
+      val f = hashFracs.getOrElse((sh, l), 0.0)
+      assert(math.abs(f - c / total) < 0.25,
+        s"shard $sh lang $l frac $f vs corpus ${c / total}")
+    }
+    // the CONTRAST: q154's (lang, doc_id) order ships shards a single
+    // language dominates outright
+    val langOrdered = ShardedExport.withShards(
+      docs, Seq("lang", "doc_id"), 64L)
+    val maxFrac = shardLangFracs(langOrdered).values.max
+    assert(maxFrac === 1.0, s"expected a single-language shard, got $maxFrac")
+  }
 }

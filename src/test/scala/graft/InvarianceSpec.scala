@@ -38,7 +38,16 @@ class InvarianceSpec extends SparkSpec {
     "q70_pack_sequences", "q47_listagg", "q143_crossdoc_spans",
     // layout-lever queries: the bucketed write (16 buckets) and the
     // DPP-pruned scan must give identical answers at any parallelism
-    "q146_bucketed_join", "q148_dpp_prune")
+    "q146_bucketed_join", "q148_dpp_prune",
+    // curation/export family (round-11 verdict #5): q153's
+    // WindowGroupLimit map-side top-k must survive split/partition
+    // levers; q154/q156 ride ContiguousIds' zipWithIndex — the
+    // suite's ONE layout-sensitive primitive, so the dense numbering
+    // (lang-grouped and hash-mixed orders both) gets the full
+    // four-regime replay; q155's decode is per-row but its mapParti-
+    // tions batching must not fork under 32 KiB splits either
+    "q153_source_curation", "q154_export_manifest",
+    "q155_image_decode", "q156_training_order")
 
   /** Sorted row-multiset fingerprint: row order and partitioning must
     * not matter, so compare on sorted `toString` lines. The cache is
