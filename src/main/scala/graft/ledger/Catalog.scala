@@ -497,7 +497,25 @@ final class Catalog(val spark: SparkSession, val root: String,
       orphans.foreach(n => Files.deleteIfExists(dir.resolve(n)))
       orphans.size
     }
-    val tables = Schemas.tableNames.map(t =>
+    // every table that HAS a manifest dir, not just the declared star
+    // schema: registered snapshot-scope tables (exports) and undeclared
+    // appendDelta tables crash like any other, and an orphan claim
+    // above their LATEST blocks every future commit until cleared
+    val allTables: Seq[String] = {
+      val rootP = Paths.get(root)
+      if (!Files.exists(rootP)) Schemas.tableNames
+      else {
+        val listing = Files.list(rootP)
+        val found =
+          try listing.iterator().asScala
+            .filter(p => Files.isDirectory(p) &&
+              Files.exists(p.resolve("_manifests")))
+            .map(_.getFileName.toString).toSeq
+          finally listing.close()
+        (Schemas.tableNames ++ found).distinct
+      }
+    }
+    val tables = allTables.map(t =>
       clean(manifestDir(t), latestVersion(t).getOrElse(0), "v")).sum
     // rollbackScopedHeads drops tags atop the manifests it rewinds, but
     // a crash between its LATEST flip and its tag loop leaves a tag
@@ -505,7 +523,7 @@ final class Catalog(val spark: SparkSession, val root: String,
     // that version number, tableAtTag's liveness check passes again and
     // the tag silently serves data it never pinned. Recovery owns that
     // window: a tag above the recovered head can never become valid.
-    val droppedTags = Schemas.tableNames.map { t =>
+    val droppedTags = allTables.map { t =>
       val head = latestVersion(t).getOrElse(0)
       tags(t).count { case (name, v) =>
         v > head && {

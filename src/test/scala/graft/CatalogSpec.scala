@@ -848,6 +848,34 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("dim_tipo").count() === 2)                    // head v2 intact
   }
 
+  test("recover() clears orphan claims on registered export tables, not " +
+      "just the star schema") {
+    val dir = Files.createTempDirectory("cat_recover_export").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val docs = (0L until 6L).map(i => (i, s"l${i % 2}", 100L + i))
+      .toDF("doc_id", "lang", "n_chars")
+    graft.operators.ShardedExport.export(cat,
+      "export_docs", "export_manifest", docs,
+      Seq("lang", "doc_id"), shardSize = 4L, byteCol = "n_chars")
+    // a crashed writer's claim exactly one above LATEST blocks the next
+    // commit's create-exclusive fence
+    Files.write(Paths.get(s"$dir/wh/export_docs/_manifests/v2"),
+      "/ghost/commit".getBytes)
+    intercept[Catalog.ConcurrentWriteException](
+      graft.operators.ShardedExport.export(cat,
+        "export_docs", "export_manifest", docs,
+        Seq("lang", "doc_id"), 4L, "n_chars"))
+    // the aborted attempt left its own INFLIGHT marker (same instance
+    // heals at next begin); recover() must clear the foreign v-claim
+    assert(cat.recover() >= 1)
+    assert(!Files.exists(Paths.get(s"$dir/wh/export_docs/_manifests/v2")))
+    val m = graft.operators.ShardedExport.export(cat,
+      "export_docs", "export_manifest", docs.filter($"doc_id" < 4),
+      Seq("lang", "doc_id"), 4L, "n_chars")
+    assert(m.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0) === 4L)
+  }
+
   test("quarantineCorruptTags: one audited call clears the vacuum abort; " +
       "evidence stays inspectable; repeat incidents never overwrite it") {
     val dir = Files.createTempDirectory("cat_tag_quarantine").toString
