@@ -33,7 +33,60 @@ by accident — the lint flags it all the same.
 """
 import datetime
 import decimal
-import duckdb, glob, json, os, sys
+import glob, json, os, re, sys
+
+
+def artifacts_gate(repo):
+    """Round-13 gate (VERDICT r12 items 1+6): the committed decade
+    artifacts must cover exactly the query set declared in source, under
+    the BASELINE.md methodology (isolated min-of-3), and the gate
+    document itself must contain no template placeholders. Fails loudly
+    on a stale or partial artifact so a snapshot can't ship one again."""
+    fails = 0
+    baseline = open(f"{repo}/BASELINE.md").read()
+    if "XXX" in baseline:
+        print("FAIL BASELINE.md contains XXX placeholder(s) — the gate "
+              "document must commit real numbers")
+        fails += 1
+    # Source of truth for the query set: every "qN_name" -> binding in
+    # the queries package (same names feed SparkEntry.queries).
+    declared = set()
+    for p in glob.glob(f"{repo}/src/main/scala/graft/queries/*.scala"):
+        declared |= set(re.findall(r'"(q\d+_\w+)"\s*->', open(p).read()))
+    if not declared:
+        print("FAIL no query declarations found under graft/queries")
+        return 1
+    for art in ("BENCH-sf0.1-same-code.json", "BENCH-sf1ish.json",
+                "BENCH-sf10ish.json"):
+        path = f"{repo}/{art}"
+        if not os.path.exists(path):
+            print(f"FAIL {art}: missing")
+            fails += 1
+            continue
+        d = json.load(open(path))
+        have = set(d.get("queries", {}))
+        missing, extra = declared - have, have - declared
+        if missing or extra:
+            print(f"FAIL {art}: query set drift — missing "
+                  f"{sorted(missing)[:5]} extra {sorted(extra)[:5]} "
+                  f"(artifact {len(have)} vs source {len(declared)})")
+            fails += 1
+        if d.get("isolated") is not True or d.get("reps") != 3:
+            print(f"FAIL {art}: methodology isolated={d.get('isolated')} "
+                  f"reps={d.get('reps')} — BASELINE.md requires isolated "
+                  f"min-of-3")
+            fails += 1
+        if not (missing or extra) and d.get("isolated") is True:
+            print(f"PASS {art} ({len(have)} queries, isolated min-of-"
+                  f"{d.get('reps')})")
+    return fails
+
+
+if "--artifacts" in sys.argv:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.exit(1 if artifacts_gate(repo) else 0)
+
+import duckdb
 
 args = [a for a in sys.argv[1:] if a != "--lint-only"]
 lint_only = "--lint-only" in sys.argv
