@@ -58,6 +58,7 @@ object Profile {
         translate(col("o_totalprice").cast(DecimalType(15, 2)).cast("string"),
           ".", ",").as("Valor"))
       val root = java.nio.file.Files.createTempDirectory("graft_prof68")
+      graft.queries.CoreQueries.cleanupAtExit(root)
       val cat = new graft.ledger.Catalog(spark, s"$root/wh")
       phase("staging ingest+replace") {
         cat.replace("staging_lancamentos", graft.ledger.Ingest.toStaging(csvish))

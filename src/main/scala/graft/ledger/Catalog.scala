@@ -105,18 +105,37 @@ final class Catalog(val spark: SparkSession, val root: String,
     * registered tables must register the same names (otherwise it
     * reads their per-table LATEST). A table that already exists with
     * a head the published snapshot does not cover is migrated in with
-    * a single-table snapshot bump — registration asserts that head is
-    * fully committed (do not register mid-crash-recovery; a head
-    * ABOVE an existing snapshot entry is the crashed-transaction
-    * shape that [[recoverTransaction]] owns, and is left alone here).
-    * Idempotent; not allowed inside a transaction. */
+    * a single-table snapshot bump — but ONLY a head that is provably
+    * committed: a head ABOVE an existing snapshot entry is the
+    * crashed-transaction shape that [[recoverTransaction]] owns and
+    * is left alone here, and when an INFLIGHT marker RECORDS the
+    * table, the current head may be the marker-owner's uncommitted
+    * write (first-ever export crashed between its data and manifest
+    * replaces, new process re-runs the export — registration here
+    * precedes transaction-begin recovery). Bumping the raw head in
+    * that state would publish the aborted version AND floor
+    * [[rollbackScopedHeads]] at it, permanently blessing data no
+    * transaction committed. Instead the bump uses the marker's
+    * RECORDED begin version for that table (committed by
+    * construction: begin rolls back any prior crash before recording)
+    * — or nothing, if the table didn't exist at begin. Idempotent
+    * (and re-runnable after recovery: the bump re-fires for a scoped
+    * table that still lacks a snapshot entry); not allowed inside a
+    * transaction. */
   def registerSnapshotScoped(tables: String*): Unit = {
     require(!inTxn, "cannot change snapshot scope inside a transaction")
+    val inflight = snapDir.resolve("INFLIGHT")
+    val recorded: Map[String, Int] =
+      if (Files.exists(inflight)) readInflight(inflight)._2 else Map.empty
     tables.foreach { t =>
-      val added = extraSnapshotScoped.add(t)
-      if (added && !baseSnapshotScoped(t) && latestSnapshot.isDefined &&
-          !snapshotVersions.contains(t))
-        latestVersion(t).foreach(v => publishSnapshot(single = Some(t -> v)))
+      extraSnapshotScoped.add(t)
+      if (!baseSnapshotScoped(t) && latestSnapshot.isDefined &&
+          !snapshotVersions.contains(t)) {
+        val committedHead =
+          if (recorded.contains(t)) Some(recorded(t)).filter(_ > 0)
+          else latestVersion(t)
+        committedHead.foreach(v => publishSnapshot(single = Some(t -> v)))
+      }
     }
   }
 

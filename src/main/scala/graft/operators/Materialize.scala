@@ -87,9 +87,20 @@ private[graft] object Materialize {
 
   /** The reliable checkpoint dir backing a [[pin]]'d frame: the
     * LogicalRDD a Dataset.checkpoint wraps carries the checkpointed
-    * RDD, whose getCheckpointFile is Some only on the reliable path. */
+    * RDD, whose getCheckpointFile is Some only on the reliable path.
+    *
+    * Matches ONLY when the LogicalRDD is the plan's ROOT — i.e. `df`
+    * IS the [[pin]] result, not a frame derived from one. A collect-
+    * anywhere match (the pre-round-13 shape) made
+    * `deleteCheckpoint(state.select(...))` silently find the UPSTREAM
+    * pin and delete checkpoint files still backing a live frame;
+    * derived frames now resolve to None (deleteCheckpoint is a no-op,
+    * exactly as for persisted/un-pinned frames). Callers of
+    * [[pinReplacing]]/[[deleteCheckpoint]] must pass the pin result
+    * itself. */
   private def checkpointPathOf(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
-    df.queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.flatMap(_.getCheckpointFile).map(new org.apache.hadoop.fs.Path(_))
+    (df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd)
+      case _ => None
+    }).flatMap(_.getCheckpointFile).map(new org.apache.hadoop.fs.Path(_))
 }

@@ -63,7 +63,7 @@ object CoreQueries {
         root = tempRoots.poll()
       }
     }))
-  private[queries] def cleanupAtExit(root: java.nio.file.Path): Unit = {
+  private[graft] def cleanupAtExit(root: java.nio.file.Path): Unit = {
     cleanupHook
     tempRoots.add(root)
   }

@@ -129,4 +129,33 @@ class MaterializeSpec extends SparkSpec {
       assert(local.count() === 3L)
     }
   }
+
+  test("deleteCheckpoint on a DERIVED frame is a no-op — only the pin " +
+      "result itself resolves to its checkpoint files") {
+    // Round-13 advice (low): collect-anywhere plan matching let
+    // deleteCheckpoint(pinned.select(...)) find the UPSTREAM LogicalRDD
+    // and delete files still backing the live pinned frame. Root-only
+    // matching makes derived frames resolve to nothing.
+    withCheckpointDir { dir =>
+      def rddDirs(): Long = {
+        val s = Files.walk(java.nio.file.Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.count(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("rdd-")).toLong
+        } finally s.close()
+      }
+      val pinned = Materialize.pin((1L to 10L).toDF("v"))
+      assert(rddDirs() === 1L)
+      // a frame DERIVED from the pin must not surrender the pin's files
+      Materialize.deleteCheckpoint(pinned.select((col("v") * 2).as("v")))
+      Materialize.deleteCheckpoint(pinned.filter(col("v") > 3))
+      assert(rddDirs() === 1L,
+        "derived-frame deleteCheckpoint reclaimed a live pin's files")
+      assert(pinned.as[Long].collect().sorted.toSeq === (1L to 10L))
+      // the pin result itself still reclaims
+      Materialize.deleteCheckpoint(pinned)
+      assert(rddDirs() === 0L)
+    }
+  }
 }
