@@ -57,6 +57,15 @@ object Multimodal {
     * → [[stats]] round-trips exact sample values. */
   object ImageCodec {
 
+    // ImageIO's default ImageInputStream/ImageOutputStream wraps cache
+    // to DISK (/tmp FileCacheImageInputStream) — 32 concurrent decode
+    // tasks per executor would contend on tmp-file create/delete for
+    // payloads that are already fully in memory as byte arrays. Turn
+    // the global cache off once at class load: every decode/encode here
+    // goes through MemoryCacheImageInputStream instead (pure in-memory,
+    // no filesystem touch, no cross-task contention).
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Deterministic 8-bit grayscale PNG: sample at (x, y) is
       * `(seed + y*width + x) mod 256` — the row-major flat index
       * offset by the seed, so every pixel value AND position is

@@ -46,7 +46,33 @@ object MultimodalQueries {
     // decode CPU across file splits.
     "q155_image_decode" -> ((s, d) =>
       Multimodal.decodeImageStats(
-        Multimodal.pngMedia(Tables(s, d, "documents"))).toDF())
+        Multimodal.pngMedia(Tables(s, d, "documents"))).toDF()),
+
+    // decoded-FEATURE oracle (round-12 verdict #3): q155 checks the
+    // decode's raw pixel sums; this checks the column a curation
+    // pipeline actually consumes — extractFeatures' per-band
+    // mean/variance of the DECODED raster — grouped by declared width
+    // (the q26 rollup shape over decoded values). Float features are
+    // made hash-comparable by integer quantization: each float casts
+    // exactly to double, scales by 2^20 (exponent shift — exact), and
+    // floors to BIGINT; the oracle replays the identical IEEE op
+    // sequence (double mean/var of the regenerated grid → REAL →
+    // DOUBLE → ×2^20 → FLOOR), so both engines produce bit-identical
+    // integers. A feature from a wrong pixel, band, or a skipped
+    // decode breaks the sum. Same shuffle shape as q26: decode is
+    // partition-local, ONE width-keyed aggregate exchange.
+    "q157_image_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.pngMedia(Tables(s, d, "documents"))).toDF()
+        .filter(col("kind") === "image")
+        .withColumn("width", (pmod(col("media_id"), lit(64)) + 16).cast("int"))
+        .groupBy(col("width"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum(floor(col("feature")(0).cast("double") * lit(1048576.0)))
+            .cast("bigint").as("mean_q20_sum"),
+          sum(floor(col("feature")(1).cast("double") * lit(1048576.0)))
+            .cast("bigint").as("var_q20_sum")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -86,6 +112,35 @@ object MultimodalQueries {
         |      (d.doc_id % 64 + 16) * (d.doc_id % 48 + 16))) AS i) g
         |  WHERE d.doc_id % 3 = 0
         |  GROUP BY 1, 2, 3, 4
-        |)""".stripMargin
+        |)""".stripMargin,
+
+    // decoded per-band mean/variance replayed with the IDENTICAL IEEE
+    // double op sequence as ImageCodec.feature (sum/n, sumSq/n − m·m,
+    // → float32), then the exact integer quantization both sides share
+    "q157_image_features" ->
+      """SELECT width,
+        | COUNT(*) AS n_images,
+        | CAST(SUM(CAST(FLOOR(CAST(CAST(mean_d AS REAL) AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS mean_q20_sum,
+        | CAST(SUM(CAST(FLOOR(CAST(CAST(var_d AS REAL) AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS var_q20_sum
+        |FROM (
+        |  SELECT width,
+        |    CAST(px_sum AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_d,
+        |    CAST(px_sq AS DOUBLE) / CAST(n_px AS DOUBLE)
+        |      - (CAST(px_sum AS DOUBLE) / CAST(n_px AS DOUBLE))
+        |      * (CAST(px_sum AS DOUBLE) / CAST(n_px AS DOUBLE)) AS var_d
+        |  FROM (
+        |    SELECT d.doc_id,
+        |      CAST(d.doc_id % 64 + 16 AS INT) AS width,
+        |      CAST((d.doc_id % 64 + 16) * (d.doc_id % 48 + 16) AS BIGINT) AS n_px,
+        |      SUM((d.doc_id % 256 + g.i) % 256) AS px_sum,
+        |      SUM(((d.doc_id % 256 + g.i) % 256) * ((d.doc_id % 256 + g.i) % 256)) AS px_sq
+        |    FROM documents d,
+        |      LATERAL (SELECT unnest(range(
+        |        (d.doc_id % 64 + 16) * (d.doc_id % 48 + 16))) AS i) g
+        |    WHERE d.doc_id % 3 = 0
+        |    GROUP BY 1, 2, 3
+        |  )
+        |)
+        |GROUP BY width""".stripMargin
   )
 }
