@@ -310,6 +310,108 @@ object Streams {
       }
       .start()
 
+  /** Streaming face of the curation→number→shard export family
+    * (q153/q154/q156): each micro-batch's survivors EXTEND the
+    * committed export — example ids continue from the committed max,
+    * shards keep filling where the last batch stopped, and the data +
+    * manifest pair flips in ONE snapshot-scoped catalog transaction
+    * per batch (the [[graft.operators.ShardedExport]] contract,
+    * maintained incrementally).
+    *
+    * Per batch: (1) replay/duplicate guard — an anti-join on `idCol`
+    * against the committed export drops re-delivered rows, making the
+    * at-least-once foreachBatch exactly-once in effect (a replayed
+    * batch appends nothing and the manifest merge is a no-op);
+    * (2) curation — blocklist broadcast anti-join, then the salted-
+    * hash per-source rank capped at `cap` MINUS that source's already-
+    * committed survivor count, so the cap is enforced across the whole
+    * stream, not per batch; (3) numbering — [[graft.operators.ContiguousIds]]
+    * over the batch survivors, offset by the committed max ex_id
+    * (footer-stats read, no scan); (4) the append (partitioned by
+    * shard) and the manifest merge commit inside one transaction. The
+    * manifest delta aggregates the COMMITTED new rows and merges with
+    * the previous manifest by shard — sums add, the id range widens at
+    * the boundary shard — so the merge cost is manifest-sized, never a
+    * corpus rescan.
+    *
+    * Equals the one-shot batch export
+    * ([[graft.operators.ShardedExport.export]] of
+    * [[graft.operators.SourceCuration.curate]] over the union) when
+    * (a) batches are `orderCols`-monotone — every later batch sorts
+    * after all earlier rows, the natural shape when orderCols lead
+    * with ingest time or a monotone id — and (b) no source's docs
+    * straddle batches while exceeding `cap` (survivor selection is
+    * first-batch-wins across batches but hash-ordered within one; a
+    * one-shot re-curation re-ranks the union globally). StreamsSpec
+    * pins the equality; a pipeline needing the global re-rank runs the
+    * batch export as a periodic compaction instead.
+    *
+    * Scale: the corpus-side cost per batch is the idCol anti-join and
+    * the per-source count (both key-width shuffles of the committed
+    * export, no payload columns); everything else is batch-sized plus
+    * a manifest-sized merge. */
+  def curatedExportStream(docs: DataFrame, catalog: Catalog,
+                          dataTable: String, manifestTable: String,
+                          checkpointDir: String, sourceCol: String,
+                          idCol: String, cap: Int, blocklist: DataFrame,
+                          salt: String, orderCols: Seq[String],
+                          shardSize: Long, byteCol: String): StreamingQuery = {
+    catalog.registerSnapshotScoped(dataTable, manifestTable)
+    val blocked = broadcast(blocklist.toDF("blocked_source"))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val committed = catalog.exists(dataTable)
+        val fresh =
+          if (!committed) batch
+          else batch.join(catalog.table(dataTable).select(col(idCol)),
+            Seq(idCol), "left_anti")
+        val ranked = fresh
+          .join(blocked, fresh(sourceCol) === blocked("blocked_source"), "left_anti")
+          .withColumn("rn", graft.operators.SourceCuration
+            .hashRank(salt, col(sourceCol), col(idCol)))
+        val survivors =
+          (if (!committed) ranked.filter(col("rn") <= cap)
+           else {
+             val used = catalog.table(dataTable).groupBy(col(sourceCol))
+               .agg(count(lit(1)).as("n_committed"))
+             ranked.join(broadcast(used), Seq(sourceCol), "left")
+               .filter(col("rn") <=
+                 lit(cap.toLong) - coalesce(col("n_committed"), lit(0L)))
+               .drop("n_committed")
+           }).drop("rn")
+        val offset =
+          if (committed) catalog.maxId(dataTable, "ex_id") + 1 else 0L
+        val sharded = graft.operators.ContiguousIds
+          .assign(survivors, orderCols, "ex_id")
+          .withColumn("ex_id", col("ex_id") + lit(offset))
+          .withColumn("shard", expr(s"ex_id div ${shardSize}L"))
+        catalog.transaction {
+          val n = catalog.appendDelta(dataTable, sharded,
+            partitionBy = Seq("shard"))
+          if (n > 0) {
+            // manifest delta from the COMMITTED new rows (the bytes a
+            // consumer will actually read), merged shard-wise with the
+            // previous manifest — boundary-shard sums add, ranges widen
+            val delta = graft.operators.ShardedExport.manifest(
+              catalog.table(dataTable).filter(col("ex_id") >= offset), byteCol)
+            val merged =
+              if (!catalog.exists(manifestTable)) delta
+              else catalog.table(manifestTable).unionByName(delta)
+                .groupBy(col("shard"))
+                .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
+                  sum(col("n_bytes")).cast("bigint").as("n_bytes"),
+                  min(col("min_ex_id")).as("min_ex_id"),
+                  max(col("max_ex_id")).as("max_ex_id"))
+            catalog.replace(manifestTable, merged)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** The reference's upload loop as a file-watch stream: each CSV file
     * dropped in `watchDir` becomes a micro-batch that runs the same
     * validate → hash → staging → warehouse-merge pipeline. Idempotent

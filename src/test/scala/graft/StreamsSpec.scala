@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, sum}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.ledger.Catalog
@@ -406,6 +406,62 @@ class StreamsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().sortBy(_._1)
     assert(next.toSeq === Seq(("a", 2L, 11L), ("b", 1L, 2L)))
     assert(cat.appliedBatchId("rollup_r") === Some(1L))
+  }
+
+  test("curatedExportStream: two micro-batches (plus a duplicate redelivery) " +
+      "produce the same export as the one-shot batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_export").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val blocklist = Seq("spamhost").toDF("source")
+    // equivalence preconditions (documented at the definition site):
+    // batches are doc_id-monotone; "hot" exceeds the cap but lives
+    // entirely in batch 1; "a" straddles batches but stays within cap
+    val b1 = Seq(
+      (0L, "hot", 100L), (1L, "hot", 101L), (2L, "hot", 102L),
+      (3L, "hot", 103L), (4L, "hot", 104L), (5L, "hot", 105L),
+      (6L, "spamhost", 106L), (7L, "spamhost", 107L),
+      (8L, "a", 108L), (9L, "a", 109L))
+    val b2 = Seq(
+      (10L, "a", 110L), (11L, "a", 111L), (12L, "b", 112L),
+      (13L, "b", 113L), (14L, "spamhost", 114L), (15L, "b", 115L))
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = Streams.curatedExportStream(
+      mem.toDF().toDF("doc_id", "source", "n_chars"), cat,
+      "export_docs_s", "export_manifest_s", s"$dir/cp",
+      "source", "doc_id", cap = 4, blocklist, "q158:",
+      orderCols = Seq("doc_id"), shardSize = 3L, byteCol = "n_chars")
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // mid-stream state: hot capped to 4, spamhost blocked, a kept — 6
+      // examples, ids 0..5, and the manifest describes exactly them
+      assert(cat.table("export_docs_s").count() === 6L)
+      assert(cat.table("export_manifest_s")
+        .agg(sum("n_docs")).head().getLong(0) === 6L)
+      mem.addData(b2: _*); q.processAllAvailable()
+      // at-least-once duplicate redelivery of the whole first batch:
+      // the id anti-join makes it a no-op (exactly-once effect)
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // one-shot reference: the batch operators over the union
+    val cat2 = new Catalog(spark, s"$dir/wh2")
+    val union = (b1 ++ b2).toDF("doc_id", "source", "n_chars")
+    val curated = graft.operators.SourceCuration.curate(
+      union, "source", "doc_id", 4, blocklist, "q158:").drop("rn")
+    graft.operators.ShardedExport.export(cat2,
+      "export_docs_s", "export_manifest_s", curated,
+      Seq("doc_id"), shardSize = 3L, byteCol = "n_chars")
+    def rows(c: Catalog) = c.table("export_docs_s")
+      .select(col("ex_id").cast("long"), col("doc_id"), col("source"),
+        col("shard").cast("long"))
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(rows(cat) === rows(cat2))
+    def mani(c: Catalog) = c.table("export_manifest_s")
+      .select("shard", "n_docs", "n_bytes", "min_ex_id", "max_ex_id")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(mani(cat) === mani(cat2))
+    assert(mani(cat).map(_._2).sum === 11L)
   }
 
   test("dedupIngestStream: in-batch near-dups prune before the corpus check") {
