@@ -22,6 +22,14 @@ package graft
   * (q103 — exact integer rationals), window FIFO (q125),
   * item-cosine neighbor ranking (q149 — e6 squared cosine + window
   * top-k).
+  *
+  * CONVENTION (round-12 verdict #8): any NEW query whose plan contains
+  * a window function, a zipWithIndex/mapPartitions layout dependence,
+  * a TypedImperativeAggregate, or float-derived arithmetic joins the
+  * `queries` list below in the same change that adds it — membership
+  * is part of a query's definition of done, not a retrofit. Queries
+  * that are pure codegen'd column arithmetic + order-invariant
+  * aggregates (SUM/COUNT/MIN/MAX over exact types) may stay out.
   */
 class InvarianceSpec extends SparkSpec {
 
@@ -47,7 +55,11 @@ class InvarianceSpec extends SparkSpec {
     // four-regime replay; q155's decode is per-row but its mapParti-
     // tions batching must not fork under 32 KiB splits either
     "q153_source_curation", "q154_export_manifest",
-    "q155_image_decode", "q156_training_order")
+    "q155_image_decode", "q156_training_order",
+    // q157 quantizes FLOAT features to integers before summing — the
+    // one float-derived arithmetic in the suite; the quantization is
+    // per-row (exact, pre-aggregation) so regimes must agree
+    "q157_image_features")
 
   /** Sorted row-multiset fingerprint: row order and partitioning must
     * not matter, so compare on sorted `toString` lines. The cache is
