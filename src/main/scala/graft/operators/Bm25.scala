@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   * at the default 10^6 scale that is T·tf ≲ 4e11 doc-tokens; shrink
   * `fracScale` for larger corpora (the knob trades rank granularity
   * for headroom).
+  *
+  * Measured band (q103, sf0.1 isolated min-of-3, round 13 — the
+  * BASELINE.md standalone re-measure after the r12 in-sweep drift
+  * 0.53→0.85 s with no code change here): 0.79–1.21 s across five
+  * standalone invocations in one session, while UNTOUCHED controls
+  * (q20/q96/q101/q102) drifted 1.1–1.6× their committed artifact
+  * values in the same session — host noise on a sub-second query,
+  * not structure. Gate against the band, not a point.
   */
 object Bm25 {
 
