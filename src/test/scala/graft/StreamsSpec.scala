@@ -464,6 +464,56 @@ class StreamsSpec extends SparkSpec {
     assert(mani(cat).map(_._2).sum === 11L)
   }
 
+  test("curatedExportStream: restart from the checkpoint continues ids, " +
+      "shards, and the cross-stream source budgets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_export_restart").toString
+    val src = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val blocklist = Seq("spamhost").toDF("source")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, source STRING, n_chars LONG")
+    val cat = new Catalog(spark, s"$dir/wh")
+    def start() = Streams.curatedExportStream(
+      spark.readStream.schema(schema).json(src), cat,
+      "export_docs_r", "export_manifest_r", s"$dir/cp",
+      "source", "doc_id", cap = 2, blocklist, "q158r:",
+      orderCols = Seq("doc_id"), shardSize = 2L, byteCol = "n_chars")
+    Files.writeString(java.nio.file.Paths.get(s"$src/f1.json"),
+      """{"doc_id":0,"source":"a","n_chars":100}
+        |{"doc_id":1,"source":"a","n_chars":101}
+        |{"doc_id":2,"source":"a","n_chars":102}
+        |{"doc_id":3,"source":"spamhost","n_chars":103}
+        |{"doc_id":4,"source":"b","n_chars":104}""".stripMargin)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // survivors: a capped at 2 (salted-hash pick of its 3), b's one doc
+    assert(cat.table("export_docs_r").count() === 3L)
+    // a NEW query instance on the SAME checkpoint (crash/upgrade
+    // restart): file 1 must not reprocess, file 2's survivors continue
+    // ids from the committed max, and the budget remembers source "a"
+    // is already at cap — its new doc must be rejected
+    Files.writeString(java.nio.file.Paths.get(s"$src/f2.json"),
+      """{"doc_id":5,"source":"a","n_chars":105}
+        |{"doc_id":6,"source":"b","n_chars":106}
+        |{"doc_id":7,"source":"c","n_chars":107}""".stripMargin)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = cat.table("export_docs_r")
+      .select(col("ex_id").cast("long"), col("doc_id"), col("shard").cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) === (0L to 4L), s"ids must stay dense: $rows")
+    assert(!rows.map(_._2).contains(3L), "blocklisted doc leaked")
+    assert(!rows.map(_._2).contains(5L),
+      "source budget forgot committed survivors across the restart")
+    assert(rows.map(_._3) === Seq(0L, 0L, 1L, 1L, 2L), s"shards: $rows")
+    // the boundary shard (1) merged rows from BOTH stream incarnations
+    val mani = cat.table("export_manifest_r")
+      .select("shard", "n_docs", "min_ex_id", "max_ex_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(mani === Seq((0L, 2L, 0L, 1L), (1L, 2L, 2L, 3L), (2L, 1L, 4L, 4L)))
+  }
+
   test("dedupIngestStream: in-batch near-dups prune before the corpus check") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
