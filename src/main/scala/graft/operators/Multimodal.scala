@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
   * BMP/GIF through JDK `javax.imageio` (ships with the JDK — zero new
   * dependencies) and computes exact pixel statistics; [[pngMedia]]
   * synthesizes genuine PNGs so the decode is exercised end-to-end and
-  * oracle-checked (q155). Audio keeps a byte-statistic stand-in
-  * ([[ByteStatCodec]]): the JDK ships no PCM/compressed-audio decoder,
-  * so that one call is a clearly-marked fake while everything around
-  * it — schemas, typed encoders, batch iteration, output shapes — is
-  * the production plumbing.
+  * oracle-checked (q155, q157). The AUDIO path is a real codec too
+  * (round 13): [[WavCodec]] decodes WAV/PCM containers through JDK
+  * `javax.sound.sampled` (the JDK's audio framework — WAVE/AIFF/AU
+  * file parsers ship in `java.desktop`), and [[wavMedia]] synthesizes
+  * genuine 16-bit PCM WAVs so the decode is oracle-checked end-to-end
+  * (q158). Only COMPRESSED audio (mp3/aac — the JDK ships no such
+  * decoder) and opaque video containers keep the byte-statistic
+  * stand-in ([[ByteStatCodec]]), clearly marked, with all the
+  * production plumbing — schemas, typed encoders, batch iteration,
+  * output shapes — identical to the real paths.
   *
   * Scale: media rows are large (MBs); decode/feature transforms are
   * per-row and shuffle-free — at a 100 TB image lake the cost is
@@ -167,8 +172,102 @@ object Multimodal {
     }
   }
 
+  /** Decoded-audio statistics row (q158): frame count and rate read
+    * from the DECODED stream (validated against declared metadata),
+    * exact integer sample sum and a position-weighted checksum that
+    * pins every sample to its slot — a byte-swapped, truncated, or
+    * resampled decode cannot pass. */
+  final case class AudioStats(
+      media_id: Long, sample_rate: Int, n_samples: Long,
+      s_sum: Long, s_check: Long)
+
+  /** Real audio codec over JDK `javax.sound.sampled` (the WAVE/AIFF/AU
+    * file parsers ship in `java.desktop`; PCM is lossless, so
+    * [[syntheticWav]] → [[stats]] round-trips exact sample values).
+    * The readers are stateless and fully in-memory — no disk cache to
+    * contend on at 32-way parallelism (unlike ImageIO's default). */
+  object WavCodec {
+
+    /** Samples per declared metadata frame: 10 ms at 16 kHz — the
+      * conventional speech-pipeline hop, and the contract tying the
+      * MediaRow `n_frames` column to the decoded stream length. */
+    val SamplesPerFrame = 160
+
+    /** Deterministic 16-bit mono PCM WAV: sample i is
+      * `(seed + 37·i) mod 65536 − 32768` — position-dependent (37 is
+      * coprime to 65536, so consecutive samples differ) and
+      * regenerable arithmetically in DuckDB (the q158 oracle). */
+    def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+      require(nSamples > 0 && sampleRate > 0,
+        s"bad audio dims n=$nSamples rate=$sampleRate")
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = (java.lang.Math.floorMod(seed + 37L * i, 65536L) - 32768L).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode or fail loudly: a payload no audio reader claims (or a
+      * non-PCM16 encoding this codec doesn't own) must never flow
+      * silently into a training manifest as zero samples. */
+    def decode(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              "payload is not a decodable audio container " +
+                "(no javax.sound.sampled reader claims it)", e)
+        }
+      val f = in.getFormat
+      require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+        s"unsupported audio encoding $f (this codec owns 16-bit mono " +
+          "little-endian PCM; compressed audio has no JDK decoder)")
+      in
+    }
+
+    /** Exact sample statistics of a decoded stream:
+      * `s_sum = Σ v(i)`, `s_check = Σ i·v(i)` over the sample index.
+      * `|s_check| ≤ 32768·n(n−1)/2`, so n ≤ 2^23 samples (~8.7 min at
+      * 16 kHz — beyond any training clip) keeps it under 2^63; the
+      * require guards the bound instead of overflowing silently. */
+    def stats(payload: Array[Byte]): (Int, Long, Long, Long) = {
+      val in = decode(payload)
+      val n = in.getFrameLength
+      require(n >= 0 && n <= (1L << 23),
+        s"audio too long for exact int64 checksum: $n samples")
+      val bytes = in.readAllBytes()
+      require(bytes.length == 2 * n,
+        s"decoded ${bytes.length} bytes for $n declared frames")
+      var sum = 0L
+      var check = 0L
+      var i = 0
+      while (i < n) {
+        val v = ((bytes(2 * i + 1).toLong << 8) | (bytes(2 * i) & 0xffL))
+        sum += v
+        check += i.toLong * v
+        i += 1
+      }
+      (in.getFormat.getSampleRate.toInt, n, sum, check)
+    }
+  }
+
   /** Byte-statistic stand-in features for modalities the JDK ships no
-    * decoder for (audio PCM/compressed, opaque video containers):
+    * decoder for (COMPRESSED audio — mp3/aac — and opaque video
+    * containers):
     * windowed byte energies, deterministic in the payload. Clearly a
     * fake — a real pipeline links an audio codec here; the Spark-side
     * plumbing (schema, batching, output shape) is identical either
@@ -221,6 +320,43 @@ object Multimodal {
         r.copy(payload = ImageCodec.syntheticPng(
           java.lang.Math.floorMod(r.media_id, 256L), r.width, r.height))
       else r
+    })
+  }
+
+  /** [[syntheticMedia]] with REAL payloads on audio rows: a genuine
+    * 16-bit mono PCM WAV (seed `media_id mod 65536`, declared
+    * sample_rate, `n_frames × SamplesPerFrame` samples) produced by
+    * the same `javax.sound.sampled` stack that decodes it.
+    * Partition-local map — the encode is the fixture's cost, not a
+    * shuffle. */
+  def wavMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val rows = asMediaRows(syntheticMedia(docs))
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      if (r.kind == "audio")
+        r.copy(payload = WavCodec.syntheticWav(
+          java.lang.Math.floorMod(r.media_id, 65536L),
+          r.n_frames * WavCodec.SamplesPerFrame, r.sample_rate))
+      else r
+    })
+  }
+
+  /** Decode every audio row and emit exact sample statistics, failing
+    * loudly when the decoded rate or length disagrees with the
+    * declared metadata (a lying metadata column must never flow
+    * silently into a training manifest). Partition-local,
+    * shuffle-free — at a 100 TB audio lake this plan is pure decode
+    * CPU across file splits. */
+  def decodeAudioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.map { r =>
+      val (rate, n, sum, check) = WavCodec.stats(r.payload)
+      require(rate == r.sample_rate,
+        s"decoded rate $rate != declared ${r.sample_rate} for media ${r.media_id}")
+      require(n == r.n_frames.toLong * WavCodec.SamplesPerFrame,
+        s"decoded $n samples != declared ${r.n_frames} frames x " +
+          s"${WavCodec.SamplesPerFrame} for media ${r.media_id}")
+      AudioStats(r.media_id, rate, n, sum, check)
     })
   }
 

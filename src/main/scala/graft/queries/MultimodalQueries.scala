@@ -72,7 +72,21 @@ object MultimodalQueries {
           sum(floor(col("feature")(0).cast("double") * lit(1048576.0)))
             .cast("bigint").as("mean_q20_sum"),
           sum(floor(col("feature")(1).cast("double") * lit(1048576.0)))
-            .cast("bigint").as("var_q20_sum")))
+            .cast("bigint").as("var_q20_sum"))),
+
+    // REAL audio decode (round 13 — the WAV twin of q155): genuine
+    // 16-bit mono PCM WAVs are synthesized per audio row (seed =
+    // media_id mod 65536, n_frames × 160 samples at the declared
+    // rate), decoded back through JDK javax.sound.sampled, and the
+    // DECODED stream's exact integer statistics are emitted — s_sum =
+    // Σ v, s_check = Σ i·v over the sample index, so a wrong sample
+    // VALUE or POSITION (byte swap, truncation, resample) breaks the
+    // hash. The oracle regenerates the same sample sequence
+    // arithmetically in DuckDB. Shuffle-free: encode+decode are
+    // partition-local — pure decode CPU across file splits at scale.
+    "q158_audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudioStats(
+        Multimodal.wavMedia(Tables(s, d, "documents"))).toDF())
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -141,6 +155,25 @@ object MultimodalQueries {
         |    GROUP BY 1, 2, 3
         |  )
         |)
-        |GROUP BY width""".stripMargin
+        |GROUP BY width""".stripMargin,
+
+    // the sample sequence regenerated arithmetically: v(i) =
+    // (seed + 37·i) mod 65536 − 32768 — what the PCM WAV must
+    // round-trip through encode and decode
+    "q158_audio_decode" ->
+      """SELECT media_id, sample_rate, n_samples,
+        | CAST(s_sum AS BIGINT) AS s_sum,
+        | CAST(s_check AS BIGINT) AS s_check
+        |FROM (
+        |  SELECT d.doc_id AS media_id,
+        |    CAST(16000 AS INT) AS sample_rate,
+        |    CAST((d.doc_id % 30 + 1) * 160 AS BIGINT) AS n_samples,
+        |    SUM((d.doc_id % 65536 + 37 * g.i) % 65536 - 32768) AS s_sum,
+        |    SUM(g.i * ((d.doc_id % 65536 + 37 * g.i) % 65536 - 32768)) AS s_check
+        |  FROM documents d,
+        |    LATERAL (SELECT unnest(range((d.doc_id % 30 + 1) * 160)) AS i) g
+        |  WHERE d.doc_id % 3 = 1
+        |  GROUP BY 1, 2, 3
+        |)""".stripMargin
   )
 }

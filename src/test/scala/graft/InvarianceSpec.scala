@@ -59,7 +59,10 @@ class InvarianceSpec extends SparkSpec {
     // q157 quantizes FLOAT features to integers before summing — the
     // one float-derived arithmetic in the suite; the quantization is
     // per-row (exact, pre-aggregation) so regimes must agree
-    "q157_image_features")
+    "q157_image_features",
+    // q158 is the WAV twin of q155: mapPartitions decode batching must
+    // not fork under tiny splits or partition levers
+    "q158_audio_decode")
 
   /** Sorted row-multiset fingerprint: row order and partitioning must
     * not matter, so compare on sorted `toString` lines. The cache is

@@ -52,6 +52,56 @@ class MultimodalSpec extends SparkSpec {
     assert(chain(ex).exists(_.contains("decoded dims")), chain(ex).mkString("; "))
   }
 
+  test("golden WAV decode: a synthesized PCM container round-trips exact " +
+      "sample values; garbage, lying metadata, and non-PCM16 all abort") {
+    import graft.operators.Multimodal.WavCodec
+    // seed 5, 8 samples: v(i) = (5 + 37·i) mod 65536 − 32768, no wrap
+    val (rate, n, sum, check) = WavCodec.stats(WavCodec.syntheticWav(5, 8, 16000))
+    val exp = (0 until 8).map(i => (5L + 37 * i) % 65536 - 32768)
+    assert(rate === 16000 && n === 8L)
+    assert(sum === exp.sum)
+    assert(check === exp.zipWithIndex.map { case (v, i) => i * v }.sum)
+    // mod-65536 wraparound: a seed near the top of the range wraps the
+    // 16-bit value mid-stream — signed reassembly must follow it
+    val seed = 65530L
+    val (_, _, wSum, wCheck) = WavCodec.stats(WavCodec.syntheticWav(seed, 300, 8000))
+    val wExp = (0 until 300).map(i => (seed + 37 * i) % 65536 - 32768)
+    assert(wSum === wExp.sum &&
+      wCheck === wExp.zipWithIndex.map { case (v, i) => i.toLong * v }.sum)
+    // garbage payload: no reader claims it → loud failure, never 0 rows
+    intercept[IllegalArgumentException](WavCodec.stats("not a wav".getBytes))
+    import spark.implicits._
+    // metadata lies about length (n_frames says 2 → 320 samples; the
+    // payload holds 160): the decode-vs-declared check must abort
+    val lying = Seq(Multimodal.MediaRow(8L, "audio",
+      WavCodec.syntheticWav(8, 160, 16000), 16, 16, 16000, 2)).toDS()
+    val ex = intercept[Exception](
+      Multimodal.decodeAudioStats(lying).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("decoded")), chain(ex).mkString("; "))
+  }
+
+  test("decodeAudioStats over wavMedia: audio rows only, stats match the " +
+      "generator sequence, payloads carry the RIFF magic") {
+    import graft.operators.Multimodal.WavCodec
+    val wm = Multimodal.wavMedia(Tables(spark, sf0001, "documents").limit(60))
+    wm.filter(_.kind == "audio").collect().foreach { a =>
+      assert(a.payload(0) === 'R'.toByte && a.payload(1) === 'I'.toByte,
+        s"media ${a.media_id} not a RIFF/WAV")
+    }
+    val stats = Multimodal.decodeAudioStats(wm).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      val seed = java.lang.Math.floorMod(s.media_id, 65536L)
+      val exp = (0L until s.n_samples).map(i => (seed + 37 * i) % 65536 - 32768)
+      assert(s.sample_rate === 16000)
+      assert(s.s_sum === exp.sum && s.s_check ===
+        exp.zipWithIndex.map { case (v, i) => i.toLong * v }.sum,
+        s"media ${s.media_id}")
+    }
+  }
+
   test("decodeImageStats: image rows only, stats match the generator grid") {
     val stats = Multimodal.decodeImageStats(media).collect()
     val imgs = media.filter(_.kind == "image").collect()
