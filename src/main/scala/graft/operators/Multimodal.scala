@@ -360,6 +360,42 @@ object Multimodal {
     })
   }
 
+  /** Decoded-audio energy row (q159): the feature a VAD / audio
+    * quality gate consumes — total energy and the hottest 10 ms frame,
+    * both exact integer sums of squared decoded samples. */
+  final case class AudioEnergy(
+      media_id: Long, n_frames: Int, e_total: Long, e_max_frame: Long)
+
+  /** Decode every audio row and emit exact frame-energy features:
+    * `e_total = Σ v²` over all samples, `e_max_frame = max over 10 ms
+    * frames of Σ v²` within the frame. Integer-exact (v² ≤ 2^30, so a
+    * 2^23-sample clip stays under 2^53) and shuffle-free. */
+  def decodeAudioEnergy(media: Dataset[MediaRow]): Dataset[AudioEnergy] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.map { r =>
+      val in = WavCodec.decode(r.payload)
+      val n = in.getFrameLength.toInt
+      val bytes = in.readAllBytes()
+      var total = 0L
+      var maxFrame = 0L
+      var frame = 0L
+      var i = 0
+      while (i < n) {
+        val v = (bytes(2 * i + 1).toLong << 8) | (bytes(2 * i) & 0xffL)
+        frame += v * v
+        total += v * v
+        i += 1
+        if (i % WavCodec.SamplesPerFrame == 0 || i == n) {
+          if (frame > maxFrame) maxFrame = frame
+          frame = 0L
+        }
+      }
+      AudioEnergy(r.media_id,
+        (n + WavCodec.SamplesPerFrame - 1) / WavCodec.SamplesPerFrame,
+        total, maxFrame)
+    })
+  }
+
   /** Decode every image row and emit exact pixel statistics, failing
     * loudly when the decoded dims disagree with the declared metadata
     * (a lying metadata column must never flow silently into a

@@ -86,6 +86,15 @@ object MultimodalQueries {
     // partition-local — pure decode CPU across file splits at scale.
     "q158_audio_decode" -> ((s, d) =>
       Multimodal.decodeAudioStats(
+        Multimodal.wavMedia(Tables(s, d, "documents"))).toDF()),
+
+    // decoded-audio FEATURE face (the q157 analog): per-clip total
+    // energy and hottest 10 ms frame — Σ v² sums of DECODED samples,
+    // integer-exact, the inputs a VAD / audio quality gate consumes.
+    // The oracle regenerates the squared-sample grid and replays the
+    // frame max with a two-level aggregate.
+    "q159_audio_energy" -> ((s, d) =>
+      Multimodal.decodeAudioEnergy(
         Multimodal.wavMedia(Tables(s, d, "documents"))).toDF())
   )
 
@@ -174,6 +183,23 @@ object MultimodalQueries {
         |    LATERAL (SELECT unnest(range((d.doc_id % 30 + 1) * 160)) AS i) g
         |  WHERE d.doc_id % 3 = 1
         |  GROUP BY 1, 2, 3
-        |)""".stripMargin
+        |)""".stripMargin,
+
+    // squared decoded samples, framed at 160: total + hottest frame
+    "q159_audio_energy" ->
+      """SELECT media_id,
+        | CAST(COUNT(*) AS INT) AS n_frames,
+        | CAST(SUM(fe) AS BIGINT) AS e_total,
+        | CAST(MAX(fe) AS BIGINT) AS e_max_frame
+        |FROM (
+        |  SELECT d.doc_id AS media_id, g.i // 160 AS frame,
+        |    SUM(((d.doc_id % 65536 + 37 * g.i) % 65536 - 32768)
+        |      * ((d.doc_id % 65536 + 37 * g.i) % 65536 - 32768)) AS fe
+        |  FROM documents d,
+        |    LATERAL (SELECT unnest(range((d.doc_id % 30 + 1) * 160)) AS i) g
+        |  WHERE d.doc_id % 3 = 1
+        |  GROUP BY 1, 2
+        |)
+        |GROUP BY media_id""".stripMargin
   )
 }

@@ -60,9 +60,9 @@ class InvarianceSpec extends SparkSpec {
     // one float-derived arithmetic in the suite; the quantization is
     // per-row (exact, pre-aggregation) so regimes must agree
     "q157_image_features",
-    // q158 is the WAV twin of q155: mapPartitions decode batching must
-    // not fork under tiny splits or partition levers
-    "q158_audio_decode")
+    // q158/q159 are the WAV twins of q155/q157: mapPartitions decode
+    // batching must not fork under tiny splits or partition levers
+    "q158_audio_decode", "q159_audio_energy")
 
   /** Sorted row-multiset fingerprint: row order and partitioning must
     * not matter, so compare on sorted `toString` lines. The cache is
