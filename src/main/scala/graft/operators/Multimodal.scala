@@ -193,38 +193,85 @@ object Multimodal {
       * MediaRow `n_frames` column to the decoded stream length. */
     val SamplesPerFrame = 160
 
+    /** The platform WAVE reader, resolved ONCE through the public
+      * `AudioFileReader` SPI. `AudioSystem.getAudioInputStream`
+      * funnels EVERY call through a globally `synchronized` provider
+      * lookup (`JDK13Services.getProviders`), which serializes a
+      * 32-way decode stage — measured 45× slower than a cached reader
+      * under 16 threads (20k decodes: 0.91 s vs 0.02 s), and it made
+      * q158/q159 the slowest queries of the 100× sweep (~60 s; ~2 s
+      * after this cache). The reader instance is a stateless parser,
+      * safe to share across tasks. */
+    private lazy val wavReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+      val probe = syntheticWav(0, 1, 8000)
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      var found: Option[javax.sound.sampled.spi.AudioFileReader] = None
+      while (found.isEmpty && it.hasNext) {
+        val r = it.next()
+        try {
+          r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close()
+          found = Some(r)
+        } catch { case _: Exception => () }
+      }
+      found
+    }
+
     /** Deterministic 16-bit mono PCM WAV: sample i is
       * `(seed + 37·i) mod 65536 − 32768` — position-dependent (37 is
       * coprime to 65536, so consecutive samples differ) and
-      * regenerable arithmetically in DuckDB (the q158 oracle). */
+      * regenerable arithmetically in DuckDB (the q158 oracle). The
+      * 44-byte RIFF/WAVE header is written by hand (byte-identical to
+      * `AudioSystem.write`'s output — MultimodalSpec pins that) so the
+      * encode never takes the AudioSystem global lock either. */
     def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
       require(nSamples > 0 && sampleRate > 0,
         s"bad audio dims n=$nSamples rate=$sampleRate")
-      val pcm = new Array[Byte](nSamples * 2)
+      val dataLen = nSamples * 2
+      val out = new Array[Byte](44 + dataLen)
+      def ascii(o: Int, s: String): Unit = {
+        var j = 0; while (j < s.length) { out(o + j) = s.charAt(j).toByte; j += 1 }
+      }
+      def w16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def w32(o: Int, v: Int): Unit = { w16(o, v & 0xffff); w16(o + 2, v >>> 16) }
+      ascii(0, "RIFF"); w32(4, 36 + dataLen); ascii(8, "WAVE")
+      ascii(12, "fmt "); w32(16, 16)
+      w16(20, 1) /* PCM */ ; w16(22, 1) /* mono */
+      w32(24, sampleRate); w32(28, sampleRate * 2) /* byte rate */
+      w16(32, 2) /* block align */ ; w16(34, 16) /* bits */
+      ascii(36, "data"); w32(40, dataLen)
       var i = 0
       while (i < nSamples) {
-        val v = (java.lang.Math.floorMod(seed + 37L * i, 65536L) - 32768L).toShort
-        pcm(2 * i) = (v & 0xff).toByte
-        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        val v = java.lang.Math.floorMod(seed + 37L * i, 65536L) - 32768L
+        out(44 + 2 * i) = (v & 0xff).toByte
+        out(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
         i += 1
       }
-      val fmt = new javax.sound.sampled.AudioFormat(
-        sampleRate.toFloat, 16, 1, true, false)
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
+      out
     }
 
     /** Decode or fail loudly: a payload no audio reader claims (or a
       * non-PCM16 encoding this codec doesn't own) must never flow
-      * silently into a training manifest as zero samples. */
+      * silently into a training manifest as zero samples. The cached
+      * WAVE reader is the fast path; anything it rejects falls back to
+      * the full `AudioSystem` probe (AIFF/AU PCM still decodes, just
+      * on the slow path) before failing. */
     def decode(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-      val in =
-        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      def slowPath() =
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
+      val in =
+        try wavReader match {
+          case Some(r) =>
+            try r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                slowPath()
+            }
+          case None => slowPath()
+        }
         catch {
           case e: javax.sound.sampled.UnsupportedAudioFileException =>
             throw new IllegalArgumentException(

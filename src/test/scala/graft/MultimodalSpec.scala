@@ -68,6 +68,20 @@ class MultimodalSpec extends SparkSpec {
     val wExp = (0 until 300).map(i => (seed + 37 * i) % 65536 - 32768)
     assert(wSum === wExp.sum &&
       wCheck === wExp.zipWithIndex.map { case (v, i) => i.toLong * v }.sum)
+    // the hand-written RIFF header (lock-free encode) is byte-identical
+    // to what the JDK's own WaveFileWriter emits for the same PCM
+    for ((s, n, r) <- Seq((5L, 8, 16000), (65530L, 300, 8000), (0L, 1, 44100))) {
+      val ours = WavCodec.syntheticWav(s, n, r)
+      val pcm = ours.drop(44)
+      val fmt = new javax.sound.sampled.AudioFormat(r.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(java.util.Arrays.equals(ours, bos.toByteArray),
+        s"hand-written WAV header diverges from the JDK writer (seed=$s)")
+    }
     // garbage payload: no reader claims it → loud failure, never 0 rows
     intercept[IllegalArgumentException](WavCodec.stats("not a wav".getBytes))
     import spark.implicits._
