@@ -54,10 +54,14 @@ object Bpe {
   def train(df: DataFrame, textCol: String, numMerges: Int,
             minPairFreq: Long = 2): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    // the one corpus-scale pass: word frequencies
-    var state = Materialize.pin(df.select(explode(words(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(chars(col("w")).as("sym"), col("freq")))
+    // the one corpus-scale pass: word frequencies. Pinned handle, not
+    // raw pin — replace/delete can then only ever act on the pin root
+    // (a derived frame can neither wrong-delete nor leak).
+    val pinned = Materialize.pinState(
+      df.select(explode(words(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(chars(col("w")).as("sym"), col("freq")))
+    var state = pinned.df
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
     var done = false
@@ -77,17 +81,17 @@ object Bpe {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
-        // truncate the per-iteration HOF lineage; pinReplacing deletes
-        // the superseded reliable checkpoint so a numMerges-iteration
-        // run keeps ONE state copy on the checkpoint store, not
-        // numMerges (cleanCheckpoints defaults to false)
-        state = Materialize.pinReplacing(state
-          .select(applyMerge(col("sym"), a, b).as("sym"), col("freq")), state)
+        // truncate the per-iteration HOF lineage; Pinned.replace
+        // deletes the superseded reliable checkpoint so a numMerges-
+        // iteration run keeps ONE state copy on the checkpoint store,
+        // not numMerges (cleanCheckpoints defaults to false)
+        state = pinned.replace(state
+          .select(applyMerge(col("sym"), a, b).as("sym"), col("freq")))
         i += 1
       }
     }
     // the final state dies with this call — reclaim its files too
-    Materialize.deleteCheckpoint(state)
+    pinned.delete()
     merges.result()
   }
 

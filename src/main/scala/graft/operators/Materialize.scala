@@ -57,28 +57,56 @@ private[graft] object Materialize {
     * checkpointed frame, so callers can release unconditionally. */
   def release(df: DataFrame): Unit = df.unpersist(blocking = false)
 
-  /** [[pin]] for an iteratively REPLACED loop state (BPE's symbol
-    * table): pins the new state eagerly, then deletes the superseded
-    * reliable checkpoint backing `prev` — the new pin is fully
-    * materialized, so its lost-partition recovery reads only its own
-    * files and nothing ever reads `prev`'s again. Without this, a
-    * checkpoint-dir run of an N-iteration trainer keeps N full copies
-    * of the state on the reliable store for the whole job
-    * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
-    * false, and even enabled it frees only on GC). No-op deletion on
-    * the local path (localCheckpoint frames have no checkpoint file).
-    */
-  def pinReplacing(df: DataFrame, prev: DataFrame): DataFrame = {
-    val out = pin(df)
-    deleteCheckpoint(prev)
-    out
+  /** Opaque handle for an iteratively REPLACED loop state (BPE's
+    * symbol table): [[replace]] pins the new state eagerly, then
+    * deletes the superseded reliable checkpoint backing the previous
+    * pin — the new pin is fully materialized, so its lost-partition
+    * recovery reads only its own files and nothing ever reads the old
+    * ones again. Without this, a checkpoint-dir run of an N-iteration
+    * trainer keeps N full copies of the state on the reliable store
+    * for the whole job (`spark.cleaner.referenceTracking
+    * .cleanCheckpoints` defaults to false, and even enabled it frees
+    * only on GC). No-op deletion on the local path (localCheckpoint
+    * frames have no checkpoint file).
+    *
+    * WHY a handle and not free functions over DataFrames (round-13
+    * verdict #5): the raw `deleteCheckpoint(df)` form had two failure
+    * modes for a caller holding a DERIVED frame — the pre-round-13
+    * collect-anywhere path match deleted checkpoint files still
+    * backing a live pin, and the root-only fix turned that into a
+    * silent leak (no-op delete, files accumulate). The handle holds
+    * the pin ROOT privately, so delete-by-derived-frame is not
+    * expressible at all: misuse is now a compile error. */
+  final class Pinned private[Materialize] (initial: DataFrame) {
+    private var pinned: DataFrame = pin(initial)
+
+    /** The current pinned state — always the pin root itself. */
+    def df: DataFrame = pinned
+
+    /** Pin `next` (typically derived from [[df]]) and reclaim the
+      * superseded pin's reliable checkpoint files. Returns the new
+      * pinned state. */
+    def replace(next: DataFrame): DataFrame = {
+      val out = pin(next)
+      deleteRoot(pinned)
+      pinned = out
+      out
+    }
+
+    /** Reclaim the final state's checkpoint files — call when nothing
+      * will read [[df]] again (after the loop's last consumer). */
+    def delete(): Unit = deleteRoot(pinned)
   }
 
-  /** Delete the reliable checkpoint files backing `df`, if any — call
-    * only when nothing will read `df` again (the final state of a
-    * [[pinReplacing]] loop, after its last consumer). Safe no-op for
-    * localCheckpoint'd, persisted, or un-pinned frames. */
-  def deleteCheckpoint(df: DataFrame): Unit =
+  /** Start a [[Pinned]] loop-state handle: pins `df` eagerly (reliable
+    * under a checkpoint dir, local otherwise — the [[pin]] rule). */
+  def pinState(df: DataFrame): Pinned = new Pinned(df)
+
+  /** Delete the reliable checkpoint files backing a pin ROOT, if any.
+    * Private — external callers go through [[Pinned]], which cannot
+    * hand this a derived frame. Safe no-op for localCheckpoint'd,
+    * persisted, or un-pinned frames. */
+  private def deleteRoot(df: DataFrame): Unit =
     checkpointPathOf(df).foreach { p =>
       val fs = p.getFileSystem(
         df.sparkSession.sparkContext.hadoopConfiguration)
@@ -91,13 +119,11 @@ private[graft] object Materialize {
     *
     * Matches ONLY when the LogicalRDD is the plan's ROOT — i.e. `df`
     * IS the [[pin]] result, not a frame derived from one. A collect-
-    * anywhere match (the pre-round-13 shape) made
-    * `deleteCheckpoint(state.select(...))` silently find the UPSTREAM
-    * pin and delete checkpoint files still backing a live frame;
-    * derived frames now resolve to None (deleteCheckpoint is a no-op,
-    * exactly as for persisted/un-pinned frames). Callers of
-    * [[pinReplacing]]/[[deleteCheckpoint]] must pass the pin result
-    * itself. */
+    * anywhere match (the pre-round-13 shape) silently found the
+    * UPSTREAM pin through a derived frame and deleted checkpoint files
+    * still backing a live frame; derived frames resolve to None. The
+    * [[Pinned]] handle guarantees by construction that only pin roots
+    * reach here. */
   private def checkpointPathOf(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
     (df.queryExecution.analyzed match {
       case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd)

@@ -176,11 +176,11 @@ object MultimodalQueries {
         |FROM (
         |  SELECT d.doc_id AS media_id,
         |    CAST(16000 AS INT) AS sample_rate,
-        |    CAST((d.doc_id % 30 + 1) * 160 AS BIGINT) AS n_samples,
+        |    CAST((CASE WHEN d.doc_id % 97 = 0 THEN 1875 ELSE d.doc_id % 30 + 1 END) * 160 AS BIGINT) AS n_samples,
         |    SUM((d.doc_id % 65536 + 37 * g.i) % 65536 - 32768) AS s_sum,
         |    SUM(g.i * ((d.doc_id % 65536 + 37 * g.i) % 65536 - 32768)) AS s_check
         |  FROM documents d,
-        |    LATERAL (SELECT unnest(range((d.doc_id % 30 + 1) * 160)) AS i) g
+        |    LATERAL (SELECT unnest(range((CASE WHEN d.doc_id % 97 = 0 THEN 1875 ELSE d.doc_id % 30 + 1 END) * 160)) AS i) g
         |  WHERE d.doc_id % 3 = 1
         |  GROUP BY 1, 2, 3
         |)""".stripMargin,
@@ -196,7 +196,7 @@ object MultimodalQueries {
         |    SUM(((d.doc_id % 65536 + 37 * g.i) % 65536 - 32768)
         |      * ((d.doc_id % 65536 + 37 * g.i) % 65536 - 32768)) AS fe
         |  FROM documents d,
-        |    LATERAL (SELECT unnest(range((d.doc_id % 30 + 1) * 160)) AS i) g
+        |    LATERAL (SELECT unnest(range((CASE WHEN d.doc_id % 97 = 0 THEN 1875 ELSE d.doc_id % 30 + 1 END) * 160)) AS i) g
         |  WHERE d.doc_id % 3 = 1
         |  GROUP BY 1, 2
         |)

@@ -84,7 +84,7 @@ class MaterializeSpec extends SparkSpec {
       // checkpoints as it goes and the final one on return (round-11
       // ADVICE: unbounded checkpoint-dir growth) — correct merges with
       // ZERO net files left behind. The reliable path itself is pinned
-      // by the pinReplacing test below.
+      // by the Pinned-handle test below.
       assert(rddFiles(dir) === before,
         "Bpe.train must clean up all its checkpoints")
       val mid = rddFiles(dir)
@@ -93,7 +93,13 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
-  test("pinReplacing: one live state copy on the reliable store, not N") {
+  test("Pinned handle: one live state copy on the reliable store, not N — " +
+      "and replace-by-derived-frame cannot leak or wrong-delete") {
+    // Round-13 verdict #5: the raw deleteCheckpoint(df) form was a
+    // wrong-delete before root-only matching and a silent LEAK after it
+    // (derived frame → no-op → files accumulate). The opaque Pinned
+    // handle holds the pin root privately, so both misuses are
+    // unrepresentable; this canary loop pins the no-leak invariant.
     withCheckpointDir { dir =>
       def rddDirs(): Set[String] = {
         val root = java.nio.file.Paths.get(dir)
@@ -105,15 +111,18 @@ class MaterializeSpec extends SparkSpec {
             .map(_.getFileName.toString).toSet
         } finally s.close()
       }
-      var state = Materialize.pin((1L to 10L).toDF("v"))
+      val pinned = Materialize.pinState((1L to 10L).toDF("v"))
+      var state = pinned.df
       val first = rddDirs()
       assert(first.size === 1, s"expected one checkpoint dir, got $first")
-      // three replacement rounds: each pin supersedes the previous —
-      // exactly one rdd-* dir alive at any point, and it ROTATES
+      // three replacement rounds, each handing replace() a frame
+      // DERIVED from the previous state (the Bpe.train shape): each
+      // pin supersedes the previous — exactly one rdd-* dir alive at
+      // any point (leak canary), and it ROTATES (the old one really
+      // was reclaimed, not orphaned)
       (1 to 3).foreach { _ =>
         val before = rddDirs()
-        state = Materialize.pinReplacing(
-          state.select((col("v") + 1).as("v")), state)
+        state = pinned.replace(state.select((col("v") + 1).as("v")))
         val after = rddDirs()
         assert(after.size === 1, s"expected one live checkpoint, got $after")
         assert(after.intersect(before).isEmpty,
@@ -121,41 +130,15 @@ class MaterializeSpec extends SparkSpec {
       }
       // the surviving state stays fully readable off its own files
       assert(state.as[Long].collect().sorted.toSeq === (4L to 13L))
-      Materialize.deleteCheckpoint(state)
+      pinned.delete()
       assert(rddDirs().isEmpty, "final cleanup must reclaim the last copy")
-      // local path: deleteCheckpoint is a safe no-op
-      val local = (1L to 3L).toDF("v").localCheckpoint(true)
-      Materialize.deleteCheckpoint(local)
-      assert(local.count() === 3L)
     }
-  }
-
-  test("deleteCheckpoint on a DERIVED frame is a no-op — only the pin " +
-      "result itself resolves to its checkpoint files") {
-    // Round-13 advice (low): collect-anywhere plan matching let
-    // deleteCheckpoint(pinned.select(...)) find the UPSTREAM LogicalRDD
-    // and delete files still backing the live pinned frame. Root-only
-    // matching makes derived frames resolve to nothing.
-    withCheckpointDir { dir =>
-      def rddDirs(): Long = {
-        val s = Files.walk(java.nio.file.Paths.get(dir))
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.count(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("rdd-")).toLong
-        } finally s.close()
-      }
-      val pinned = Materialize.pin((1L to 10L).toDF("v"))
-      assert(rddDirs() === 1L)
-      // a frame DERIVED from the pin must not surrender the pin's files
-      Materialize.deleteCheckpoint(pinned.select((col("v") * 2).as("v")))
-      Materialize.deleteCheckpoint(pinned.filter(col("v") > 3))
-      assert(rddDirs() === 1L,
-        "derived-frame deleteCheckpoint reclaimed a live pin's files")
-      assert(pinned.as[Long].collect().sorted.toSeq === (1L to 10L))
-      // the pin result itself still reclaims
-      Materialize.deleteCheckpoint(pinned)
-      assert(rddDirs() === 0L)
-    }
+    // local path (no checkpoint dir): replace/delete are safe no-ops
+    // on the file side and the state stays readable
+    val localPin = Materialize.pinState((1L to 3L).toDF("v"))
+    val replaced = localPin.replace(localPin.df.select((col("v") * 2).as("v")))
+    assert(replaced.as[Long].collect().sorted.toSeq === Seq(2L, 4L, 6L))
+    localPin.delete()
+    assert(replaced.count() === 3L)
   }
 }

@@ -96,6 +96,62 @@ class MultimodalSpec extends SparkSpec {
     assert(chain(ex).exists(_.contains("decoded")), chain(ex).mkString("; "))
   }
 
+  test("WavCodec boundary: exactly 2^23 samples decodes exact; one over " +
+      "rejects loudly (round-13 verdict #7 — the guard, exercised AT its " +
+      "bound, not only 4.8k samples under it)") {
+    import graft.operators.Multimodal.WavCodec
+    val bound = 1 << 23 // 8,388,608 samples ≈ 8.7 min at 16 kHz, 16 MiB PCM
+    val seed = 123L
+    val (rate, n, sum, check) = WavCodec.stats(
+      WavCodec.syntheticWav(seed, bound, 16000))
+    assert(rate === 16000 && n === bound.toLong)
+    // closed forms over v(i) = (seed + 37i) mod 65536 − 32768: gcd(37,
+    // 65536)=1, so over any 65536 consecutive i the residues sweep a
+    // full period — recompute directly (8.4M adds) rather than trust it
+    var eSum = 0L; var eCheck = 0L; var i = 0
+    while (i < bound) {
+      val v = (seed + 37L * i) % 65536L - 32768L
+      eSum += v; eCheck += i * v; i += 1
+    }
+    assert(sum === eSum && check === eCheck)
+    // one sample past the bound: the s_check accumulator could exceed
+    // 2^63 — must abort, not wrap
+    val over = intercept[IllegalArgumentException](
+      WavCodec.stats(WavCodec.syntheticWav(seed, bound + 1, 16000)))
+    assert(over.getMessage.contains("2^23"), over.getMessage)
+    // the ENERGY path shares the guarded drain (round-13 advice: it
+    // used to skip these guards and emit zero frames on a lying length)
+    val overE = intercept[IllegalArgumentException](
+      WavCodec.pcm16(WavCodec.syntheticWav(seed, bound + 1, 16000)))
+    assert(overE.getMessage.contains("2^23"), overE.getMessage)
+  }
+
+  test("decodeAudioEnergy: lying metadata aborts (same contract as stats); " +
+      "long-tail clips (doc_id % 97 = 0 -> 1875 frames) decode exact") {
+    import spark.implicits._
+    import graft.operators.Multimodal.WavCodec
+    // payload holds 160 samples; metadata claims 2 frames (320)
+    val lying = Seq(Multimodal.MediaRow(8L, "audio",
+      WavCodec.syntheticWav(8, 160, 16000), 16, 16, 16000, 2)).toDS()
+    val ex = intercept[Exception](
+      Multimodal.decodeAudioEnergy(lying).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("decoded")), chain(ex).mkString("; "))
+    // a long-tail clip: 1875 frames × 160 = 300k samples, energy exact
+    val longRow = Seq(Multimodal.MediaRow(97L, "audio",
+      WavCodec.syntheticWav(97L, 1875 * 160, 16000), 16, 16, 16000, 1875)).toDS()
+    val e = Multimodal.decodeAudioEnergy(longRow).collect().head
+    assert(e.n_frames === 1875)
+    var total = 0L; var maxF = 0L; var f = 0L; var i = 0
+    while (i < 1875 * 160) {
+      val v = (97L + 37L * i) % 65536L - 32768L
+      f += v * v; total += v * v; i += 1
+      if (i % 160 == 0) { if (f > maxF) maxF = f; f = 0L }
+    }
+    assert(e.e_total === total && e.e_max_frame === maxF)
+  }
+
   test("decodeAudioStats over wavMedia: audio rows only, stats match the " +
       "generator sequence, payloads carry the RIFF magic") {
     import graft.operators.Multimodal.WavCodec

@@ -56,6 +56,7 @@ def artifacts_gate(repo):
     if not declared:
         print("FAIL no query declarations found under graft/queries")
         return 1
+    totals = {}
     for art in ("BENCH-sf0.1-same-code.json", "BENCH-sf1ish.json",
                 "BENCH-sf10ish.json"):
         path = f"{repo}/{art}"
@@ -64,6 +65,8 @@ def artifacts_gate(repo):
             fails += 1
             continue
         d = json.load(open(path))
+        ok = True  # round-13 advice: PASS must not print when ANY
+        # check on this artifact failed (the reps!=3 case printed both)
         have = set(d.get("queries", {}))
         missing, extra = declared - have, have - declared
         if missing or extra:
@@ -71,14 +74,73 @@ def artifacts_gate(repo):
                   f"{sorted(missing)[:5]} extra {sorted(extra)[:5]} "
                   f"(artifact {len(have)} vs source {len(declared)})")
             fails += 1
+            ok = False
         if d.get("isolated") is not True or d.get("reps") != 3:
             print(f"FAIL {art}: methodology isolated={d.get('isolated')} "
                   f"reps={d.get('reps')} — BASELINE.md requires isolated "
                   f"min-of-3")
             fails += 1
-        if not (missing or extra) and d.get("isolated") is True:
+            ok = False
+        bad_times = {q: t for q, t in d.get("queries", {}).items()
+                     if not isinstance(t, (int, float)) or t < 0}
+        if bad_times:
+            print(f"FAIL {art}: non-numeric/failed query times "
+                  f"{sorted(bad_times)[:5]}")
+            fails += 1
+            ok = False
+        else:
+            totals[art] = sum(d.get("queries", {}).values())
+        if ok:
             print(f"PASS {art} ({len(have)} queries, isolated min-of-"
                   f"{d.get('reps')})")
+    fails += baseline_numbers_gate(baseline, totals)
+    return fails
+
+
+def baseline_numbers_gate(baseline, totals):
+    """Round-14 gate (VERDICT r13 item 6): BASELINE.md's committed
+    points table is hand-transcribed from the artifact JSONs — the
+    round-12 XXX incident one notch subtler. Recompute each artifact's
+    total and the per-decade ratios from the JSONs and fail if the
+    committed table drifts >1% from them, so editing an artifact
+    without regenerating BASELINE.md is a loud failure."""
+    fails = 0
+    rows = re.findall(
+        r"\|\s*`(BENCH-[\w.\-]+\.json)`\s*\|[^|]*\|\s*([\d.]+)\s*s\s*\|"
+        r"\s*(?:\*\*)?([\d.]+)×(?:\*\*)?|\|\s*`(BENCH-[\w.\-]+\.json)`"
+        r"\s*\|[^|]*\|\s*([\d.]+)\s*s\s*\|\s*—", baseline)
+    committed = {}   # artifact -> (total, ratio or None)
+    for m in rows:
+        if m[0]:
+            committed[m[0]] = (float(m[1]), float(m[2]))
+        else:
+            committed[m[3]] = (float(m[4]), None)
+    chain = ["BENCH-sf0.1-same-code.json", "BENCH-sf1ish.json",
+             "BENCH-sf10ish.json"]
+    if set(committed) != set(totals) or set(chain) != set(committed):
+        print(f"FAIL BASELINE.md committed-points table: rows for "
+              f"{sorted(committed)} vs artifacts {sorted(totals)}")
+        return 1
+    for i, art in enumerate(chain):
+        doc_total, doc_ratio = committed[art]
+        real_total = totals[art]
+        if abs(doc_total - real_total) > 0.01 * real_total:
+            print(f"FAIL BASELINE.md: {art} total {doc_total} s drifted "
+                  f">1% from artifact sum {real_total:.1f} s — regenerate "
+                  f"the committed-points table")
+            fails += 1
+        if doc_ratio is not None:
+            # "per-decade ratio" = this decade's total over the PREVIOUS
+            # decade's (1.49x = 10x/1x, 3.03x = 100x/10x)
+            real_ratio = totals[art] / totals[chain[i - 1]]
+            if abs(doc_ratio - real_ratio) > 0.01 * real_ratio:
+                print(f"FAIL BASELINE.md: {art} per-decade ratio "
+                      f"{doc_ratio}× drifted >1% from artifact ratio "
+                      f"{real_ratio:.2f}×")
+                fails += 1
+    if not fails:
+        print(f"PASS BASELINE.md committed points match the artifacts "
+              f"(totals {', '.join(f'{totals[a]:.1f}' for a in sorted(totals))} s)")
     return fails
 
 
