@@ -328,8 +328,391 @@ object Multimodal {
     }
   }
 
+  /** Decoded-video statistics row (q160): dims and frame count read
+    * from the DECODED container (validated against declared metadata
+    * AND against every decoded frame), exact integer pixel sum and a
+    * position-weighted checksum over the per-video global sample index
+    * `i = f·w·h + y·w + x` — a wrong pixel VALUE, POSITION, or frame
+    * ORDER (swapped/dropped/duplicated frames) cannot pass. */
+  final case class VideoStats(
+      media_id: Long, decoded_w: Int, decoded_h: Int, n_frames: Int,
+      px_sum: Long, px_check: Long)
+
+  /** Decoded-video motion feature row (q161): the per-frame means a
+    * curation pipeline turns into a motion proxy — first frame's pixel
+    * sum, total L1 frame-delta, and the hottest single frame-to-frame
+    * delta, all exact integer sums of DECODED samples. */
+  final case class VideoMotion(
+      media_id: Long, n_frames: Int, first_frame_sum: Long,
+      motion_l1: Long, peak_delta: Long)
+
+  /** Real video codec: MJPEG-in-AVI, decoded with ZERO new
+    * dependencies — the AVI container is a RIFF parse (the same
+    * chunk grammar whose WAVE sibling [[WavCodec]] hand-writes
+    * byte-parity-pinned), and MJPEG frames are baseline JPEGs the
+    * JDK's own `javax.imageio` decodes.
+    *
+    * WHY the synthetic frames are per-8×8-block-constant grayscale at
+    * writer quality 1.0: libjpeg-quality-100 quantization tables are
+    * all ones, and a constant 8×8 block's forward DCT is a single
+    * integer DC coefficient (every AC butterfly cancels exactly), so
+    * encode→decode round-trips the block EXACTLY — JPEG is lossless on
+    * this subspace of images. Probed empirically before this design
+    * was committed: 0 sample mismatches across dims including
+    * non-multiples of 8 (edge replication keeps a partial block
+    * constant). That gives MJPEG the property PNG gave q155 and PCM
+    * gave q158: the DuckDB oracle regenerates every DECODED value
+    * arithmetically, so a lying encode or decode anywhere breaks the
+    * hash.
+    *
+    * Threading (the round-13 WavCodec lesson, probed up front this
+    * time): `ImageIO.read` showed NO AudioSystem-style global provider
+    * lock (32k threaded decodes: 0.35 s via ImageIO.read vs 0.28 s via
+    * a cached SPI), but a REUSED reader instance halves per-frame cost
+    * again (64k decodes under 16 threads: 0.68 s fresh-reader vs
+    * 0.35 s reused) — so the SPIs are resolved once and each
+    * per-partition task reuses ONE reader/writer across a video's
+    * frames. Reader/writer instances are not thread-safe and are never
+    * shared across tasks. */
+  object MjpegAviCodec {
+
+    /** Declared stream rate: 10 fps — dwScale/dwRate in `strh`, and
+      * the contract tying `n_frames` metadata to wall-clock length. */
+    val Fps = 10
+
+    private lazy val jpegReaderSpi: javax.imageio.spi.ImageReaderSpi = {
+      val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+        .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+      var found: Option[javax.imageio.spi.ImageReaderSpi] = None
+      while (found.isEmpty && it.hasNext) {
+        val s = it.next()
+        if (s.getFormatNames.exists(_.equalsIgnoreCase("jpeg"))) found = Some(s)
+      }
+      found.getOrElse(throw new IllegalStateException(
+        "no JPEG ImageReader SPI registered in this JDK"))
+    }
+
+    private lazy val jpegWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+      val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+        .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
+      var found: Option[javax.imageio.spi.ImageWriterSpi] = None
+      while (found.isEmpty && it.hasNext) {
+        val s = it.next()
+        if (s.getFormatNames.exists(_.equalsIgnoreCase("jpeg"))) found = Some(s)
+      }
+      found.getOrElse(throw new IllegalStateException(
+        "no JPEG ImageWriter SPI registered in this JDK"))
+    }
+
+    /** Sample value of every pixel in 8×8 block `block` (row-major
+      * over the ceil(w/8)-wide block grid) of frame `frame`:
+      * `(seed + 31·frame + block) mod 256`. 31 is odd → consecutive
+      * frames differ in every block (motion everywhere); +1 per block
+      * → spatial structure. The q160/q161 oracles regenerate this grid
+      * arithmetically in DuckDB. */
+    def blockValue(seed: Long, frame: Int, block: Int): Int =
+      java.lang.Math.floorMod(seed + 31L * frame + block, 256L).toInt
+
+    private def frameImage(seed: Long, f: Int, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      val cpr = (w + 7) / 8
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, blockValue(seed, f, (y / 8) * cpr + (x / 8)))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** Deterministic MJPEG-in-AVI container: `nFrames` per-block-
+      * constant grayscale frames, each a genuine baseline JPEG
+      * (quality 1.0 — the exactness argument above), wrapped in a
+      * hand-written RIFF/AVI with the standard `hdrl` (avih + strl
+      * with 'vids'/'MJPG' strh + BITMAPINFOHEADER strf) and `movi`
+      * ('00dc' chunks, word-aligned) lists. ONE writer instance
+      * serves all frames (the probe's 2× amortization). */
+    def syntheticMjpegAvi(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+      require(nFrames > 0 && w > 0 && h > 0,
+        s"bad video dims n=$nFrames ${w}x$h")
+      val writer = jpegWriterSpi.createWriterInstance()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f)
+      val frames =
+        try (0 until nFrames).map { f =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(out)
+          writer.write(null,
+            new javax.imageio.IIOImage(frameImage(seed, f, w, h), null, null), param)
+          out.flush()
+          bos.toByteArray
+        }
+        finally writer.dispose()
+      val moviData = 4 + frames.map(fb => 8 + fb.length + (fb.length & 1)).sum
+      val hdrlData = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val riffData = 4 + (8 + hdrlData) + (8 + moviData)
+      val buf = java.nio.ByteBuffer.allocate(8 + riffData)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+      fcc("RIFF"); buf.putInt(riffData); fcc("AVI ")
+      fcc("LIST"); buf.putInt(hdrlData); fcc("hdrl")
+      fcc("avih"); buf.putInt(56)
+      buf.putInt(1000000 / Fps) // dwMicroSecPerFrame
+      buf.putInt(0)             // dwMaxBytesPerSec
+      buf.putInt(0)             // dwPaddingGranularity
+      buf.putInt(0)             // dwFlags (no idx1 — decoders stream movi)
+      buf.putInt(nFrames)       // dwTotalFrames
+      buf.putInt(0)             // dwInitialFrames
+      buf.putInt(1)             // dwStreams
+      buf.putInt(0)             // dwSuggestedBufferSize
+      buf.putInt(w); buf.putInt(h)
+      buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0) // dwReserved[4]
+      fcc("LIST"); buf.putInt(4 + 64 + 48); fcc("strl")
+      fcc("strh"); buf.putInt(56)
+      fcc("vids"); fcc("MJPG")
+      buf.putInt(0)                     // dwFlags
+      buf.putShort(0); buf.putShort(0)  // wPriority, wLanguage
+      buf.putInt(0)                     // dwInitialFrames
+      buf.putInt(1)                     // dwScale
+      buf.putInt(Fps)                   // dwRate
+      buf.putInt(0)                     // dwStart
+      buf.putInt(nFrames)               // dwLength (frames, for vids)
+      buf.putInt(0)                     // dwSuggestedBufferSize
+      buf.putInt(-1)                    // dwQuality (default)
+      buf.putInt(0)                     // dwSampleSize (0: varying)
+      buf.putShort(0); buf.putShort(0)  // rcFrame left, top
+      buf.putShort(w.toShort); buf.putShort(h.toShort)
+      fcc("strf"); buf.putInt(40)       // BITMAPINFOHEADER
+      buf.putInt(40); buf.putInt(w); buf.putInt(h)
+      buf.putShort(1); buf.putShort(24) // biPlanes, biBitCount
+      fcc("MJPG")                       // biCompression
+      buf.putInt(w * h * 3)             // biSizeImage (nominal)
+      buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+      fcc("LIST"); buf.putInt(moviData); fcc("movi")
+      frames.foreach { fb =>
+        fcc("00dc"); buf.putInt(fb.length); buf.put(fb)
+        if ((fb.length & 1) == 1) buf.put(0.toByte) // RIFF word alignment
+      }
+      buf.array()
+    }
+
+    private def u32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Parsed + validated container shape. `moviStart`/`moviEnd`
+      * bracket the frame-chunk region. */
+    final case class AviInfo(w: Int, h: Int, nFrames: Int,
+                             moviStart: Int, moviEnd: Int)
+
+    /** Walk the RIFF structure and fail loudly on anything a decoder
+      * must not guess through: wrong magic, a size field that lies
+      * about the payload, a handler this codec doesn't own (only
+      * 'MJPG' — other compressed video has no JDK decoder), stream
+      * header dims disagreeing with the main header, or a missing
+      * movi list. */
+    def parse(payload: Array[Byte]): AviInfo = {
+      require(payload.length >= 12 && fourcc(payload, 0) == "RIFF" &&
+          fourcc(payload, 8) == "AVI ",
+        "payload is not a RIFF/AVI container (no decoder claims it)")
+      val riffSize = u32(payload, 4)
+      require(riffSize == payload.length - 8,
+        s"RIFF size field lies: $riffSize vs ${payload.length - 8} actual")
+      var avihW, avihH, avihFrames, streams, strfW, strfH, strhLen = -1
+      var handler, strfComp: String = null
+      var moviStart, moviEnd = -1
+
+      def parseStrl(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val id = fourcc(payload, off); val sz = u32(payload, off + 4)
+          require(sz >= 0 && off + 8 + sz <= end, s"truncated chunk $id")
+          if (id == "strh") {
+            require(fourcc(payload, off + 8) == "vids",
+              s"stream type '${fourcc(payload, off + 8)}' is not video")
+            handler = fourcc(payload, off + 12)
+            strhLen = u32(payload, off + 8 + 32) // dwLength (frames)
+          } else if (id == "strf") {
+            strfW = u32(payload, off + 12)
+            strfH = u32(payload, off + 16)
+            strfComp = fourcc(payload, off + 24)
+          }
+          off += 8 + sz + (sz & 1)
+        }
+      }
+
+      def parseHdrl(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val id = fourcc(payload, off); val sz = u32(payload, off + 4)
+          require(sz >= 0 && off + 8 + sz <= end, s"truncated chunk $id")
+          if (id == "avih") {
+            avihFrames = u32(payload, off + 8 + 16) // dwTotalFrames
+            streams = u32(payload, off + 8 + 24)    // dwStreams
+            avihW = u32(payload, off + 8 + 32)      // dwWidth
+            avihH = u32(payload, off + 8 + 36)      // dwHeight
+          } else if (id == "LIST" && fourcc(payload, off + 8) == "strl")
+            parseStrl(off + 12, off + 8 + sz)
+          off += 8 + sz + (sz & 1)
+        }
+      }
+
+      var off = 12
+      while (off + 8 <= payload.length) {
+        val id = fourcc(payload, off); val sz = u32(payload, off + 4)
+        require(sz >= 0 && off + 8 + sz <= payload.length,
+          s"truncated chunk $id")
+        if (id == "LIST") {
+          val lt = fourcc(payload, off + 8)
+          if (lt == "hdrl") parseHdrl(off + 12, off + 8 + sz)
+          else if (lt == "movi") { moviStart = off + 12; moviEnd = off + 8 + sz }
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      require(avihW > 0 && avihH > 0 && avihFrames > 0,
+        s"missing/empty avih header (${avihW}x$avihH, $avihFrames frames)")
+      require(streams == 1, s"$streams streams (this codec owns single-stream video)")
+      require(handler == "MJPG" && strfComp == "MJPG",
+        s"video fourcc '$handler'/'$strfComp' has no JDK decoder " +
+          "(this codec owns MJPG; other compressed video keeps the " +
+          "labeled byte-statistic stand-in)")
+      require(strfW == avihW && strfH == avihH,
+        s"stream format dims ${strfW}x$strfH != container ${avihW}x$avihH")
+      require(strhLen == avihFrames,
+        s"stream header declares $strhLen frames, container $avihFrames")
+      require(moviStart >= 0, "no movi list — container holds no frames")
+      AviInfo(avihW, avihH, avihFrames, moviStart, moviEnd)
+    }
+
+    /** Container-level frame extraction: the '00dc' JPEG payloads in
+      * stream order, WITHOUT decoding — what a frame-sampling stage
+      * ships to a downstream image model. */
+    def frameChunks(payload: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+      val info = parse(payload)
+      new Iterator[(Int, Array[Byte])] {
+        private var off = info.moviStart
+        private var f = 0
+        def hasNext: Boolean = {
+          val more = off + 8 <= info.moviEnd
+          if (!more) require(f == info.nFrames,
+            s"container declares ${info.nFrames} frames, movi holds $f")
+          more
+        }
+        def next(): (Int, Array[Byte]) = {
+          val id = fourcc(payload, off); val sz = u32(payload, off + 4)
+          require(sz >= 0 && off + 8 + sz <= info.moviEnd,
+            s"truncated movi chunk $id")
+          require(id == "00dc",
+            s"unexpected movi chunk '$id' (single-stream MJPEG expected)")
+          val bytes = java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + sz)
+          val out = (f, bytes)
+          f += 1
+          off += 8 + sz + (sz & 1)
+          out
+        }
+      }
+    }
+
+    /** Decode every frame through ONE reused JPEG reader, folding
+      * `op(acc, frameIdx, raster)` over the stream. Validates each
+      * decoded frame's dims against the container and the final frame
+      * count against the declared total — a truncated or padded movi
+      * list aborts, never flows silently. */
+    def foldFrames[A](payload: Array[Byte], z: A)(
+        op: (A, Int, java.awt.image.Raster) => A): A = {
+      val info = parse(payload)
+      val reader = jpegReaderSpi.createReaderInstance()
+      try {
+        var acc = z
+        var off = info.moviStart
+        var f = 0
+        while (off + 8 <= info.moviEnd) {
+          val id = fourcc(payload, off); val sz = u32(payload, off + 4)
+          require(sz >= 0 && off + 8 + sz <= info.moviEnd,
+            s"truncated movi chunk $id")
+          require(id == "00dc",
+            s"unexpected movi chunk '$id' (single-stream MJPEG expected)")
+          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload, off + 8, sz)), true, true)
+          val img = reader.read(0)
+          require(img.getWidth == info.w && img.getHeight == info.h,
+            s"frame $f decoded ${img.getWidth}x${img.getHeight} != " +
+              s"container ${info.w}x${info.h}")
+          acc = op(acc, f, img.getRaster)
+          f += 1
+          off += 8 + sz + (sz & 1)
+        }
+        require(f == info.nFrames,
+          s"container declares ${info.nFrames} frames, movi holds $f")
+        acc
+      } finally reader.dispose()
+    }
+
+    /** Exact pixel statistics of the decoded stream: `px_sum = Σ v(i)`,
+      * `px_check = Σ i·v(i)` over the per-video global row-major index
+      * `i = f·w·h + y·w + x` — frame ORDER is pinned, not just content.
+      * `px_check ≤ 255·N(N−1)/2`, so N = frames·w·h ≤ 2^27 samples
+      * keeps it under 2^63; the require fires on the PARSED header,
+      * before any decode work. */
+    def stats(payload: Array[Byte]): (Int, Int, Int, Long, Long) = {
+      val info = parse(payload)
+      require(info.nFrames.toLong * info.w * info.h <= (1L << 27),
+        s"video too large for exact int64 checksum: ${info.nFrames} " +
+          s"frames of ${info.w}x${info.h} (2^27 sample bound)")
+      val wh = info.w.toLong * info.h
+      val (sum, check) = foldFrames(payload, (0L, 0L)) {
+        case ((s0, c0), f, r) =>
+          var s = s0; var c = c0
+          val base = f * wh
+          var y = 0
+          while (y < info.h) {
+            var x = 0
+            while (x < info.w) {
+              val v = r.getSample(x, y, 0).toLong
+              s += v
+              c += (base + y.toLong * info.w + x) * v
+              x += 1
+            }
+            y += 1
+          }
+          (s, c)
+      }
+      (info.w, info.h, info.nFrames, sum, check)
+    }
+
+    /** Per-frame pixel sums of the decoded stream (the q161 inputs),
+      * under the same [[stats]] bound. */
+    def frameSums(payload: Array[Byte]): (Int, Int, Array[Long]) = {
+      val info = parse(payload)
+      require(info.nFrames.toLong * info.w * info.h <= (1L << 27),
+        s"video too large for exact int64 checksum: ${info.nFrames} " +
+          s"frames of ${info.w}x${info.h} (2^27 sample bound)")
+      val sums = new Array[Long](info.nFrames)
+      foldFrames(payload, ()) { (_, f, r) =>
+        var s = 0L
+        var y = 0
+        while (y < info.h) {
+          var x = 0
+          while (x < info.w) { s += r.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        sums(f) = s
+      }
+      (info.w, info.h, sums)
+    }
+  }
+
   /** Byte-statistic stand-in features for modalities the JDK ships no
-    * decoder for (COMPRESSED audio — mp3/aac — and opaque video
+    * decoder for (COMPRESSED audio — mp3/aac — and non-MJPEG video
     * containers):
     * windowed byte energies, deterministic in the payload. Clearly a
     * fake — a real pipeline links an audio codec here; the Spark-side
@@ -408,6 +791,95 @@ object Multimodal {
           r.n_frames * WavCodec.SamplesPerFrame, r.sample_rate))
       else r
     })
+  }
+
+  /** [[syntheticMedia]] with REAL payloads on video rows: a genuine
+    * MJPEG-in-AVI container (seed `media_id mod 256`) produced by the
+    * same RIFF writer + `ImageIO` JPEG stack that decodes it.
+    * Video-row metadata is adjusted to the container's own shape:
+    * dims snap DOWN to the JPEG MCU grid (multiples of 8 — full 8×8
+    * blocks keep the oracle's closed-form exact; the codec itself
+    * handles odd dims), and the frame count keeps the 1–30-frame clip
+    * shape WITHOUT the audio long tail — a 1875-frame video would be
+    * 1875 full JPEG decodes per row, and the per-frame overhead (not
+    * per-sample, as audio is) would make the tail the whole benchmark.
+    * Partition-local map — the encode is the fixture's cost, not a
+    * shuffle. */
+  def aviMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val rows = asMediaRows(syntheticMedia(docs))
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { r =>
+      if (r.kind == "video") {
+        val w8 = r.width / 8 * 8
+        val h8 = r.height / 8 * 8
+        val nf = (java.lang.Math.floorMod(r.media_id, 30L) + 1).toInt
+        r.copy(width = w8, height = h8, n_frames = nf,
+          payload = MjpegAviCodec.syntheticMjpegAvi(
+            java.lang.Math.floorMod(r.media_id, 256L), nf, w8, h8))
+      } else r
+    })
+  }
+
+  /** Decode every video row and emit exact pixel statistics, failing
+    * loudly when the decoded dims or frame count disagree with the
+    * declared metadata (a lying metadata column must never flow
+    * silently into a training manifest). Partition-local,
+    * shuffle-free — at a 100 TB video lake this plan is pure decode
+    * CPU across file splits. */
+  def decodeVideoStats(media: Dataset[MediaRow]): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.map { r =>
+      val (w, h, nf, sum, check) = MjpegAviCodec.stats(r.payload)
+      require(w == r.width && h == r.height,
+        s"decoded dims ${w}x$h != declared ${r.width}x${r.height} " +
+          s"for media ${r.media_id}")
+      require(nf == r.n_frames,
+        s"decoded $nf frames != declared ${r.n_frames} for media ${r.media_id}")
+      VideoStats(r.media_id, w, h, nf, sum, check)
+    })
+  }
+
+  /** Decode every video row and emit the motion-proxy features a
+    * curation pipeline consumes: first frame's pixel sum, total L1
+    * frame-delta `Σ|s_f − s_{f−1}|`, and the hottest single delta —
+    * exact integer sums of decoded samples (zero for single-frame
+    * clips). Same lying-metadata contract and shuffle-free shape as
+    * [[decodeVideoStats]]. */
+  def decodeVideoMotion(media: Dataset[MediaRow]): Dataset[VideoMotion] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.map { r =>
+      val (w, h, sums) = MjpegAviCodec.frameSums(r.payload)
+      require(w == r.width && h == r.height,
+        s"decoded dims ${w}x$h != declared ${r.width}x${r.height} " +
+          s"for media ${r.media_id}")
+      require(sums.length == r.n_frames,
+        s"decoded ${sums.length} frames != declared ${r.n_frames} " +
+          s"for media ${r.media_id}")
+      var l1 = 0L
+      var peak = 0L
+      var f = 1
+      while (f < sums.length) {
+        val d = math.abs(sums(f) - sums(f - 1))
+        l1 += d
+        if (d > peak) peak = d
+        f += 1
+      }
+      VideoMotion(r.media_id, sums.length, sums(0), l1, peak)
+    })
+  }
+
+  /** REAL frame sampling for MJPEG-AVI rows: every `stride`-th frame's
+    * JPEG payload, extracted at the CONTAINER level (a RIFF walk — no
+    * decode), one output row per kept frame. The shape a frame-
+    * sampling stage ships to an image model; [[sampleVideoFrames]]
+    * remains the byte-slice stand-in for opaque containers. */
+  def sampleAviFrames(media: Dataset[MediaRow], stride: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      MjpegAviCodec.frameChunks(r.payload)
+        .filter { case (idx, _) => idx % stride == 0 }
+        .map { case (idx, bytes) => Frame(r.media_id, idx, bytes) }
+    }
   }
 
   /** Decode every audio row and emit exact sample statistics, failing

@@ -95,7 +95,36 @@ object MultimodalQueries {
     // frame max with a two-level aggregate.
     "q159_audio_energy" -> ((s, d) =>
       Multimodal.decodeAudioEnergy(
-        Multimodal.wavMedia(Tables(s, d, "documents"))).toDF())
+        Multimodal.wavMedia(Tables(s, d, "documents"))).toDF()),
+
+    // REAL video decode (round 14 — the last byte-statistic stand-in
+    // with a JDK-reachable decoder retired): genuine MJPEG-in-AVI
+    // containers are synthesized per video row (hand-written RIFF, one
+    // baseline JPEG per frame — per-8x8-block-constant grayscale at
+    // quality 1.0, which JPEG round-trips EXACTLY: all-ones quant
+    // tables + a constant block's DCT collapsing to its integer DC),
+    // decoded back through an own RIFF walk + the JDK's ImageIO JPEG
+    // reader, and the DECODED stream's exact integer statistics are
+    // emitted over the per-video global index i = f*w*h + y*w + x —
+    // a wrong pixel VALUE, POSITION, or frame ORDER breaks the hash.
+    // The oracle regenerates the block grid arithmetically in DuckDB
+    // (one row per block, not per pixel — the closed form over a full
+    // 8x8 block keeps the oracle 64x smaller than q155's). Shuffle-
+    // free: encode+decode are partition-local — pure decode CPU
+    // across file splits at a 100 TB video lake.
+    "q160_video_decode" -> ((s, d) =>
+      Multimodal.decodeVideoStats(
+        Multimodal.aviMedia(Tables(s, d, "documents"))).toDF()),
+
+    // decoded-video FEATURE face (the q157/q159 analog): per-clip
+    // first-frame sum, total L1 frame-delta, and hottest single delta
+    // — the motion proxy a video curation gate consumes, exact
+    // integer sums of DECODED samples. The oracle regenerates
+    // per-frame sums from the block grid and replays the delta chain
+    // with a window lag.
+    "q161_video_motion" -> ((s, d) =>
+      Multimodal.decodeVideoMotion(
+        Multimodal.aviMedia(Tables(s, d, "documents"))).toDF())
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -200,6 +229,64 @@ object MultimodalQueries {
         |  WHERE d.doc_id % 3 = 1
         |  GROUP BY 1, 2
         |)
-        |GROUP BY media_id""".stripMargin
+        |GROUP BY media_id""".stripMargin,
+
+    // the block grid regenerated arithmetically, ONE row per 8x8 block:
+    // v(f, b) = (seed + 31f + b) mod 256; a full block contributes 64·v
+    // to px_sum and v·(64·f·w·h + 512·w·by + 512·bx + 224·w + 224) to
+    // px_check (the closed-form sum of row-major indices over the
+    // block) — what the MJPEG frames must round-trip through encode,
+    // the RIFF walk, and the JPEG decode
+    "q160_video_decode" ->
+      """SELECT media_id, decoded_w, decoded_h, n_frames,
+        | CAST(px_sum AS BIGINT) AS px_sum,
+        | CAST(px_check AS BIGINT) AS px_check
+        |FROM (
+        |  SELECT v.media_id,
+        |    CAST(v.w8 AS INT) AS decoded_w, CAST(v.h8 AS INT) AS decoded_h,
+        |    CAST(v.nf AS INT) AS n_frames,
+        |    SUM(64 * ((v.seed + 31 * (g.i // v.bpf) + (g.i % v.bpf)) % 256)) AS px_sum,
+        |    SUM(((v.seed + 31 * (g.i // v.bpf) + (g.i % v.bpf)) % 256)
+        |        * (64 * (g.i // v.bpf) * v.w8 * v.h8
+        |           + 512 * v.w8 * ((g.i % v.bpf) // v.cpr)
+        |           + 512 * ((g.i % v.bpf) % v.cpr)
+        |           + 224 * v.w8 + 224)) AS px_check
+        |  FROM (
+        |    SELECT d.doc_id AS media_id, d.doc_id % 256 AS seed,
+        |      (d.doc_id % 64 + 16) // 8 * 8 AS w8,
+        |      (d.doc_id % 48 + 16) // 8 * 8 AS h8,
+        |      d.doc_id % 30 + 1 AS nf,
+        |      (d.doc_id % 64 + 16) // 8 AS cpr,
+        |      ((d.doc_id % 64 + 16) // 8) * ((d.doc_id % 48 + 16) // 8) AS bpf
+        |    FROM documents d WHERE d.doc_id % 3 = 2
+        |  ) v,
+        |  LATERAL (SELECT unnest(range(v.nf * v.bpf)) AS i) g
+        |  GROUP BY 1, 2, 3, 4
+        |)""".stripMargin,
+
+    // per-frame sums from the same block grid (s_f = 64·Σ_b v), then
+    // the motion chain replayed with a window lag
+    "q161_video_motion" ->
+      """SELECT media_id, CAST(nf AS INT) AS n_frames,
+        | CAST(MAX(CASE WHEN f = 0 THEN s END) AS BIGINT) AS first_frame_sum,
+        | CAST(COALESCE(SUM(ABS(s - prev_s)), 0) AS BIGINT) AS motion_l1,
+        | CAST(COALESCE(MAX(ABS(s - prev_s)), 0) AS BIGINT) AS peak_delta
+        |FROM (
+        |  SELECT media_id, nf, f, s,
+        |    LAG(s) OVER (PARTITION BY media_id ORDER BY f) AS prev_s
+        |  FROM (
+        |    SELECT v.media_id, v.nf, g.i // v.bpf AS f,
+        |      SUM(64 * ((v.seed + 31 * (g.i // v.bpf) + (g.i % v.bpf)) % 256)) AS s
+        |    FROM (
+        |      SELECT d.doc_id AS media_id, d.doc_id % 256 AS seed,
+        |        d.doc_id % 30 + 1 AS nf,
+        |        ((d.doc_id % 64 + 16) // 8) * ((d.doc_id % 48 + 16) // 8) AS bpf
+        |      FROM documents d WHERE d.doc_id % 3 = 2
+        |    ) v,
+        |    LATERAL (SELECT unnest(range(v.nf * v.bpf)) AS i) g
+        |    GROUP BY 1, 2, 3
+        |  )
+        |)
+        |GROUP BY media_id, nf""".stripMargin
   )
 }

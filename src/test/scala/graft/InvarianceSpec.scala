@@ -62,7 +62,11 @@ class InvarianceSpec extends SparkSpec {
     "q157_image_features",
     // q158/q159 are the WAV twins of q155/q157: mapPartitions decode
     // batching must not fork under tiny splits or partition levers
-    "q158_audio_decode", "q159_audio_energy")
+    "q158_audio_decode", "q159_audio_energy",
+    // q160/q161 are the MJPEG-AVI twins: per-partition REUSED JPEG
+    // reader/writer instances must not leak state across rows or fork
+    // under split/partition levers
+    "q160_video_decode", "q161_video_motion")
 
   /** Sorted row-multiset fingerprint: row order and partitioning must
     * not matter, so compare on sorted `toString` lines. The cache is

@@ -152,6 +152,128 @@ class MultimodalSpec extends SparkSpec {
     assert(e.e_total === total && e.e_max_frame === maxF)
   }
 
+  test("golden MJPEG-AVI decode: per-block-constant JPEG frames round-trip " +
+      "EXACT sample values through the hand-written RIFF container; " +
+      "garbage, lying sizes, foreign fourccs, and frame-count lies abort") {
+    import graft.operators.Multimodal.MjpegAviCodec
+    // seed 7, 3 frames, 24x16 (full 8x8 blocks: 3 cols x 2 rows = 6/frame)
+    val avi = MjpegAviCodec.syntheticMjpegAvi(7L, 3, 24, 16)
+    assert(avi(0) === 'R'.toByte && avi(1) === 'I'.toByte)
+    val (w, h, nf, sum, check) = MjpegAviCodec.stats(avi)
+    assert(w === 24 && h === 16 && nf === 3)
+    // regenerate the grid arithmetically (what the q160 oracle does)
+    var eSum = 0L; var eCheck = 0L
+    for (f <- 0 until 3; y <- 0 until 16; x <- 0 until 24) {
+      val v = MjpegAviCodec.blockValue(7L, f, (y / 8) * 3 + (x / 8)).toLong
+      eSum += v
+      eCheck += (f.toLong * 24 * 16 + y * 24 + x) * v
+    }
+    assert(sum === eSum && check === eCheck,
+      "JPEG decode must be EXACT on per-block-constant frames")
+    // value wraparound across the mod-256 boundary decodes exact too
+    val (_, _, _, s2, c2) = MjpegAviCodec.stats(
+      MjpegAviCodec.syntheticMjpegAvi(250L, 2, 16, 16))
+    var e2s = 0L; var e2c = 0L
+    for (f <- 0 until 2; y <- 0 until 16; x <- 0 until 16) {
+      val v = MjpegAviCodec.blockValue(250L, f, (y / 8) * 2 + (x / 8)).toLong
+      e2s += v; e2c += (f.toLong * 256 + y * 16 + x) * v
+    }
+    assert(s2 === e2s && c2 === e2c)
+    // frameSums agree with stats' per-frame decomposition
+    val (_, _, sums) = MjpegAviCodec.frameSums(avi)
+    assert(sums.length === 3 && sums.sum === eSum)
+    // garbage: no RIFF magic
+    intercept[IllegalArgumentException](
+      MjpegAviCodec.stats("not an avi".getBytes))
+    // a WAV is RIFF but not AVI — the fourcc gate must catch it
+    intercept[IllegalArgumentException](MjpegAviCodec.stats(
+      graft.operators.Multimodal.WavCodec.syntheticWav(1, 16, 8000)))
+    // RIFF size field lying about the payload
+    val lying = avi.clone(); lying(4) = (lying(4) ^ 0x01).toByte
+    val exSz = intercept[IllegalArgumentException](MjpegAviCodec.stats(lying))
+    assert(exSz.getMessage.contains("RIFF size"), exSz.getMessage)
+    // foreign video fourcc (e.g. real-world 'H264'): no JDK decoder —
+    // must abort loudly, never flow through the byte-stat stand-in
+    val h264 = avi.clone()
+    // strh fccHandler at offset 112, strf biCompression at offset 188
+    for ((o, c) <- Seq((112, "H264"), (188, "H264")); i <- 0 until 4)
+      h264(o + i) = c.charAt(i).toByte
+    val exCc = intercept[IllegalArgumentException](MjpegAviCodec.stats(h264))
+    assert(exCc.getMessage.contains("no JDK decoder"), exCc.getMessage)
+    // header frame-count lie: avih dwTotalFrames (off 48) and strh
+    // dwLength (off 140) claim 4 frames, movi holds 3
+    val fLie = avi.clone()
+    fLie(48) = 4.toByte; fLie(140) = 4.toByte
+    val exFr = intercept[IllegalArgumentException](MjpegAviCodec.stats(fLie))
+    assert(exFr.getMessage.contains("frames"), exFr.getMessage)
+    // the 2^27 sample bound fires on the PARSED header, before any
+    // decode: patch both frame counts to 2^20 (2^20 * 384 px > 2^27)
+    val huge = avi.clone()
+    for (o <- Seq(48, 140)) {
+      huge(o) = 0; huge(o + 1) = 0; huge(o + 2) = 16.toByte; huge(o + 3) = 0
+    }
+    val exBig = intercept[IllegalArgumentException](MjpegAviCodec.stats(huge))
+    assert(exBig.getMessage.contains("2^27"), exBig.getMessage)
+  }
+
+  test("aviMedia + decodeVideoStats/Motion: video rows only, MCU-snapped " +
+      "dims, stats match the block grid; lying metadata aborts; " +
+      "sampleAviFrames extracts decodable standalone JPEGs") {
+    import graft.operators.Multimodal.MjpegAviCodec
+    val am = Multimodal.aviMedia(Tables(spark, sf0001, "documents").limit(60))
+    val vids = am.filter(_.kind == "video").collect()
+    assert(vids.nonEmpty)
+    vids.foreach { v =>
+      assert(v.width % 8 === 0 && v.height % 8 === 0 && v.n_frames <= 30)
+      assert(v.payload(0) === 'R'.toByte, s"media ${v.media_id} not RIFF")
+    }
+    val stats = Multimodal.decodeVideoStats(am).collect()
+    assert(stats.map(_.media_id).toSet === vids.map(_.media_id).toSet)
+    stats.foreach { s =>
+      val seed = java.lang.Math.floorMod(s.media_id, 256L)
+      val cpr = s.decoded_w / 8
+      var eSum = 0L
+      for (f <- 0 until s.n_frames; by <- 0 until s.decoded_h / 8; bx <- 0 until cpr)
+        eSum += 64L * MjpegAviCodec.blockValue(seed, f, by * cpr + bx)
+      assert(s.px_sum === eSum, s"media ${s.media_id}")
+    }
+    // motion face: replay the per-frame delta chain from the grid
+    val motion = Multimodal.decodeVideoMotion(am).collect()
+    motion.foreach { m =>
+      val v = vids.find(_.media_id == m.media_id).get
+      val cpr = v.width / 8
+      val bpf = cpr * (v.height / 8)
+      val seed = java.lang.Math.floorMod(m.media_id, 256L)
+      val sums = (0 until m.n_frames).map(f =>
+        (0 until bpf).map(b => 64L * MjpegAviCodec.blockValue(seed, f, b)).sum)
+      val deltas = sums.sliding(2).collect { case Seq(a, b) => math.abs(b - a) }.toSeq
+      assert(m.first_frame_sum === sums.head)
+      assert(m.motion_l1 === deltas.sum && m.peak_delta ===
+        (if (deltas.isEmpty) 0L else deltas.max), s"media ${m.media_id}")
+    }
+    // metadata lies about frame count → abort (q160's contract)
+    import spark.implicits._
+    val lying = Seq(Multimodal.MediaRow(5L, "video",
+      MjpegAviCodec.syntheticMjpegAvi(5L, 2, 16, 16), 16, 16, 16000, 3)).toDS()
+    val ex = intercept[Exception](Multimodal.decodeVideoStats(lying).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("decoded")), chain(ex).mkString("; "))
+    // container-level frame sampling: every stride-th chunk, each a
+    // standalone decodable JPEG with the right frame's block values
+    val one = Seq(Multimodal.MediaRow(9L, "video",
+      MjpegAviCodec.syntheticMjpegAvi(9L, 7, 16, 16), 16, 16, 16000, 7)).toDS()
+    val frames = Multimodal.sampleAviFrames(one, stride = 3).collect()
+    assert(frames.map(_.frame_idx).sorted.toSeq === Seq(0, 3, 6))
+    frames.foreach { fr =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fr.frame_bytes))
+      assert(img.getWidth === 16 && img.getHeight === 16)
+      assert(img.getRaster.getSample(0, 0, 0) ===
+        MjpegAviCodec.blockValue(9L, fr.frame_idx, 0))
+    }
+  }
+
   test("decodeAudioStats over wavMedia: audio rows only, stats match the " +
       "generator sequence, payloads carry the RIFF magic") {
     import graft.operators.Multimodal.WavCodec
