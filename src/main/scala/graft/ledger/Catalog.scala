@@ -988,9 +988,20 @@ final class Catalog(val spark: SparkSession, val root: String,
     * then applies the exact residual filter on what remains — pruning
     * is a planning optimization, never a semantics change. Commits
     * whose stats are unusable (missing column, non-integral type,
-    * stats disabled by the writer) are conservatively kept. */
+    * stats disabled by the writer) are conservatively kept.
+    *
+    * Works for declared tables AND undeclared ones (exports, rollups):
+    * an undeclared table's schema comes from its first live commit,
+    * the [[table]] rule — it must have committed data (same loud
+    * requirement as [[table]]; evolution is a declared-table feature,
+    * so the derived schema is exact). */
   def tableWhere(table: String, column: String, lo: Long, hi: Long): DataFrame = {
-    val schema = Schemas.schemaOf(table)
+    val schema = Schemas.schemaOfOpt(table).getOrElse {
+      val commits = liveCommits(table)
+      require(commits.nonEmpty,
+        s"table '$table' has no declared schema and no committed data")
+      spark.read.option("basePath", commits.head).parquet(commits.head).schema
+    }
     require(Seq(org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.LongType).contains(schema(column).dataType),
       s"tableWhere prunes integral columns only; $table.$column is " +

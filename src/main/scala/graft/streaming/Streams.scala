@@ -318,21 +318,45 @@ object Streams {
     * per batch (the [[graft.operators.ShardedExport]] contract,
     * maintained incrementally).
     *
-    * Per batch: (1) replay/duplicate guard — an anti-join on `idCol`
-    * against the committed export drops re-delivered rows, making the
-    * at-least-once foreachBatch exactly-once in effect (a replayed
-    * batch appends nothing and the manifest merge is a no-op);
-    * (2) curation — blocklist broadcast anti-join, then the salted-
-    * hash per-source rank capped at `cap` MINUS that source's already-
-    * committed survivor count, so the cap is enforced across the whole
-    * stream, not per batch; (3) numbering — [[graft.operators.ContiguousIds]]
-    * over the batch survivors, offset by the committed max ex_id
+    * Per batch (all inside ONE catalog transaction — see below):
+    * (1) replay/duplicate guard — `dropDuplicates(idCol)` inside the
+    * batch (within-batch redelivery; under conflicting payloads the
+    * pick is first-wins, matching the cross-batch rule), then an
+    * anti-join on `idCol` against the committed export FOOTER-PRUNED
+    * to the batch's own id range ([[graft.ledger.Catalog.tableWhere]]):
+    * any committed duplicate's id lies inside that range by
+    * definition, so the guard is exact while planning only the
+    * commits a replay could live in — for `orderCols`-monotone
+    * streams a fresh batch's range intersects NOTHING committed and
+    * the guard costs footer reads only, making the at-least-once
+    * foreachBatch exactly-once in effect; (2) curation — blocklist
+    * broadcast anti-join, then the salted-hash per-source rank capped
+    * at `cap` MINUS that source's already-committed survivor count,
+    * read from the manifest-sized `<dataTable>_sources` ledger this
+    * stream maintains (bootstrapped ONCE from the data table when
+    * continuing an export that predates the ledger), so the cap is
+    * enforced across the whole stream without re-aggregating the
+    * corpus; (3) numbering — [[graft.operators.ContiguousIds]] over
+    * the batch survivors, offset by the committed max ex_id
     * (footer-stats read, no scan); (4) the append (partitioned by
-    * shard) and the manifest merge commit inside one transaction. The
-    * manifest delta aggregates the COMMITTED new rows and merges with
-    * the previous manifest by shard — sums add, the id range widens at
-    * the boundary shard — so the merge cost is manifest-sized, never a
-    * corpus rescan.
+    * shard), the manifest merge, and the sources-ledger fold commit
+    * together. The manifest delta aggregates the COMMITTED new rows —
+    * read back footer-pruned to `ex_id >= offset`, which only the
+    * just-appended commit intersects — and merges with the previous
+    * manifest by shard: sums add, the id range widens at the boundary
+    * shard, so the merge cost is manifest-sized, never a corpus
+    * rescan.
+    *
+    * WHY the whole body runs inside `catalog.transaction` (round-13
+    * advice, medium): transaction-begin rolls back a SELF-OWNED
+    * crashed marker before anything reads committed state. With the
+    * reads outside, a crash mid-FIRST-batch (head v1, no snapshot
+    * entry) left every restart seeing `exists = true` but
+    * `catalog.table` throwing — the stream wedged on state its own
+    * begin-time recovery would have healed. Another instance's marker
+    * still fails loudly (`ConcurrentWriteException` → operator runs
+    * `recoverTransaction()`), exactly the cross-instance contract
+    * CatalogSpec pins.
     *
     * Equals the one-shot batch export
     * ([[graft.operators.ShardedExport.export]] of
@@ -343,59 +367,75 @@ object Streams {
     * straddle batches while exceeding `cap` (survivor selection is
     * first-batch-wins across batches but hash-ordered within one; a
     * one-shot re-curation re-ranks the union globally). StreamsSpec
-    * pins the equality; a pipeline needing the global re-rank runs the
-    * batch export as a periodic compaction instead.
+    * pins the equality AND the remedy: a pipeline needing the global
+    * re-rank runs the batch export as a periodic compaction — the
+    * straddled-cap scenario replays both sides and states exactly
+    * which rows differ.
     *
-    * Scale: the corpus-side cost per batch is the idCol anti-join and
-    * the per-source count (both key-width shuffles of the committed
-    * export, no payload columns); everything else is batch-sized plus
-    * a manifest-sized merge. */
+    * Scale: NO per-batch cost grows with the committed corpus. The
+    * replay guard plans only footer-intersecting commits (zero for
+    * monotone streams), the budget debit reads the manifest-sized
+    * sources ledger, the manifest delta reads only the new commit,
+    * and the ex_id offset is a footer-stats read. Everything else is
+    * batch-sized. */
   def curatedExportStream(docs: DataFrame, catalog: Catalog,
                           dataTable: String, manifestTable: String,
                           checkpointDir: String, sourceCol: String,
                           idCol: String, cap: Int, blocklist: DataFrame,
                           salt: String, orderCols: Seq[String],
                           shardSize: Long, byteCol: String): StreamingQuery = {
-    catalog.registerSnapshotScoped(dataTable, manifestTable)
+    val sourcesTable = s"${dataTable}_sources"
+    catalog.registerSnapshotScoped(dataTable, manifestTable, sourcesTable)
     val blocked = broadcast(blocklist.toDF("blocked_source"))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val committed = catalog.exists(dataTable)
-        val fresh =
-          if (!committed) batch
-          else batch.join(catalog.table(dataTable).select(col(idCol)),
-            Seq(idCol), "left_anti")
-        val ranked = fresh
-          .join(blocked, fresh(sourceCol) === blocked("blocked_source"), "left_anti")
-          .withColumn("rn", graft.operators.SourceCuration
-            .hashRank(salt, col(sourceCol), col(idCol)))
-        val survivors =
-          (if (!committed) ranked.filter(col("rn") <= cap)
-           else {
-             val used = catalog.table(dataTable).groupBy(col(sourceCol))
-               .agg(count(lit(1)).as("n_committed"))
-             ranked.join(broadcast(used), Seq(sourceCol), "left")
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        val batch = rawBatch.dropDuplicates(idCol)
+        // the batch's own id range drives the footer-pruned replay
+        // guard — one batch-sized aggregate, no committed-side I/O
+        val range = batch.agg(min(col(idCol)), max(col(idCol))).head()
+        if (!range.isNullAt(0)) catalog.transaction {
+          val lo = range.get(0).asInstanceOf[Number].longValue
+          val hi = range.get(1).asInstanceOf[Number].longValue
+          val committed = catalog.exists(dataTable)
+          val fresh =
+            if (!committed) batch
+            else batch.join(
+              catalog.tableWhere(dataTable, idCol, lo, hi).select(col(idCol)),
+              Seq(idCol), "left_anti")
+          val ranked = fresh
+            .join(blocked, fresh(sourceCol) === blocked("blocked_source"), "left_anti")
+            .withColumn("rn", graft.operators.SourceCuration
+              .hashRank(salt, col(sourceCol), col(idCol)))
+          // committed-survivor counts: the manifest-sized ledger, or a
+          // ONE-TIME bootstrap scan when continuing a pre-ledger export
+          val used =
+            if (catalog.exists(sourcesTable)) catalog.table(sourcesTable)
+            else if (committed) catalog.table(dataTable)
+              .groupBy(col(sourceCol))
+              .agg(count(lit(1)).cast("bigint").as("n_committed"))
+            else null
+          val survivors =
+            (if (used == null) ranked.filter(col("rn") <= cap)
+             else ranked.join(broadcast(used), Seq(sourceCol), "left")
                .filter(col("rn") <=
                  lit(cap.toLong) - coalesce(col("n_committed"), lit(0L)))
-               .drop("n_committed")
-           }).drop("rn")
-        val offset =
-          if (committed) catalog.maxId(dataTable, "ex_id") + 1 else 0L
-        val sharded = graft.operators.ContiguousIds
-          .assign(survivors, orderCols, "ex_id")
-          .withColumn("ex_id", col("ex_id") + lit(offset))
-          .withColumn("shard", expr(s"ex_id div ${shardSize}L"))
-        catalog.transaction {
+               .drop("n_committed")).drop("rn")
+          val offset =
+            if (committed) catalog.maxId(dataTable, "ex_id") + 1 else 0L
+          val sharded = graft.operators.ContiguousIds
+            .assign(survivors, orderCols, "ex_id")
+            .withColumn("ex_id", col("ex_id") + lit(offset))
+            .withColumn("shard", expr(s"ex_id div ${shardSize}L"))
           val n = catalog.appendDelta(dataTable, sharded,
             partitionBy = Seq("shard"))
           if (n > 0) {
-            // manifest delta from the COMMITTED new rows (the bytes a
-            // consumer will actually read), merged shard-wise with the
-            // previous manifest — boundary-shard sums add, ranges widen
-            val delta = graft.operators.ShardedExport.manifest(
-              catalog.table(dataTable).filter(col("ex_id") >= offset), byteCol)
+            // COMMITTED new rows, footer-pruned: only the commit just
+            // appended intersects [offset, ∞)
+            val newRows = catalog.tableWhere(
+              dataTable, "ex_id", offset, Long.MaxValue)
+            val delta = graft.operators.ShardedExport.manifest(newRows, byteCol)
             val merged =
               if (!catalog.exists(manifestTable)) delta
               else catalog.table(manifestTable).unionByName(delta)
@@ -405,6 +445,16 @@ object Streams {
                   min(col("min_ex_id")).as("min_ex_id"),
                   max(col("max_ex_id")).as("max_ex_id"))
             catalog.replace(manifestTable, merged)
+            // fold the new survivors into the sources ledger (the
+            // pre-append `used` frame pinned its commit list when it
+            // was built, so bootstrap + delta compose correctly)
+            val srcDelta = newRows.groupBy(col(sourceCol))
+              .agg(count(lit(1)).cast("bigint").as("n_committed"))
+            val srcMerged =
+              if (used == null) srcDelta
+              else used.unionByName(srcDelta).groupBy(col(sourceCol))
+                .agg(sum(col("n_committed")).cast("bigint").as("n_committed"))
+            catalog.replace(sourcesTable, srcMerged)
           }
         }
         ()

@@ -514,6 +514,185 @@ class StreamsSpec extends SparkSpec {
     assert(mani === Seq((0L, 2L, 0L, 1L), (1L, 2L, 2L, 3L), (2L, 1L, 4L, 4L)))
   }
 
+  test("curatedExportStream: per-batch corpus-side work is footer-bounded " +
+      "— a fresh batch's replay guard plans ZERO committed commits, the " +
+      "budget ledger is manifest-sized, and within-batch duplicate ids " +
+      "export once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_export_bound").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = Streams.curatedExportStream(
+      mem.toDF().toDF("doc_id", "source", "n_chars"), cat,
+      "export_docs_f", "export_manifest_f", s"$dir/cp",
+      "source", "doc_id", cap = 100, Seq.empty[String].toDF("source"),
+      "q160:", orderCols = Seq("doc_id"), shardSize = 4L, byteCol = "n_chars")
+    try {
+      // three monotone batches; batch 2 carries a WITHIN-batch
+      // duplicate id (round-13 advice: both copies used to survive the
+      // committed-only anti-join and export twice with distinct ex_ids)
+      mem.addData((0L to 9L).map(i => (i, s"s${i % 3}", 100 + i)): _*)
+      q.processAllAvailable()
+      mem.addData((10L to 19L).map(i => (i, s"s${i % 3}", 100 + i)) :+
+        ((15L, "s0", 115L)): _*)
+      q.processAllAvailable()
+      mem.addData((20L to 29L).map(i => (i, s"s${i % 3}", 100 + i)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the duplicate exported once; ids stay dense over 30 docs
+    val rows = cat.table("export_docs_f")
+      .select(col("ex_id").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 30 && rows.map(_._1).toSeq === (0L to 29L))
+    assert(rows.count(_._2 == 15L) === 1, "within-batch duplicate id exported twice")
+    // THE BOUND (round-13 verdict #2): for the next monotone batch's id
+    // range, footer pruning plans ZERO committed commits — the replay
+    // guard's committed-side cost is footer reads only, not a scan that
+    // grows with the export. A REPLAYED range plans only the commits a
+    // duplicate could live in, not the whole corpus.
+    assert(cat.commitsInRange("export_docs_f", "doc_id", 30L, 39L).isEmpty,
+      "fresh-batch replay guard must plan zero committed commits")
+    val total = cat.commitsInRange(
+      "export_docs_f", "doc_id", 0L, Long.MaxValue).size
+    assert(cat.commitsInRange("export_docs_f", "doc_id", 0L, 9L).size < total,
+      "a replayed batch must plan a strict subset of commits")
+    // the manifest-delta read is bounded the same way: nothing
+    // committed intersects ids past the current max
+    assert(cat.commitsInRange("export_docs_f", "ex_id",
+      cat.maxId("export_docs_f", "ex_id") + 1, Long.MaxValue).isEmpty)
+    // the budget ledger is manifest-sized (one row per source), and its
+    // counts equal the committed per-source survivor counts
+    val ledger = cat.table("export_docs_f_sources")
+      .as[(String, Long)].collect().toMap
+    assert(ledger === Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+  }
+
+  test("curatedExportStream: the straddled-cap divergence and its remedy — " +
+      "periodic compaction via the batch export equals the global re-rank") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_export_straddle").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val none = Seq.empty[String].toDF("source")
+    // source "s" exceeds cap=4 ACROSS batches (3 in each) — the
+    // documented divergence: the stream picks first-batch-wins (all 3
+    // of b1, then hash-rank-1 of b2's 3), the one-shot re-ranks all 6
+    val b1 = (0L to 2L).map(i => (i, "s", 100 + i))
+    val b2 = (3L to 5L).map(i => (i, "s", 100 + i))
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = Streams.curatedExportStream(
+      mem.toDF().toDF("doc_id", "source", "n_chars"), cat,
+      "export_docs_x", "export_manifest_x", s"$dir/cp",
+      "source", "doc_id", cap = 4, none, "q161:",
+      orderCols = Seq("doc_id"), shardSize = 3L, byteCol = "n_chars")
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = cat.table("export_docs_x")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed.size === 4 && Set(0L, 1L, 2L).subsetOf(streamed),
+      s"stream must keep all of batch 1 (first-batch-wins): $streamed")
+    // the remedy the docstring prescribes, executed: one-shot batch
+    // export over the union into a fresh table pair
+    val cat2 = new Catalog(spark, s"$dir/wh2")
+    val union = (b1 ++ b2).toDF("doc_id", "source", "n_chars")
+    val curated = graft.operators.SourceCuration.curate(
+      union, "source", "doc_id", 4, none, "q161:").drop("rn")
+    graft.operators.ShardedExport.export(cat2, "export_docs_x",
+      "export_manifest_x", curated, Seq("doc_id"), 3L, "n_chars")
+    val compacted = cat2.table("export_docs_x")
+      .select("doc_id").as[Long].collect().toSet
+    // the compaction IS the global re-rank
+    val globalRerank = graft.operators.SourceCuration.curate(
+      union, "source", "doc_id", 4, none, "q161:")
+      .select("doc_id").as[Long].collect().toSet
+    assert(compacted === globalRerank)
+    // and the divergence is exactly the expected shape: the streamed
+    // export substitutes batch-1 rows for the global picks it couldn't
+    // see yet — same size, same source, possibly different members
+    assert(compacted.size === streamed.size)
+    val diff = streamed.diff(compacted)
+    assert(diff.subsetOf(Set(0L, 1L, 2L)),
+      s"rows the stream keeps but the re-rank drops must come from " +
+        s"batch 1: $diff")
+    assert(compacted.diff(streamed).subsetOf(Set(3L, 4L, 5L)))
+  }
+
+  test("curatedExportStream: a SELF-OWNED crashed first-batch transaction " +
+      "heals at the next batch instead of wedging the stream") {
+    // Round-13 advice (medium): committed-state reads used to run
+    // BEFORE catalog.transaction's begin-time recovery, so after a
+    // crash mid-FIRST-batch (head v1, snapshot exists but has no entry
+    // for the table) every restart saw exists()=true while
+    // catalog.table() threw 'no declared schema and no committed data'
+    // — a wedge the begin-time self-heal would have fixed. The reads
+    // now run inside the transaction, after that recovery.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_export_heal").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    cat.registerSnapshotScoped(
+      "export_docs_h", "export_manifest_h", "export_docs_h_sources")
+    // forge the crash shape on disk: a transaction that appended the
+    // table's v1 and died before publishing
+    val boom = intercept[RuntimeException](cat.transaction {
+      cat.appendDelta("export_docs_h",
+        Seq((99L, "z", 1L, 0L, 0L)).toDF("doc_id", "source", "n_chars", "ex_id", "shard"))
+      throw new RuntimeException("crash mid-first-batch")
+    })
+    assert(boom.getMessage === "crash mid-first-batch")
+    assert(cat.exists("export_docs_h"), "the crash left an unpublished head")
+    // the stream (same instance — self-owned marker) must heal and
+    // export the batch cleanly, with the aborted row rolled back
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = Streams.curatedExportStream(
+      mem.toDF().toDF("doc_id", "source", "n_chars"), cat,
+      "export_docs_h", "export_manifest_h", s"$dir/cp",
+      "source", "doc_id", cap = 10, Seq.empty[String].toDF("source"),
+      "q163:", orderCols = Seq("doc_id"), shardSize = 2L, byteCol = "n_chars")
+    try { mem.addData((0L, "a", 100L), (1L, "b", 101L)); q.processAllAvailable() }
+    finally q.stop()
+    val docs = cat.table("export_docs_h").select("doc_id").as[Long].collect().toSet
+    assert(docs === Set(0L, 1L), s"aborted row must not survive recovery: $docs")
+  }
+
+  test("curatedExportStream: continuing a PRE-LEDGER export bootstraps the " +
+      "sources table once and respects the committed budgets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_export_boot").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val none = Seq.empty[String].toDF("source")
+    // an export created by the ONE-SHOT batch operator: no _sources
+    // ledger exists (the pre-round-14 on-disk shape)
+    val seeded = graft.operators.SourceCuration.curate(
+      (0L to 2L).map(i => (i, "a", 100 + i)).toDF("doc_id", "source", "n_chars"),
+      "source", "doc_id", 3, none, "q162:").drop("rn")
+    graft.operators.ShardedExport.export(cat, "export_docs_b",
+      "export_manifest_b", seeded, Seq("doc_id"), 2L, "n_chars")
+    assert(!cat.exists("export_docs_b_sources"))
+    // the stream continues it with cap=3: source "a" is already at cap
+    // — its new docs must be rejected via the BOOTSTRAPPED counts
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = Streams.curatedExportStream(
+      mem.toDF().toDF("doc_id", "source", "n_chars"), cat,
+      "export_docs_b", "export_manifest_b", s"$dir/cp",
+      "source", "doc_id", cap = 3, none, "q162:",
+      orderCols = Seq("doc_id"), shardSize = 2L, byteCol = "n_chars")
+    try {
+      mem.addData((3L, "a", 103L), (4L, "b", 104L)); q.processAllAvailable()
+    } finally q.stop()
+    val docs = cat.table("export_docs_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(docs === Set(0L, 1L, 2L, 4L),
+      s"bootstrapped budget must reject source a's 4th doc: $docs")
+    // the ledger now exists: bootstrap counts + the new survivor
+    assert(cat.table("export_docs_b_sources").as[(String, Long)]
+      .collect().toMap === Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("dedupIngestStream: in-batch near-dups prune before the corpus check") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
