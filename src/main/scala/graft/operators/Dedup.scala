@@ -363,6 +363,15 @@ object Dedup {
     *
     * Returns (id, rep). Only nodes appearing in at least one pair are
     * labeled (singletons are not clusters).
+    *
+    * Measured band (q56, sf0.1 isolated min-of-3, round 14 — the
+    * BASELINE.md standalone re-measure after the r13 in-sweep drift
+    * 2.16→2.76 s with no code change here): 2.04–2.45 s across three
+    * standalone sessions, the committed isolated point (2.03 s)
+    * sitting at the band's floor — the in-sweep excess does not
+    * reproduce isolated, so it is host noise on an iterative
+    * multi-job query, not structure. Gate against the band, not a
+    * point.
     */
   def dupClusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
                   maxIter: Int = 50, checkpointEvery: Int = 10): DataFrame = {

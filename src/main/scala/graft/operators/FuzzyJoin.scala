@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * is linear in string length; for long strings, fuzzy-match a bounded
   * normalized key (a prefix or token) rather than the full text, as
   * every SymSpell deployment does.
+  *
+  * Measured band (q79, sf0.1 isolated min-of-3, round 14 — the
+  * BASELINE.md standalone re-measure after the r13 in-sweep drift
+  * 0.40→0.55 s with no code change here): 0.47–0.52 s across three
+  * standalone sessions — inside the documented ±30% host band of the
+  * r12 committed 0.40 s point for a sub-second query; not structure.
+  * Gate against the band, not a point.
   */
 object FuzzyJoin {
 
