@@ -124,7 +124,30 @@ object MultimodalQueries {
     // with a window lag.
     "q161_video_motion" -> ((s, d) =>
       Multimodal.decodeVideoMotion(
-        Multimodal.aviMedia(Tables(s, d, "documents"))).toDF())
+        Multimodal.aviMedia(Tables(s, d, "documents"))).toDF()),
+
+    // the multimodal curation capstone (round 14): ONE modality-
+    // dispatching pass decodes the whole media lake with its real
+    // codecs (PNG via ImageIO, PCM WAV via javax.sound.sampled,
+    // MJPEG-AVI via the RIFF walk + JPEG reader), cross-checks
+    // declared metadata, and applies each modality's integer-exact
+    // quality gate — blank/clipped-image drop (resolution floor +
+    // decoded mean-brightness band), silence drop (duration floor +
+    // mean sample energy), static-clip drop (frame count + L1
+    // frame-delta). The oracle replays every DECODED value and every
+    // verdict arithmetically in DuckDB; n_ok = n_media pins that no
+    // fixture row failed decode. Shuffle shape: decode is partition-
+    // local, ONE kind-keyed aggregate exchange (3 rows out).
+    "q162_media_pipeline" -> ((s, d) =>
+      Multimodal.mediaVerdicts(
+        Multimodal.realMedia(Tables(s, d, "documents"))).toDF()
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_media"),
+          sum(when(col("ok"), 1L).otherwise(0L)).cast("bigint").as("n_ok"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_keep"),
+          sum(when(col("keep"), col("media_id")).otherwise(0L))
+            .cast("bigint").as("keep_id_sum")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -287,6 +310,71 @@ object MultimodalQueries {
         |    GROUP BY 1, 2, 3
         |  )
         |)
-        |GROUP BY media_id, nf""".stripMargin
+        |GROUP BY media_id, nf""".stripMargin,
+
+    // every verdict replayed arithmetically: the image brightness band
+    // over the regenerated pixel grid, the audio energy floor over the
+    // regenerated squared samples, the video motion floor over the
+    // regenerated per-frame block sums
+    "q162_media_pipeline" ->
+      """SELECT kind,
+        | CAST(COUNT(*) AS BIGINT) AS n_media,
+        | CAST(COUNT(*) AS BIGINT) AS n_ok,
+        | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        | CAST(SUM(CASE WHEN keep THEN media_id ELSE 0 END) AS BIGINT) AS keep_id_sum
+        |FROM (
+        |  SELECT 'image' AS kind, media_id,
+        |    (n_px >= 2048 AND 120 * n_px <= px_sum AND px_sum <= 136 * n_px) AS keep
+        |  FROM (
+        |    SELECT d.doc_id AS media_id,
+        |      CAST((d.doc_id % 64 + 16) * (d.doc_id % 48 + 16) AS BIGINT) AS n_px,
+        |      SUM((d.doc_id % 256 + g.i) % 256) AS px_sum
+        |    FROM documents d,
+        |      LATERAL (SELECT unnest(range(
+        |        (d.doc_id % 64 + 16) * (d.doc_id % 48 + 16))) AS i) g
+        |    WHERE d.doc_id % 3 = 0
+        |    GROUP BY 1, 2
+        |  )
+        |  UNION ALL
+        |  SELECT 'audio' AS kind, media_id,
+        |    (nf >= 3 AND e_total >= 268435456 * n_samples) AS keep
+        |  FROM (
+        |    SELECT d.doc_id AS media_id,
+        |      (CASE WHEN d.doc_id % 97 = 0 THEN 1875 ELSE d.doc_id % 30 + 1 END) AS nf,
+        |      (CASE WHEN d.doc_id % 97 = 0 THEN 1875 ELSE d.doc_id % 30 + 1 END) * 160 AS n_samples,
+        |      SUM(((d.doc_id % 65536 + 37 * g.i) % 65536 - 32768)
+        |        * ((d.doc_id % 65536 + 37 * g.i) % 65536 - 32768)) AS e_total
+        |    FROM documents d,
+        |      LATERAL (SELECT unnest(range(
+        |        (CASE WHEN d.doc_id % 97 = 0 THEN 1875 ELSE d.doc_id % 30 + 1 END) * 160)) AS i) g
+        |    WHERE d.doc_id % 3 = 1
+        |    GROUP BY 1, 2, 3
+        |  )
+        |  UNION ALL
+        |  SELECT 'video' AS kind, media_id,
+        |    (nf >= 2 AND motion_l1 >= nf - 1) AS keep
+        |  FROM (
+        |    SELECT media_id, MAX(nf) AS nf,
+        |      COALESCE(SUM(ABS(s - prev_s)), 0) AS motion_l1
+        |    FROM (
+        |      SELECT media_id, nf, f, s,
+        |        LAG(s) OVER (PARTITION BY media_id ORDER BY f) AS prev_s
+        |      FROM (
+        |        SELECT v.media_id, v.nf, g.i // v.bpf AS f,
+        |          SUM(64 * ((v.seed + 31 * (g.i // v.bpf) + (g.i % v.bpf)) % 256)) AS s
+        |        FROM (
+        |          SELECT d.doc_id AS media_id, d.doc_id % 256 AS seed,
+        |            d.doc_id % 30 + 1 AS nf,
+        |            ((d.doc_id % 64 + 16) // 8) * ((d.doc_id % 48 + 16) // 8) AS bpf
+        |          FROM documents d WHERE d.doc_id % 3 = 2
+        |        ) v,
+        |        LATERAL (SELECT unnest(range(v.nf * v.bpf)) AS i) g
+        |        GROUP BY 1, 2, 3
+        |      )
+        |    )
+        |    GROUP BY media_id
+        |  )
+        |)
+        |GROUP BY kind""".stripMargin
   )
 }

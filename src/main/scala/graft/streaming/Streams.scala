@@ -462,6 +462,63 @@ object Streams {
       .start()
   }
 
+  /** Streaming media ingestion — the production face of
+    * [[graft.operators.Multimodal.mediaVerdicts]]: each micro-batch of
+    * media rows is decoded with its real codec and split into the
+    * verdict table (decode succeeded and agreed with declared
+    * metadata; carries the modality quality gate's `keep`) and the
+    * QUARANTINE table (payload didn't decode, or metadata lied —
+    * with the reason), both committed in ONE snapshot-scoped
+    * transaction so an auditor never sees a batch half-ingested. A
+    * rotten row must quarantine, never kill the stream — the batch
+    * analytics operators (`decodeImageStats` etc.) keep the abort
+    * contract; ingestion keeps the evidence.
+    *
+    * Same bounded per-batch shape as [[curatedExportStream]]:
+    * within-batch duplicate ids drop first, the replay guard
+    * anti-joins against BOTH committed tables footer-pruned to the
+    * batch's own id range (zero commits planned for monotone
+    * streams), and the decode runs ONCE per row — the verdict frame
+    * is pinned before the ok/quarantine split so the two appends read
+    * one materialization, not two decode passes. Committed-state
+    * reads run inside the transaction (begin-time self-owned-marker
+    * recovery first). A quarantined id stays quarantined: redelivery
+    * of a corrected row under the SAME id is dropped by the guard —
+    * re-ingest under a new id, or purge the quarantine row (catalog
+    * row-level DELETE) first. */
+  def mediaIngestStream(media: DataFrame, catalog: Catalog,
+                        verdictTable: String, quarantineTable: String,
+                        checkpointDir: String): StreamingQuery = {
+    catalog.registerSnapshotScoped(verdictTable, quarantineTable)
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        val batch = rawBatch.dropDuplicates("media_id")
+        val range = batch.agg(min(col("media_id")), max(col("media_id"))).head()
+        if (!range.isNullAt(0)) catalog.transaction {
+          val lo = range.getLong(0)
+          val hi = range.getLong(1)
+          def freshAgainst(t: String, df: DataFrame): DataFrame =
+            if (!catalog.exists(t)) df
+            else df.join(
+              catalog.tableWhere(t, "media_id", lo, hi).select(col("media_id")),
+              Seq("media_id"), "left_anti")
+          val fresh = freshAgainst(quarantineTable, freshAgainst(verdictTable, batch))
+          val verdicts = graft.operators.Materialize.pin(
+            graft.operators.Multimodal.mediaVerdicts(
+              graft.operators.Multimodal.asMediaRows(fresh)).toDF())
+          val ok = verdicts.filter(col("ok")).select("media_id", "kind", "keep")
+          if (!ok.isEmpty) catalog.appendDelta(verdictTable, ok)
+          val bad = verdicts.filter(!col("ok"))
+            .select("media_id", "kind", "reason")
+          if (!bad.isEmpty) catalog.appendDelta(quarantineTable, bad)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** The reference's upload loop as a file-watch stream: each CSV file
     * dropped in `watchDir` becomes a micro-batch that runs the same
     * validate → hash → staging → warehouse-merge pipeline. Idempotent

@@ -66,7 +66,10 @@ class InvarianceSpec extends SparkSpec {
     // q160/q161 are the MJPEG-AVI twins: per-partition REUSED JPEG
     // reader/writer instances must not leak state across rows or fork
     // under split/partition levers
-    "q160_video_decode", "q161_video_motion")
+    "q160_video_decode", "q161_video_motion",
+    // q162 dispatches all three codecs in one mapPartitions pass — the
+    // whole-lake decode must not fork under any regime either
+    "q162_media_pipeline")
 
   /** Sorted row-multiset fingerprint: row order and partitioning must
     * not matter, so compare on sorted `toString` lines. The cache is

@@ -274,6 +274,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mediaVerdicts over realMedia: every modality decodes ok; keep " +
+      "rules replay from the generators; bad rows come back ok=false " +
+      "with a reason instead of killing the pass") {
+    import spark.implicits._
+    import graft.operators.Multimodal.{MjpegAviCodec, WavCodec}
+    val rm = Multimodal.realMedia(Tables(spark, sf0001, "documents").limit(90))
+    val verdicts = Multimodal.mediaVerdicts(rm).collect()
+    assert(verdicts.length === 90 && verdicts.forall(_.ok),
+      verdicts.filterNot(_.ok).take(3).mkString("; "))
+    assert(Set("image", "audio", "video").subsetOf(verdicts.map(_.kind).toSet))
+    // replay each keep rule from the generator arithmetic
+    verdicts.foreach { v =>
+      val expected = v.kind match {
+        case "image" =>
+          val w = (v.media_id % 64 + 16).toInt; val h = (v.media_id % 48 + 16).toInt
+          val n = w.toLong * h
+          val sum = (0L until n).map(i => (v.media_id % 256 + i) % 256).sum
+          n >= 2048L && 120L * n <= sum && sum <= 136L * n
+        case "audio" =>
+          val nf = if (v.media_id % 97 == 0) 1875 else (v.media_id % 30 + 1).toInt
+          val n = nf * 160
+          val total = (0L until n).map { i =>
+            val s = (v.media_id % 65536 + 37 * i) % 65536 - 32768; s * s
+          }.sum
+          nf >= 3 && total >= 268435456L * n
+        case _ =>
+          val nf = (v.media_id % 30 + 1).toInt
+          val cpr = (v.media_id % 64 + 16).toInt / 8
+          val bpf = cpr * ((v.media_id % 48 + 16).toInt / 8)
+          val sums = (0 until nf).map(f => (0 until bpf)
+            .map(b => 64L * MjpegAviCodec.blockValue(v.media_id % 256, f, b)).sum)
+          val l1 = sums.sliding(2).collect { case Seq(a, b) => math.abs(b - a) }.sum
+          nf >= 2 && l1 >= (nf - 1).toLong
+      }
+      assert(v.keep === expected, s"media ${v.media_id} (${v.kind})")
+    }
+    // rotten rows quarantine, never throw: garbage payload, lying image
+    // dims, lying audio length, unknown modality
+    val bad = Seq(
+      Multimodal.MediaRow(1L, "image", "not a png".getBytes, 16, 16, 16000, 1),
+      Multimodal.MediaRow(2L, "image",
+        graft.operators.Multimodal.ImageCodec.syntheticPng(2, 4, 3), 5, 3, 16000, 1),
+      Multimodal.MediaRow(3L, "audio",
+        WavCodec.syntheticWav(3, 160, 16000), 16, 16, 16000, 2),
+      Multimodal.MediaRow(4L, "pdf", "%PDF".getBytes, 0, 0, 0, 0)).toDS()
+    val bv = Multimodal.mediaVerdicts(bad).collect().sortBy(_.media_id)
+    assert(bv.forall(v => !v.ok && !v.keep && v.reason.nonEmpty))
+    assert(bv(1).reason.contains("decoded dims"))
+    assert(bv(2).reason.contains("decoded"))
+    assert(bv(3).reason.contains("unknown modality"))
+  }
+
   test("decodeAudioStats over wavMedia: audio rows only, stats match the " +
       "generator sequence, payloads carry the RIFF magic") {
     import graft.operators.Multimodal.WavCodec

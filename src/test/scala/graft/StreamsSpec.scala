@@ -693,6 +693,69 @@ class StreamsSpec extends SparkSpec {
       .collect().toMap === Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("mediaIngestStream: good rows land with their gate verdicts, rotten " +
+      "rows quarantine with reasons in the SAME atomic commit, replays and " +
+      "within-batch duplicates are no-ops, and the guard is footer-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{ImageCodec, WavCodec, MjpegAviCodec}
+    val dir = Files.createTempDirectory("stream_media").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    def img(id: Long, w: Int, h: Int) = Multimodal.MediaRow(
+      id, "image", ImageCodec.syntheticPng(id % 256, w, h), w, h, 16000, 1)
+    def wav(id: Long, frames: Int) = Multimodal.MediaRow(
+      id, "audio", WavCodec.syntheticWav(id % 65536, frames * 160, 16000),
+      16, 16, 16000, frames)
+    def avi(id: Long, frames: Int) = Multimodal.MediaRow(
+      id, "video", MjpegAviCodec.syntheticMjpegAvi(id % 256, frames, 16, 16),
+      16, 16, 16000, frames)
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val q = Streams.mediaIngestStream(mem.toDF(), cat,
+      "media_verdicts", "media_quarantine", s"$dir/cp")
+    try {
+      // batch 1: a keeper image (64x48=3072 px, mid brightness), a
+      // too-small image (16x16), a 5-frame audio keeper, a LYING image
+      // (declared dims != encoded), garbage bytes, and a within-batch
+      // duplicate of id 0
+      val lying = img(3L, 4, 4).copy(width = 9)
+      val garbage = Multimodal.MediaRow(4L, "video",
+        "not an avi".getBytes, 16, 16, 16000, 2)
+      mem.addData(img(0L, 64, 48), img(1L, 16, 16), wav(2L, 5), lying,
+        garbage, img(0L, 64, 48))
+      q.processAllAvailable()
+      val v1 = cat.table("media_verdicts")
+        .as[(Long, String, Boolean)].collect().sortBy(_._1).toSeq
+      assert(v1.map(_._1) === Seq(0L, 1L, 2L), s"verdicts: $v1")
+      assert(v1(0)._3 && !v1(1)._3, "image gate: 3072px keeps, 256px drops")
+      assert(v1(2)._3, "5-frame non-silent audio keeps")
+      val quar = cat.table("media_quarantine")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      assert(quar.map(_._1) === Seq(3L, 4L))
+      assert(quar(0)._3.contains("decoded dims") &&
+        quar(1)._3.contains("RIFF"), s"reasons: $quar")
+      // replay the whole batch: both tables unchanged (ids are in the
+      // guard whether they landed as verdicts OR quarantine)
+      mem.addData(img(0L, 64, 48), img(1L, 16, 16), wav(2L, 5), lying,
+        garbage)
+      q.processAllAvailable()
+      assert(cat.table("media_verdicts").count() === 3L)
+      assert(cat.table("media_quarantine").count() === 2L)
+      // batch 2 (monotone ids): a 3-frame video keeper and a 1-frame
+      // static drop; the redelivered id 2 is a no-op
+      mem.addData(avi(10L, 3), avi(11L, 1), wav(2L, 5))
+      q.processAllAvailable()
+      val v2 = cat.table("media_verdicts")
+        .as[(Long, String, Boolean)].collect().sortBy(_._1).toSeq
+      assert(v2.map(_._1) === Seq(0L, 1L, 2L, 10L, 11L))
+      assert(v2(3)._3 && !v2(4)._3, "video gate: motion keeps, static drops")
+    } finally q.stop()
+    // the footer bound: a FRESH monotone batch's id range plans zero
+    // committed commits on either table
+    assert(cat.commitsInRange("media_verdicts", "media_id", 12L, 20L).isEmpty)
+    assert(cat.commitsInRange("media_quarantine", "media_id", 12L, 20L).isEmpty)
+  }
+
   test("dedupIngestStream: in-batch near-dups prune before the corpus check") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
