@@ -290,8 +290,69 @@ object DedupQueries {
     // winnowed fingerprints — what a curation pipeline thresholds on.
     "q143_crossdoc_spans" -> ((s, d) =>
       Dedup.crossDocSpanStats(docs(s, d), "doc_id", "text",
-        k = SpanK, flagAtE6 = SpanFlagE6))
+        k = SpanK, flagAtE6 = SpanFlagE6)),
+
+    // Cross-snapshot corpus overlap from KMV sketch SET ALGEBRA — the
+    // "how much of snapshot B is already in A" planning question a
+    // pipeline answers BEFORE paying for a full dedup join. Snapshot A
+    // is the corpus; snapshot B is a re-crawl where even doc_ids kept
+    // their text (the planted overlap) and odd ones changed. ONE
+    // lang-keyed grouped pass builds both sides' KMV sketches (bounded
+    // O(k) buffers, map-side combined — at most 2k longs per lang per
+    // map task cross the wire); everything after is per-row array
+    // algebra on the k-long sketches: union sketch = k smallest of the
+    // two arrays' union, distinct estimates from the k-th minimum
+    // ((k-1)/θ, Beyer et al. SIGMOD'07), intersection/Jaccard from
+    // union-sketch members present in BOTH sides. At 100 TB the
+    // snapshots never join — two sketch arrays per group meet instead.
+    // Unlike q92's HLL (register max ⇒ union only, engine-specific
+    // encoding ⇒ banded verdict), the KMV sketch is a pure function of
+    // the hash SET, so DuckDB replays the whole thing EXACTLY — k
+    // minima, θ, the one IEEE double division in the estimator
+    // (floor-quantized), and the integer-division intersection /
+    // Jaccard estimates all hash-match. The exact per-side distinct
+    // counts ride along only to power the accuracy pin (KmvSpec),
+    // q92's convention.
+    "q163_kmv_overlap" -> ((s, d) => {
+      import graft.expressions.KmvMinima.kmvMinima
+      val base = Tables(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"), col("text"))
+      val a = base.select(col("lang"), lit(true).as("in_a"), col("text"))
+      val b = base.select(col("lang"), lit(false).as("in_a"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(KmvSuffix))).as("text"))
+      val h = a.unionAll(b).select(col("lang"), col("in_a"),
+        conv(substring(md5(concat(lit("q163:"), col("text"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      val sk = h.groupBy(col("lang")).agg(
+        kmvMinima(when(col("in_a"), col("h")), KmvK).as("ska"),
+        kmvMinima(when(not(col("in_a")), col("h")), KmvK).as("skb"),
+        countDistinct(when(col("in_a"), col("h"))).as("exact_a"),
+        countDistinct(when(not(col("in_a")), col("h"))).as("exact_b"))
+      // (k-1)/θ distinct estimate, floor-quantized — the shared helper
+      // the streaming face reads with too; the oracle replays its one
+      // exactly-representable product + one IEEE division verbatim
+      def est(arr: org.apache.spark.sql.Column) =
+        graft.expressions.KmvMinima.kmvEstimate(arr, KmvK)
+      sk.withColumn("sku",
+          slice(array_sort(array_union(col("ska"), col("skb"))), 1, KmvK))
+        .select(col("lang"), col("exact_a"), col("exact_b"),
+          est(col("ska")).as("est_a"), est(col("skb")).as("est_b"),
+          est(col("sku")).as("est_union"),
+          size(array_intersect(array_intersect(col("sku"), col("ska")),
+            col("skb"))).cast("long").as("n_common"),
+          size(col("sku")).cast("long").as("sz_u"))
+        .select(col("lang"), col("exact_a"), col("exact_b"),
+          col("est_a"), col("est_b"), col("est_union"), col("n_common"),
+          expr("(n_common * est_union) div sz_u").as("est_intersect"),
+          expr("(n_common * 1048576) div sz_u").as("jaccard_q20"))
+    })
   )
+
+  // KMV overlap parameters (shared by Spark + oracle SQL)
+  private val KmvK = 64
+  private val KmvSuffix = " v2"
 
   // cross-doc span parameters (shared by Spark + oracle SQL)
   private val SpanK = 8
@@ -695,6 +756,67 @@ object DedupQueries {
          |       (t.total_pos > 0 AND CASE WHEN t.total_pos > 0
          |            THEN COALESCE(dup.dp, 0) * 1000000 // t.total_pos
          |            ELSE 0 END >= $SpanFlagE6) AS flagged
-         |FROM tot t LEFT JOIN dup USING (doc_id)""".stripMargin
+         |FROM tot t LEFT JOIN dup USING (doc_id)""".stripMargin,
+
+    // full KMV replay: per-side k minima via a hash-ordered window,
+    // union sketch = k smallest of the union set, then the identical
+    // estimator arithmetic (one double product · one division · floor;
+    // integer // for intersection/Jaccard).
+    "q163_kmv_overlap" ->
+      s"""WITH snap AS (
+         |  SELECT lang, TRUE AS in_a, text FROM documents
+         |    WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT lang, FALSE,
+         |    CASE WHEN doc_id % 2 = 0 THEN text ELSE text || '$KmvSuffix' END
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT DISTINCT lang, in_a,
+         |        CAST(('0x' || substring(md5('q163:' || text), 1, 15)) AS BIGINT) AS h
+         |      FROM snap),
+         |ka AS (SELECT lang, h FROM (
+         |         SELECT lang, h,
+         |           row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |         FROM h WHERE in_a) WHERE rn <= $KmvK),
+         |kb AS (SELECT lang, h FROM (
+         |         SELECT lang, h,
+         |           row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |         FROM h WHERE NOT in_a) WHERE rn <= $KmvK),
+         |ku AS (SELECT lang, h FROM (
+         |         SELECT lang, h,
+         |           row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |         FROM (SELECT lang, h FROM ka UNION SELECT lang, h FROM kb))
+         |       WHERE rn <= $KmvK),
+         |sa AS (SELECT lang, COUNT(*) AS sz, MAX(h) AS theta FROM ka GROUP BY 1),
+         |sb AS (SELECT lang, COUNT(*) AS sz, MAX(h) AS theta FROM kb GROUP BY 1),
+         |su AS (SELECT lang, COUNT(*) AS sz, MAX(h) AS theta FROM ku GROUP BY 1),
+         |cm AS (SELECT ku.lang, CAST(COUNT(*) AS BIGINT) AS n_common
+         |       FROM ku JOIN ka ON ku.lang = ka.lang AND ku.h = ka.h
+         |               JOIN kb ON ku.lang = kb.lang AND ku.h = kb.h
+         |       GROUP BY 1),
+         |ex AS (SELECT lang,
+         |         CAST(COUNT(DISTINCT CASE WHEN in_a THEN h END) AS BIGINT) AS exact_a,
+         |         CAST(COUNT(DISTINCT CASE WHEN NOT in_a THEN h END) AS BIGINT) AS exact_b
+         |       FROM h GROUP BY 1),
+         |fin AS (SELECT ex.lang, ex.exact_a, ex.exact_b,
+         |    CAST(CASE WHEN sa.sz < $KmvK THEN sa.sz
+         |         ELSE CAST(FLOOR(${KmvK - 1}.0 * 1152921504606846976.0 /
+         |                         CAST(sa.theta AS DOUBLE)) AS BIGINT)
+         |         END AS BIGINT) AS est_a,
+         |    CAST(CASE WHEN sb.sz < $KmvK THEN sb.sz
+         |         ELSE CAST(FLOOR(${KmvK - 1}.0 * 1152921504606846976.0 /
+         |                         CAST(sb.theta AS DOUBLE)) AS BIGINT)
+         |         END AS BIGINT) AS est_b,
+         |    CAST(CASE WHEN su.sz < $KmvK THEN su.sz
+         |         ELSE CAST(FLOOR(${KmvK - 1}.0 * 1152921504606846976.0 /
+         |                         CAST(su.theta AS DOUBLE)) AS BIGINT)
+         |         END AS BIGINT) AS est_union,
+         |    CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+         |    CAST(su.sz AS BIGINT) AS sz_u
+         |  FROM ex JOIN sa USING (lang) JOIN sb USING (lang)
+         |          JOIN su USING (lang) LEFT JOIN cm USING (lang))
+         |SELECT lang, exact_a, exact_b, est_a, est_b, est_union, n_common,
+         |  CAST((n_common * est_union) // sz_u AS BIGINT) AS est_intersect,
+         |  CAST((n_common * 1048576) // sz_u AS BIGINT) AS jaccard_q20
+         |FROM fin""".stripMargin
   )
 }

@@ -592,8 +592,61 @@ object TextQueries {
               .wordShinglesAll(col("text"), PhraseWords.length),
             g => g === lit(PhraseWords.mkString(" "))))
             .cast("bigint").as("n_matches"))
-        .filter(col("n_matches") > 0))
+        .filter(col("n_matches") > 0)),
+
+    // raw web page → training text: the markup-extraction stage every
+    // web-scale corpus starts with (the q155 synthesize-then-decode
+    // pattern applied to text). Each doc is wrapped in a deterministic
+    // HTML page — title/style head, a nav bar of 1 + doc_id % 7
+    // repeated links, the body text, an 8-link ad block on doc_id % 5
+    // pages, a footer — then extracted back: body regexp, tag-strip,
+    // whitespace collapse. Quality gate = the two classic boilerplate
+    // signals: anchor count and text-to-markup ratio (ad-stuffed pages
+    // fail the first; link-heavy short pages the second). Emitted
+    // md5(extracted) pins the extracted STRING byte-for-byte across
+    // engines, not just its stats. Plan shape: pure per-row codegen'd
+    // string ops (regexp_replace/length/md5) — zero shuffles, scan-
+    // side map the whole way, embarrassingly parallel at a 100 TB
+    // crawl; the ratio/keep arithmetic is all-integer (q20 fixed-
+    // point, `div`), so both engines agree bit-for-bit.
+    "q164_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>doc "), col("doc_id").cast("string"),
+        lit("</title><style>.x{color:red}</style></head><body><nav>"),
+        expr(s"repeat('$HtmlNavLink', CAST(doc_id % 7 + 1 AS INT))"),
+        lit("</nav><p>"), col("text"), lit("</p>"),
+        when(col("doc_id") % 5 === 0, lit(HtmlAdBlock)).otherwise(lit("")),
+        lit("<footer>(c) corpus</footer></body></html>"))
+      docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), col("html"),
+          regexp_extract(col("html"), "<body>(.*)</body>", 1).as("body"))
+        .select(col("doc_id"),
+          length(col("html")).cast("long").as("html_chars"),
+          expr("(length(body) - length(replace(body, '<a href', ''))) div 7")
+            .cast("long").as("n_links"),
+          trim(regexp_replace(
+            regexp_replace(col("body"), "<[^>]*>", " "), " +", " ")).as("txt"))
+        .select(col("doc_id"), col("html_chars"), col("n_links"),
+          length(col("txt")).cast("long").as("extracted_chars"),
+          md5(col("txt")).as("extracted_md5"))
+        .withColumn("markup_ratio_q20",
+          expr("(extracted_chars * 1048576) div html_chars"))
+        .withColumn("keep",
+          col("n_links") <= HtmlMaxLinks &&
+            col("markup_ratio_q20") >= HtmlRatioMinQ20)
+    })
   )
+
+  /** q164 page-synthesis + gate parameters (shared with the oracle).
+    * The nav link is repeated 1 + doc_id % 7 times (≤ 7 links — at the
+    * MaxLinks line); the ad block adds 8 more, pushing every fifth
+    * page over it. */
+  private val HtmlNavLink = "<a href=\"#\">nav link</a> "
+  private val HtmlAdBlock = "<div class=\"ads\">" +
+    Seq.fill(8)("""<a href="#">ad</a>""").mkString + "</div>"
+  private val HtmlMaxLinks = 7
+  private val HtmlRatioMinQ20 = 350000 // extracted/html ≥ ~0.334 in q20 fixed-point
 
   /** q141's probe phrase (shared by Spark + oracle SQL) — occurs at
     * EVERY testdata scale factor (the sf0.001 smoke requires rows > 0;
@@ -1120,6 +1173,37 @@ object TextQueries {
          |            AS BIGINT) AS n_matches
          |FROM g
          |WHERE len(list_filter(gs, x -> x = '${PhraseWords.mkString(" ")}')) > 0""".stripMargin
-    }
+    },
+
+    // identical page synthesis, identical extraction chain (regexp
+    // dialect-safe: '<[^>]*>' and ' +' parse the same under Java regex
+    // and RE2), identical integer gate arithmetic
+    "q164_html_extract" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+         |    '</title><style>.x{color:red}</style></head><body><nav>' ||
+         |    repeat('$HtmlNavLink', CAST(doc_id % 7 + 1 AS INT)) ||
+         |    '</nav><p>' || text || '</p>' ||
+         |    CASE WHEN doc_id % 5 = 0 THEN '$HtmlAdBlock' ELSE '' END ||
+         |    '<footer>(c) corpus</footer></body></html>' AS html
+         |  FROM documents WHERE text IS NOT NULL),
+         |e AS (SELECT doc_id, html,
+         |        regexp_extract(html, '<body>(.*)</body>', 1) AS body
+         |      FROM b),
+         |t AS (SELECT doc_id,
+         |        CAST(length(html) AS BIGINT) AS html_chars,
+         |        CAST((length(body) - length(replace(body, '<a href', ''))) // 7
+         |             AS BIGINT) AS n_links,
+         |        trim(regexp_replace(regexp_replace(body, '<[^>]*>', ' ', 'g'),
+         |                            ' +', ' ', 'g')) AS txt
+         |      FROM e)
+         |SELECT doc_id, html_chars, n_links,
+         |  CAST(length(txt) AS BIGINT) AS extracted_chars,
+         |  md5(txt) AS extracted_md5,
+         |  CAST((length(txt) * 1048576) // html_chars AS BIGINT) AS markup_ratio_q20,
+         |  (n_links <= $HtmlMaxLinks AND
+         |   (length(txt) * 1048576) // html_chars >= $HtmlRatioMinQ20) AS keep
+         |FROM t""".stripMargin
   )
 }

@@ -177,6 +177,29 @@ object Streams {
                  depth: Int = 4, width: Int = 1024): DataFrame =
     values.agg(graft.expressions.CmsSketch.cms(col(column), depth, width).as("sk"))
 
+  /** Continuously-maintained KMV distinct sketches: running per-group
+    * k-minimum-value arrays over a streamed long-hash column — the
+    * streaming face of q163's cross-snapshot overlap machinery. KMV is
+    * NOT a linear sketch (min-k isn't addition) but its merge is
+    * associative, commutative, and duplicate-insensitive over value
+    * SETS, which is all a streaming aggregation's state fold needs:
+    * the state store holds one serialized O(k) buffer per group, each
+    * micro-batch's partials merge through
+    * [[graft.expressions.KmvMinima]]'s own merge, and the running
+    * sketch after any number of micro-batches is byte-identical to the
+    * one-shot batch sketch of the union — including under replays,
+    * because re-offering an already-seen hash is a no-op on a set
+    * (StreamsSpec pins both). Complete-mode output, FIXED O(groups·k)
+    * state regardless of stream length or cardinality — the streaming
+    * distinct monitor that never grows, and the arrays it emits feed
+    * the same downstream set algebra as batch
+    * ([[graft.expressions.KmvMinima.kmvEstimate]], union/intersection
+    * between groups or against a committed snapshot's sketch). */
+  def runningKmvMinima(values: DataFrame, groupCol: String,
+                       hashCol: String, k: Int): DataFrame =
+    values.groupBy(col(groupCol))
+      .agg(graft.expressions.KmvMinima.kmvMinima(col(hashCol), k).as("mins"))
+
   /** Continuously-maintained drift histograms: running per-(population,
     * bin) counts of a streamed integral metric — a histogram is a
     * LINEAR sketch (bin counts merge by addition), so the state store

@@ -69,7 +69,10 @@ class InvarianceSpec extends SparkSpec {
     "q160_video_decode", "q161_video_motion",
     // q162 dispatches all three codecs in one mapPartitions pass — the
     // whole-lake decode must not fork under any regime either
-    "q162_media_pipeline")
+    "q162_media_pipeline",
+    // q163's KMV sketches are TypedImperativeAggregates whose merge
+    // order the regime levers scramble — min-k of a SET must not care
+    "q163_kmv_overlap")
 
   /** Sorted row-multiset fingerprint: row order and partitioning must
     * not matter, so compare on sorted `toString` lines. The cache is

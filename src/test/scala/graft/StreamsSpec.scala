@@ -170,6 +170,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningKmvMinima: streamed sketch equals the batch sketch of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.runningKmvMinima(mem.toDF().toDF("g", "h"), "g", "h", k = 4)
+      .writeStream.format("memory").queryName("kmv_run")
+      .outputMode(OutputMode.Complete()).start()
+    // k=4 with 6 distinct values per group: eviction exercised; value
+    // 50 re-delivered across batches: set semantics across the state
+    // store exercised (a replayed hash must be a no-op)
+    val rows = Seq(
+      ("a", 90L), ("a", 50L), ("b", 10L), ("a", 70L),
+      ("a", 50L), ("a", 30L), ("a", 110L), ("b", 20L),
+      ("a", 10L), ("a", 130L), ("b", 10L))
+    try {
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows.slice(4, 8): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(8): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_run")
+        .as[(String, Seq[Long])].collect().toMap
+      // min-k-of-a-set across the state store: the running sketch ==
+      // one batch pass over all rows (k smallest DISTINCT per group)
+      assert(streamed === Map("a" -> Seq(10L, 30L, 50L, 70L),
+        "b" -> Seq(10L, 20L)))
+      val batch = rows.toDF("g", "h").groupBy(col("g"))
+        .agg(graft.expressions.KmvMinima.kmvMinima(col("h"), 4).as("mins"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed === batch)
+      // the estimate readout downstream of the sink: group b is still
+      // below k, so its "estimate" is the exact distinct count
+      val est = spark.table("kmv_run")
+        .select(col("g"), graft.expressions.KmvMinima
+          .kmvEstimate(col("mins"), 4, hashSpace = 1000.0).as("est"))
+        .as[(String, Long)].collect().toMap
+      assert(est("b") === 2L)
+      assert(est("a") === (3 * 1000.0 / 70).toLong) // (k-1)/θ = 42
+    } finally q.stop()
+  }
+
   test("runningPairCounts: streamed co-occurrence equals batch pair counts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
