@@ -1153,6 +1153,62 @@ final class Catalog(val spark: SparkSession, val root: String,
     register(table)
   }
 
+  /** [[maintainAgg]]'s sibling for the KMV distinct-sketch family —
+    * the sketch is NOT decomposable into IncrementalAgg's sum/min/max
+    * algebra (min-k of a SET), but its merge IS pure array algebra, so
+    * the same fold shape applies: per refresh, the batch's bounded
+    * partial sketches (`kmv_minima`, O(k) buffers, map-side combined)
+    * merge into the stored per-group arrays as the k smallest of the
+    * array union. The fact is NEVER rescanned, the maintained table
+    * stays O(groups · k), and each refresh costs the batch plus the
+    * sketch grid. The arrays feed the q163 set algebra downstream
+    * ([[graft.expressions.KmvMinima.kmvEstimate]], union/intersection/
+    * Jaccard between groups, between refreshes via time travel, or
+    * against another table's maintained sketch) — a distinct-count and
+    * overlap monitor maintained at manifest cost, never a
+    * COUNT(DISTINCT) rescan. Merge is associative/commutative/
+    * duplicate-insensitive, so refresh order and batch boundaries
+    * cannot change the result (KmvSpec pins equality with the one-shot
+    * sketch of the union).
+    *
+    * Same replay guard as [[maintainAgg]]: the applied batch id
+    * publishes inside the same atomic commit, so at-least-once callers
+    * (foreachBatch) fold each batch exactly once. Requires
+    * [[graft.GraftExtensions]] on the session (`kmv_minima` resolves
+    * through the function registry). Schema: keys ++ mins array<long>.
+    */
+  def maintainKmv(table: String, batch: DataFrame, keys: Seq[String],
+                  hashCol: String, k: Int,
+                  batchId: Option[Long] = None): Unit = {
+    batchId.foreach { id =>
+      if (appliedBatchId(table).exists(_ >= id)) return
+    }
+    val p = batch.groupBy(keys.map(col): _*)
+      .agg(graft.expressions.KmvMinima.kmvMinima(col(hashCol), k).as("mins"))
+    val merged =
+      if (!exists(table)) p
+      else {
+        val noMins = array().cast("array<bigint>")
+        this.table(table).withColumnRenamed("mins", "__stored")
+          .join(p.withColumnRenamed("mins", "__fresh"), keys, "full_outer")
+          .select(keys.map(col) :+
+            slice(array_sort(array_union(
+              coalesce(col("__stored"), noMins),
+              coalesce(col("__fresh"), noMins))), 1, k).as("mins"): _*)
+      }
+    val base = writeBase(table)
+    val dir = newCommitDir(table)
+    merged.write.mode(SaveMode.Overwrite).parquet(dir)
+    batchId.foreach { id =>
+      val marker = new org.apache.hadoop.fs.Path(dir, AppliedBatchIdMarker)
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(marker, true)
+      try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    }
+    commit(table, Seq(dir), base)
+    register(table)
+  }
+
   private val AppliedBatchIdMarker = "_applied_batch_id"
 
   /** The last micro-batch id folded into `table` by [[maintainAgg]],

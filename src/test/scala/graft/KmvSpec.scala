@@ -76,6 +76,56 @@ class KmvSpec extends SparkSpec {
     }
   }
 
+  test("property: kmv_minima == sorted(distinct).take(k) on seeded random multisets") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val k = 1 + rnd.nextInt(40)
+      // negatives included: the aggregate orders by SIGNED long (the
+      // house 60-bit md5 hashes are positive, but the contract is total)
+      val vals = Seq.fill(300)(rnd.nextLong() % 1000)
+      val got = vals.toDF("h")
+        .repartition(1 + rnd.nextInt(7))
+        .agg(kmvMinima(col("h"), k)).head.getSeq[Long](0)
+      assert(got == vals.distinct.sorted.take(k), s"seed=$seed k=$k")
+    }
+  }
+
+  test("maintainKmv: refresh fold equals the one-shot sketch; replayed batch id is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_cat").toString
+    val cat = new graft.ledger.Catalog(spark, s"$dir/wh")
+    val all = Tables(spark, sf001, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("lang").as("g"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    // three disjoint refreshes, folded with monotone batch ids
+    val parts = Seq(col("h") % 3 === 0, col("h") % 3 === 1, col("h") % 3 === 2)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      cat.maintainKmv("sk", all.filter(p), Seq("g"), "h", k = K,
+        batchId = Some(i.toLong))
+    }
+    val folded = cat.table("sk").as[(String, Seq[Long])].collect().toMap
+    val oneShot = all.groupBy(col("g"))
+      .agg(kmvMinima(col("h"), K).as("mins"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(folded === oneShot)
+    // at-least-once replay: re-delivering batch 2 must not change the
+    // table OR write a new version
+    val versionsBefore = cat.versions("sk").size
+    cat.maintainKmv("sk", all.filter(parts(2)), Seq("g"), "h", k = K,
+      batchId = Some(2L))
+    assert(cat.versions("sk").size === versionsBefore)
+    assert(cat.table("sk").as[(String, Seq[Long])].collect().toMap === oneShot)
+    // the maintained arrays feed the same estimate readout as q163
+    val est = cat.table("sk")
+      .select(col("g"), KmvMinima.kmvEstimate(col("mins"), K).as("est"))
+      .as[(String, Long)].collect().toMap
+    val exact = all.distinct().groupBy(col("g")).count()
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n).toDouble / n < 0.5, s"$g est=${est(g)} exact=$n")
+    }
+  }
+
   test("set-algebra estimates are accurate at k=64 on planted overlap") {
     // the q163 shape: B keeps even-id texts, rewrites odd ones
     val base = Tables(spark, sf001, "documents")
