@@ -1176,6 +1176,10 @@ final class Catalog(val spark: SparkSession, val root: String,
     * (foreachBatch) fold each batch exactly once. Requires
     * [[graft.GraftExtensions]] on the session (`kmv_minima` resolves
     * through the function registry). Schema: keys ++ mins array<long>.
+    * `k` must stay CONSTANT across a table's refreshes: a sketch is
+    * only a valid KMV sample down to the smallest k it was ever
+    * truncated to, so growing k mid-life silently degrades the
+    * estimator — start a fresh table to re-sketch at a larger k.
     */
   def maintainKmv(table: String, batch: DataFrame, keys: Seq[String],
                   hashCol: String, k: Int,

@@ -177,6 +177,28 @@ object Streams {
                  depth: Int = 4, width: Int = 1024): DataFrame =
     values.agg(graft.expressions.CmsSketch.cms(col(column), depth, width).as("sk"))
 
+  /** [[maintainedAggStream]]'s sibling for the KMV sketch table: each
+    * micro-batch folds into the catalog-maintained per-group arrays via
+    * [[graft.ledger.Catalog.maintainKmv]] — same at-least-once replay
+    * guard (the applied batch id publishes inside the rollup's atomic
+    * commit, so a re-delivered batch is skipped, and set semantics make
+    * even a hypothetical double-fold harmless), same fresh-checkpoint
+    * ⇒ fresh-table contract. Use this over [[runningKmvMinima]] when
+    * the sketch must SURVIVE the stream (time travel across refreshes,
+    * cross-table overlap against another maintained sketch) rather
+    * than live in the query's state store. */
+  def maintainedKmvStream(df: DataFrame, catalog: Catalog, table: String,
+                          keys: Seq[String], hashCol: String, k: Int,
+                          checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        catalog.maintainKmv(table, batch, keys, hashCol, k,
+          batchId = Some(batchId)); ()
+      }
+      .start()
+
   /** Continuously-maintained KMV distinct sketches: running per-group
     * k-minimum-value arrays over a streamed long-hash column — the
     * streaming face of q163's cross-snapshot overlap machinery. KMV is

@@ -426,6 +426,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainedKmvStream: micro-batches fold into the catalog sketch table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_kmv").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.maintainedKmvStream(mem.toDF().toDF("g", "h"), cat,
+      "kmv_stream", Seq("g"), "h", k = 3, s"$dir/cp")
+    // 5 distinct per group with k=3: eviction crosses refreshes; 40
+    // re-delivered in batch 2: set semantics across commits
+    try {
+      mem.addData(("a", 90L), ("a", 40L), ("b", 10L))
+      q.processAllAvailable()
+      mem.addData(("a", 40L), ("a", 20L), ("a", 70L), ("a", 5L))
+      q.processAllAvailable()
+      val rows = cat.table("kmv_stream")
+        .as[(String, Seq[Long])].collect().toMap
+      assert(rows === Map("a" -> Seq(5L, 20L, 40L), "b" -> Seq(10L)))
+      // one atomic sketch version per micro-batch; time travel reads
+      // the refresh history (v1 = batch-0 sketch)
+      assert(cat.versions("kmv_stream").size === 2)
+      val v1 = cat.tableAt("kmv_stream", cat.versions("kmv_stream").min)
+        .as[(String, Seq[Long])].collect().toMap
+      assert(v1 === Map("a" -> Seq(40L, 90L), "b" -> Seq(10L)))
+    } finally q.stop()
+  }
+
   test("maintainAgg: a replayed batch id is skipped, not double-counted") {
     import spark.implicits._
     import graft.operators.IncrementalAgg.AggSpec
