@@ -359,7 +359,16 @@ object Dedup {
     * work lost to executor failure to N rounds. Rounds in between
     * stay on the cheap local path. With no checkpoint dir configured
     * (local iteration), every round is local — same behavior as
-    * before.
+    * before. Disk bound: the reliable checkpoints accumulate at most
+    * ceil(maxIter / checkpointEvery) label-table-sized dirs (≤ 5 at
+    * the defaults) per invocation, reclaimed with the app's
+    * checkpoint dir. A superseded dir COULD be deleted once the next
+    * reliable pin materializes (the [[Materialize.Pinned]] argument),
+    * but the only deletion API is that handle, whose replace() always
+    * re-pins — it cannot express this loop's mixed local/reliable
+    * cadence with the fingerprint observation riding the
+    * materialization. ≤ 5 small dirs per call does not justify a
+    * second deletion surface.
     *
     * Returns (id, rep). Only nodes appearing in at least one pair are
     * labeled (singletons are not clusters).

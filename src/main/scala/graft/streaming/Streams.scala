@@ -550,14 +550,25 @@ object Streams {
               catalog.tableWhere(t, "media_id", lo, hi).select(col("media_id")),
               Seq("media_id"), "left_anti")
           val fresh = freshAgainst(quarantineTable, freshAgainst(verdictTable, batch))
-          val verdicts = graft.operators.Materialize.pin(
+          // Pinned handle, not a raw pin: the pin runs decode ONCE for
+          // both consumers, and delete() reclaims its reliable
+          // checkpoint files after the appends — a raw pin per
+          // micro-batch leaks one checkpoint dir per batch FOREVER on
+          // a checkpoint-dir session (the cluster path), unbounded
+          // disk growth on a long stream. A batch that crashes between
+          // the appends leaves its one dir for the restart's recovery
+          // window — bounded by crash count, not stream length.
+          val pinned = graft.operators.Materialize.pinState(
             graft.operators.Multimodal.mediaVerdicts(
               graft.operators.Multimodal.asMediaRows(fresh)).toDF())
-          val ok = verdicts.filter(col("ok")).select("media_id", "kind", "keep")
-          if (!ok.isEmpty) catalog.appendDelta(verdictTable, ok)
-          val bad = verdicts.filter(!col("ok"))
-            .select("media_id", "kind", "reason")
-          if (!bad.isEmpty) catalog.appendDelta(quarantineTable, bad)
+          try {
+            val verdicts = pinned.df
+            val ok = verdicts.filter(col("ok")).select("media_id", "kind", "keep")
+            if (!ok.isEmpty) catalog.appendDelta(verdictTable, ok)
+            val bad = verdicts.filter(!col("ok"))
+              .select("media_id", "kind", "reason")
+            if (!bad.isEmpty) catalog.appendDelta(quarantineTable, bad)
+          } finally pinned.delete()
         }
         ()
       }

@@ -825,6 +825,41 @@ class StreamsSpec extends SparkSpec {
     assert(cat.commitsInRange("media_quarantine", "media_id", 12L, 20L).isEmpty)
   }
 
+  test("mediaIngestStream: per-batch decode pins leak NO reliable checkpoint " +
+      "files on a checkpoint-dir session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.ImageCodec
+    val dir = Files.createTempDirectory("stream_media_ckpt").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val sc = spark.sparkContext
+    val ckpt = Files.createTempDirectory("media_pin_ckpt").toString
+    sc.setCheckpointDir(ckpt)
+    try {
+      def img(id: Long) = Multimodal.MediaRow(
+        id, "image", ImageCodec.syntheticPng(id % 256, 64, 48), 64, 48, 16000, 1)
+      val mem = MemoryStream[Multimodal.MediaRow]
+      val q = Streams.mediaIngestStream(mem.toDF(), cat,
+        "mv_ckpt", "mq_ckpt", s"$dir/cp")
+      try {
+        mem.addData(img(0L), img(1L)); q.processAllAvailable()
+        mem.addData(img(2L)); q.processAllAvailable()
+        mem.addData(img(3L)); q.processAllAvailable()
+        assert(cat.table("mv_ckpt").count() === 4L)
+      } finally q.stop()
+      // the disk-growth canary: a RAW pin per micro-batch would leave
+      // one rdd-* checkpoint dir per batch here forever; the Pinned
+      // handle reclaims each batch's files after its appends
+      val leaked = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try s.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+        finally s.close()
+      }
+      assert(leaked === 0L, s"leaked $leaked checkpoint files under $ckpt")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("dedupIngestStream: in-batch near-dups prune before the corpus check") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
