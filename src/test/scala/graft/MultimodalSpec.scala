@@ -382,6 +382,40 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(aud.feature.sum - expected) < 1e-3)
   }
 
+  test("AVI container-region corruption either aborts loudly or decodes " +
+      "IDENTICALLY — no flip can silently change the result") {
+    import graft.operators.Multimodal.MjpegAviCodec
+    val payload = MjpegAviCodec.syntheticMjpegAvi(7, 3, 16, 16)
+    val info = MjpegAviCodec.parse(payload)
+    val base = MjpegAviCodec.stats(payload)
+    // the container region: RIFF/hdrl/strl headers up to the first
+    // movi chunk. Meaningful bytes (magic, sizes, fourccs, dims, frame
+    // counts) are require-guarded; don't-care bytes (rates, reserved
+    // words) must not affect the decoded stream. Either way a flip can
+    // never SILENTLY alter what a consumer reads. (JPEG payload bytes
+    // are excluded: changing pixel DATA is a legitimate different
+    // input, not a container lie.)
+    val rnd = new scala.util.Random(42)
+    var aborted = 0
+    var benign = 0
+    for (trial <- 1 to 150) {
+      val i = rnd.nextInt(info.moviStart)
+      val mut = payload.clone()
+      mut(i) = (mut(i) + 1 + rnd.nextInt(255)).toByte
+      try {
+        val s = MjpegAviCodec.stats(mut)
+        assert(s === base,
+          s"trial $trial: flipping container byte $i changed the decode SILENTLY")
+        benign += 1
+      } catch {
+        case _: IllegalArgumentException => aborted += 1 // a require fired
+      }
+    }
+    // both classes must actually occur, or the sweep proves nothing
+    assert(aborted > 50, s"only $aborted/150 flips aborted")
+    assert(benign > 10, s"only $benign/150 flips were don't-care bytes")
+  }
+
   test("sampleVideoFrames: every stride-th fixed-size slice, video only") {
     val frames = Multimodal.sampleVideoFrames(media, frameSize = 32, stride = 4)
       .collect()
