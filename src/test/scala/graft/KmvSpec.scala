@@ -126,6 +126,63 @@ class KmvSpec extends SparkSpec {
     }
   }
 
+  test("KmvAlgebra.overlap over two maintained sketch tables matches the " +
+      "q163-style inline algebra; one-sided and empty keys are guarded") {
+    import graft.operators.KmvAlgebra
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_ov").toString
+    val cat = new graft.ledger.Catalog(spark, s"$dir/wh")
+    val base = Tables(spark, sf001, "documents")
+      .filter(col("text").isNotNull).select(col("lang"), col("doc_id"), col("text"))
+    def hashed(df: org.apache.spark.sql.DataFrame) = df.select(col("lang"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    // snapshot A = the corpus; snapshot B = re-crawl keeping even ids
+    val a = hashed(base)
+    val b = hashed(base.select(col("lang"),
+      when(col("doc_id") % 2 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" v2"))).as("text")))
+    cat.maintainKmv("sk_a", a, Seq("lang"), "h", k = K)
+    cat.maintainKmv("sk_b", b, Seq("lang"), "h", k = K)
+    val got = KmvAlgebra.overlap(cat.table("sk_a"), cat.table("sk_b"),
+      Seq("lang"), K)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // inline replay (the q163 arithmetic) from the same stored arrays
+    val want = cat.table("sk_a").withColumnRenamed("mins", "ska")
+      .join(cat.table("sk_b").withColumnRenamed("mins", "skb"), "lang")
+      .withColumn("sku", slice(array_sort(array_union(col("ska"), col("skb"))), 1, K))
+      .select(col("lang"),
+        KmvMinima.kmvEstimate(col("ska"), K).as("est_a"),
+        KmvMinima.kmvEstimate(col("skb"), K).as("est_b"),
+        KmvMinima.kmvEstimate(col("sku"), K).as("est_union"),
+        size(array_intersect(array_intersect(col("sku"), col("ska")),
+          col("skb"))).cast("long").as("n_common"),
+        size(col("sku")).cast("long").as("szu"))
+      .select(col("lang"), col("est_a"), col("est_b"), col("est_union"),
+        col("n_common"),
+        expr("(n_common * est_union) div szu").as("est_intersect"),
+        expr("(n_common * 1048576) div szu").as("jaccard_q20"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got === want)
+    assert(got.nonEmpty && got.values.forall(r => r._7 > 0),
+      "every lang has planted overlap")
+    // one-sided key: a group only snapshot A ever saw
+    import spark.implicits._
+    val extra = KmvAlgebra.overlap(
+      Seq(("xx", Seq(5L, 9L))).toDF("lang", "mins"),
+      Seq(("yy", Seq(7L))).toDF("lang", "mins"), Seq("lang"), K)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(extra("xx") === (("xx", 2L, 0L, 2L, 0L, 0L, 0L)))
+    assert(extra("yy") === (("yy", 0L, 1L, 1L, 0L, 0L, 0L)))
+    // both-empty sketches: zero estimates, not a division error
+    val empty = KmvAlgebra.overlap(
+      Seq(("zz", Seq.empty[Long])).toDF("lang", "mins"),
+      Seq(("zz", Seq.empty[Long])).toDF("lang", "mins"), Seq("lang"), K)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(empty === (("zz", 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("set-algebra estimates are accurate at k=64 on planted overlap") {
     // the q163 shape: B keeps even-id texts, rewrites odd ones
     val base = Tables(spark, sf001, "documents")
