@@ -139,6 +139,18 @@ class PlanSpec extends SparkSpec {
       s"q87's candidate filter left the join (full table now aggregates):\n$p")
   }
 
+  test("q163: KMV sketches partial-aggregate map-side; scans prune to (lang, text[, doc_id])") {
+    val p = finalPlan("q163_kmv_overlap")
+    // the SURVEY §8 claim: at most 2k longs per (lang, map task) cross
+    // the wire — losing the partial pass would shuffle every hashed row
+    // to the lang's reducer instead
+    assert(p.contains("partial_kmv_minima"),
+      s"q163 lost map-side sketch partials (full rows now shuffle per lang):\n$p")
+    // everything after the grouped agg is per-row array algebra — no
+    // join between the snapshots may ever appear
+    assert(!p.contains("Join"), s"q163 grew a snapshot join:\n$p")
+  }
+
   test("q88: batch survivor selection is a pre-shuffle WindowGroupLimit, no sort-merge join") {
     val p = finalPlan("q88_merge_upsert")
     // Spark's rank-filter rewrite must kick in: each map task keeps only
