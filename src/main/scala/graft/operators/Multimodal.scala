@@ -940,8 +940,31 @@ object Multimodal {
     * across file splits. */
   def mediaVerdicts(media: Dataset[MediaRow]): Dataset[MediaVerdict] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { r =>
-      try r.kind match {
+    media.mapPartitions(_.map(verdictFor))
+  }
+
+  /** The quarantine-don't-abort catch in a directly-testable unit:
+    * a failing `body` becomes an ok=false verdict ONLY for non-fatal
+    * throwables. Spark cancels tasks by interrupting them, and a kill
+    * signal arriving mid-decode must propagate as the cancellation it
+    * is — catching it would mint a bogus quarantine verdict for a row
+    * that was never rotten (and commit it, under at-least-once replay,
+    * FOREVER). InterruptedException is not matched by NonFatal; fatal
+    * VM errors (OOM, stack overflow) likewise pass through.
+    * MultimodalSpec drives this with an injected interrupt, which a
+    * Dataset round-trip can't. */
+  private[graft] def quarantining(mediaId: Long, kind: String)
+                                 (body: => MediaVerdict): MediaVerdict =
+    try body catch {
+      case scala.util.control.NonFatal(e) =>
+        MediaVerdict(mediaId, kind, ok = false,
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName),
+          keep = false)
+    }
+
+  /** One row's verdict (the unit [[mediaVerdicts]] maps). */
+  private[graft] def verdictFor(r: MediaRow): MediaVerdict =
+    quarantining(r.media_id, r.kind) { r.kind match {
         case "image" =>
           val (w, h, sum, _) = ImageCodec.stats(r.payload)
           require(w == r.width && h == r.height,
@@ -980,14 +1003,8 @@ object Multimodal {
         case other =>
           MediaVerdict(r.media_id, other, ok = false,
             s"unknown modality '$other'", keep = false)
-      } catch {
-        case e: Exception =>
-          MediaVerdict(r.media_id, r.kind, ok = false,
-            Option(e.getMessage).getOrElse(e.getClass.getSimpleName),
-            keep = false)
       }
-    })
-  }
+    }
 
   /** Decode every audio row and emit exact sample statistics, failing
     * loudly when the decoded rate or length disagrees with the

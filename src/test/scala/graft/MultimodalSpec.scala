@@ -326,6 +326,26 @@ class MultimodalSpec extends SparkSpec {
     assert(bv(3).reason.contains("unknown modality"))
   }
 
+  test("quarantining catches NonFatal only: a decode RuntimeException " +
+      "becomes an ok=false verdict, but a task-cancellation interrupt " +
+      "propagates instead of minting a bogus quarantine row") {
+    val q = Multimodal.quarantining(7L, "image") {
+      throw new RuntimeException("payload truncated at byte 12")
+    }
+    assert(!q.ok && !q.keep && q.reason === "payload truncated at byte 12")
+    // require() failures (lying metadata) are IllegalArgumentException —
+    // also NonFatal, also quarantined
+    val q2 = Multimodal.quarantining(8L, "audio") {
+      require(false, "decoded rate 8000 != declared 16000"); ???
+    }
+    assert(!q2.ok && q2.reason.contains("decoded rate"))
+    // Spark kills tasks by interrupt: must PROPAGATE (NonFatal does not
+    // match InterruptedException), never become a committed verdict
+    intercept[InterruptedException] {
+      Multimodal.quarantining(9L, "video") { throw new InterruptedException() }
+    }
+  }
+
   test("decodeAudioStats over wavMedia: audio rows only, stats match the " +
       "generator sequence, payloads carry the RIFF magic") {
     import graft.operators.Multimodal.WavCodec
