@@ -1175,11 +1175,18 @@ final class Catalog(val spark: SparkSession, val root: String,
     * publishes inside the same atomic commit, so at-least-once callers
     * (foreachBatch) fold each batch exactly once. Requires
     * [[graft.GraftExtensions]] on the session (`kmv_minima` resolves
-    * through the function registry). Schema: keys ++ mins array<long>.
-    * `k` must stay CONSTANT across a table's refreshes: a sketch is
-    * only a valid KMV sample down to the smallest k it was ever
-    * truncated to, so growing k mid-life silently degrades the
-    * estimator — start a fresh table to re-sketch at a larger k.
+    * through the function registry). Schema: keys ++ mins array<long>
+    * ++ kmv_k int. `k` must stay CONSTANT across a table's refreshes:
+    * a sketch is only a valid KMV sample down to the smallest k it was
+    * ever truncated to, so growing k mid-life silently degrades the
+    * estimator — start a fresh table to re-sketch at a larger k. The
+    * contract is ENFORCED, not just documented: every write stamps `k`
+    * into the constant `kmv_k` column (self-describing — it rides time
+    * travel, exports, and [[graft.operators.KmvAlgebra.overlap]]'s
+    * verification), and a refresh whose `k` disagrees with the stored
+    * stamp fails loudly instead of silently truncating the estimator
+    * (pre-r15 the mismatch read a truncated sketch as an EXACT
+    * distinct set downstream).
     */
   def maintainKmv(table: String, batch: DataFrame, keys: Seq[String],
                   hashCol: String, k: Int,
@@ -1187,19 +1194,28 @@ final class Catalog(val spark: SparkSession, val root: String,
     batchId.foreach { id =>
       if (appliedBatchId(table).exists(_ >= id)) return
     }
+    kmvK(table).foreach { stored =>
+      require(stored == k,
+        s"maintainKmv('$table'): table is stamped kmv_k=$stored but this " +
+          s"refresh passed k=$k — a KMV sketch is only a valid sample down " +
+          "to the smallest k it was ever truncated to; start a fresh table " +
+          "to re-sketch at a different k")
+    }
     val p = batch.groupBy(keys.map(col): _*)
       .agg(graft.expressions.KmvMinima.kmvMinima(col(hashCol), k).as("mins"))
-    val merged =
+    val merged0 =
       if (!exists(table)) p
       else {
         val noMins = array().cast("array<bigint>")
-        this.table(table).withColumnRenamed("mins", "__stored")
+        this.table(table).select((keys :+ "mins").map(col): _*)
+          .withColumnRenamed("mins", "__stored")
           .join(p.withColumnRenamed("mins", "__fresh"), keys, "full_outer")
           .select(keys.map(col) :+
             slice(array_sort(array_union(
               coalesce(col("__stored"), noMins),
               coalesce(col("__fresh"), noMins))), 1, k).as("mins"): _*)
       }
+    val merged = merged0.withColumn("kmv_k", lit(k))
     val base = writeBase(table)
     val dir = newCommitDir(table)
     merged.write.mode(SaveMode.Overwrite).parquet(dir)
@@ -1212,6 +1228,15 @@ final class Catalog(val spark: SparkSession, val root: String,
     commit(table, Seq(dir), base)
     register(table)
   }
+
+  /** The `k` a [[maintainKmv]] sketch table was built with, read from
+    * its constant `kmv_k` stamp (None when the table doesn't exist,
+    * is empty, or predates the stamp). One-row read — the sketch grid
+    * is O(groups · k), and only a single value is fetched. */
+  def kmvK(table: String): Option[Int] =
+    if (!exists(table) || !this.table(table).columns.contains("kmv_k")) None
+    else this.table(table).select(col("kmv_k")).limit(1).collect()
+      .headOption.map(_.getInt(0))
 
   private val AppliedBatchIdMarker = "_applied_batch_id"
 
@@ -1345,7 +1370,12 @@ final class Catalog(val spark: SparkSession, val root: String,
   def deleteWhere(table: String, column: String, lo: Long, hi: Long,
                   partitionBy: Seq[String] = Seq.empty,
                   clusterBy: Seq[String] = Seq.empty): Long = {
-    val schema = Schemas.schemaOf(table)
+    // star-contract tables validate against their declared schema;
+    // catalog-generic tables (quarantine, rollups, sketch tables)
+    // against their live one — the quarantine-correction runbook purges
+    // a media_quarantine row this way (StreamsSpec executes it)
+    val schema = Schemas.schemaOfOpt(table)
+      .getOrElse(this.table(table).schema)
     require(Seq(org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.LongType).contains(schema(column).dataType),
       s"deleteWhere prunes integral columns only; $table.$column is " +
@@ -1372,8 +1402,14 @@ final class Catalog(val spark: SparkSession, val root: String,
     val w = clustered.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
     val after = footerRowCount(dir)
-    if (after > 0) commit(table, kept :+ dir, base)
-    else { // every affected row deleted: the rewrite dir is empty noise
+    // an empty rewrite dir is noise — EXCEPT when it is the table's
+    // only remaining commit: an undeclared table (quarantine, rollup)
+    // recovers its schema from commit footers, so a delete that empties
+    // it must leave the zero-row commit as the schema carrier (the
+    // quarantine-purge runbook hits this correcting the last row —
+    // table()/tableWhere on the emptied table stay readable)
+    if (after > 0 || kept.isEmpty) commit(table, kept :+ dir, base)
+    else {
       commit(table, kept, base)
       deleteRecursively(Paths.get(dir))
     }

@@ -34,6 +34,28 @@ object KmvAlgebra {
     * with the SAME hash convention and the same `k` (a sketch is only
     * a valid KMV sample down to the smallest k it was truncated to —
     * the [[graft.ledger.Catalog.maintainKmv]] constant-k contract).
+    * The contract is VERIFIED where the data can carry it: a side
+    * stamped with maintainKmv's constant `kmv_k` column fails the job
+    * loudly on any row whose stamp disagrees with the caller's `k`
+    * (pre-r15 a k-mismatch silently read a truncated sketch as an
+    * EXACT distinct set — kmvEstimate's size<k branch), and EITHER
+    * side fails on a sketch LONGER than k (an un-stamped table built
+    * at larger k′ — its k+1..k′ minima would corrupt the union). An
+    * un-stamped table built at SMALLER k′ is undetectable from the
+    * arrays alone (a short sketch is indistinguishable from a
+    * low-cardinality group) — keep maintained tables stamped.
+    *
+    * Precondition on the hash column (documented, not checked): hashes
+    * must be ~uniform on a fixed-width domain, the house convention
+    * being 60-bit md5 prefixes (`conv(substring(md5(x),1,15),16,10)`).
+    * `est_intersect = n_common · est_union div size_union` multiplies
+    * two BIGINTs: with uniform 60-bit hashes est_union ≤ ~(k−1)·2^60/
+    * (k-th minimum) stays far below 2^63/k for any realistic
+    * cardinality, but ADVERSARIAL hashes (all minima tiny) could push
+    * the product past Long range, where Spark non-ANSI wraps silently
+    * while DuckDB errors — a cross-engine divergence this operator
+    * does not defend against.
+    *
     * Output: keys ++ (est_a, est_b, est_union, n_common,
     * est_intersect, jaccard_q20), all BIGINT. */
   def overlap(a: DataFrame, b: DataFrame, keys: Seq[String], k: Int,
@@ -41,8 +63,26 @@ object KmvAlgebra {
     require(k >= 1, s"k must be >= 1, got $k")
     require(keys.nonEmpty, "overlap needs at least one key column")
     val noMins = array().cast("array<bigint>")
-    a.withColumnRenamed(minsCol, "__ska")
-      .join(b.withColumnRenamed(minsCol, "__skb"), keys, "full_outer")
+    // plan-side guards, not driver-side collects: the check rides the
+    // same distributed scan the join reads — zero extra passes
+    def checked(df: DataFrame, out: String, side: String): DataFrame = {
+      val sized = df.withColumn(out,
+        when(size(col(minsCol)) > k, raise_error(format_string(
+          s"KmvAlgebra.overlap: side $side carries a sketch of %s minima " +
+            s"> k=$k — the table was built at a larger k; re-call with " +
+            "that k or re-sketch", size(col(minsCol)).cast("string"))))
+          .otherwise(col(minsCol))).drop(minsCol)
+      if (!df.columns.contains("kmv_k")) sized
+      else sized.withColumn(out,
+        when(col("kmv_k").isNotNull && col("kmv_k") =!= k,
+          raise_error(format_string(
+            s"KmvAlgebra.overlap: side $side is stamped kmv_k=%s but " +
+              s"overlap was called with k=$k — a k-mismatch silently " +
+              "degrades the estimator", col("kmv_k").cast("string"))))
+          .otherwise(col(out))).drop("kmv_k")
+    }
+    checked(a, "__ska", "a")
+      .join(checked(b, "__skb", "b"), keys, "full_outer")
       .select(keys.map(col) ++ Seq(
         coalesce(col("__ska"), noMins).as("__a"),
         coalesce(col("__skb"), noMins).as("__b")): _*)

@@ -529,8 +529,10 @@ object Streams {
     * reads run inside the transaction (begin-time self-owned-marker
     * recovery first). A quarantined id stays quarantined: redelivery
     * of a corrected row under the SAME id is dropped by the guard —
-    * re-ingest under a new id, or purge the quarantine row (catalog
-    * row-level DELETE) first. */
+    * re-ingest under a new id, or purge the quarantine row first
+    * ([[graft.ledger.Catalog.deleteWhere]] on the id). Both paths are
+    * EXECUTED in StreamsSpec (the r13 straddled-cap lesson: a remedy
+    * that only lives in prose is a remedy nobody has run). */
   def mediaIngestStream(media: DataFrame, catalog: Catalog,
                         verdictTable: String, quarantineTable: String,
                         checkpointDir: String): StreamingQuery = {

@@ -103,7 +103,8 @@ class KmvSpec extends SparkSpec {
       cat.maintainKmv("sk", all.filter(p), Seq("g"), "h", k = K,
         batchId = Some(i.toLong))
     }
-    val folded = cat.table("sk").as[(String, Seq[Long])].collect().toMap
+    val folded = cat.table("sk").select("g", "mins")
+      .as[(String, Seq[Long])].collect().toMap
     val oneShot = all.groupBy(col("g"))
       .agg(kmvMinima(col("h"), K).as("mins"))
       .as[(String, Seq[Long])].collect().toMap
@@ -114,7 +115,8 @@ class KmvSpec extends SparkSpec {
     cat.maintainKmv("sk", all.filter(parts(2)), Seq("g"), "h", k = K,
       batchId = Some(2L))
     assert(cat.versions("sk").size === versionsBefore)
-    assert(cat.table("sk").as[(String, Seq[Long])].collect().toMap === oneShot)
+    assert(cat.table("sk").select("g", "mins")
+      .as[(String, Seq[Long])].collect().toMap === oneShot)
     // the maintained arrays feed the same estimate readout as q163
     val est = cat.table("sk")
       .select(col("g"), KmvMinima.kmvEstimate(col("mins"), K).as("est"))
@@ -182,6 +184,53 @@ class KmvSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, Long)].head()
     assert(empty === (("zz", 0L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("constant-k contract is enforced: a k-mismatched overlap or " +
+      "refresh fails loudly instead of silently truncating the estimator") {
+    import graft.operators.KmvAlgebra
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_k").toString
+    val cat = new graft.ledger.Catalog(spark, s"$dir/wh")
+    val rows = Tables(spark, sf001, "documents")
+      .filter(col("text").isNotNull).select(col("lang"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    cat.maintainKmv("sk32", rows, Seq("lang"), "h", k = 32)
+    assert(cat.kmvK("sk32") === Some(32))
+    // the pre-r15 silent-wrong case: a k'=32 table read at k=64 would
+    // hit kmvEstimate's size<k EXACT branch — reporting 32 for a
+    // million-distinct group. Now the stamp fails the job loudly.
+    val e = intercept[Exception] {
+      KmvAlgebra.overlap(cat.table("sk32"), cat.table("sk32"),
+        Seq("lang"), k = 64).collect()
+    }
+    assert(exceptionChain(e).exists(_.getMessage != null) &&
+      exceptionChain(e).flatMap(t => Option(t.getMessage))
+        .exists(m => m.contains("kmv_k=32") && m.contains("k=64")), e.getMessage)
+    // refresh at a different k: loud, and the table is untouched
+    val vBefore = cat.versions("sk32").size
+    val e2 = intercept[IllegalArgumentException] {
+      cat.maintainKmv("sk32", rows, Seq("lang"), "h", k = 64)
+    }
+    assert(e2.getMessage.contains("kmv_k=32") && e2.getMessage.contains("k=64"))
+    assert(cat.versions("sk32").size === vBefore)
+    // an UN-stamped side built at larger k' is caught by the length
+    // guard (k+1..k' minima would corrupt the union)
+    import spark.implicits._
+    val fat = Seq(("xx", (1L to 40L).toSeq)).toDF("lang", "mins")
+    val thin = Seq(("xx", Seq(3L, 9L))).toDF("lang", "mins")
+    val e3 = intercept[Exception] {
+      KmvAlgebra.overlap(fat, thin, Seq("lang"), k = 32).collect()
+    }
+    assert(exceptionChain(e3).flatMap(t => Option(t.getMessage))
+      .exists(_.contains("40 minima")), e3.getMessage)
+    // matching-k path unchanged: stamped tables at the caller's k pass
+    val ok = KmvAlgebra.overlap(cat.table("sk32"), cat.table("sk32"),
+      Seq("lang"), k = 32)
+    assert(ok.collect().forall(r =>
+      r.getLong(r.fieldIndex("est_a")) === r.getLong(r.fieldIndex("est_b"))))
+  }
+
+  private def exceptionChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
 
   test("set-algebra estimates are accurate at k=64 on planted overlap") {
     // the q163 shape: B keeps even-id texts, rewrites odd ones

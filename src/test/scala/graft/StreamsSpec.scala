@@ -441,14 +441,14 @@ class StreamsSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(("a", 40L), ("a", 20L), ("a", 70L), ("a", 5L))
       q.processAllAvailable()
-      val rows = cat.table("kmv_stream")
+      val rows = cat.table("kmv_stream").select("g", "mins")
         .as[(String, Seq[Long])].collect().toMap
       assert(rows === Map("a" -> Seq(5L, 20L, 40L), "b" -> Seq(10L)))
       // one atomic sketch version per micro-batch; time travel reads
       // the refresh history (v1 = batch-0 sketch)
       assert(cat.versions("kmv_stream").size === 2)
       val v1 = cat.tableAt("kmv_stream", cat.versions("kmv_stream").min)
-        .as[(String, Seq[Long])].collect().toMap
+        .select("g", "mins").as[(String, Seq[Long])].collect().toMap
       assert(v1 === Map("a" -> Seq(40L, 90L), "b" -> Seq(10L)))
     } finally q.stop()
   }
@@ -823,6 +823,51 @@ class StreamsSpec extends SparkSpec {
     // committed commits on either table
     assert(cat.commitsInRange("media_verdicts", "media_id", 12L, 20L).isEmpty)
     assert(cat.commitsInRange("media_quarantine", "media_id", 12L, 20L).isEmpty)
+  }
+
+  test("mediaIngestStream quarantine-correction runbook is executable: " +
+      "same-id redelivery WITHOUT purge stays dropped; purge the " +
+      "quarantine row via catalog row-level DELETE, redeliver, and the " +
+      "corrected row ingests under the same id") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.ImageCodec
+    val dir = Files.createTempDirectory("stream_media_purge").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    def img(id: Long) = Multimodal.MediaRow(
+      id, "image", ImageCodec.syntheticPng(id % 256, 64, 48), 64, 48, 16000, 1)
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val q = Streams.mediaIngestStream(mem.toDF(), cat,
+      "mv_purge", "mq_purge", s"$dir/cp")
+    try {
+      // batch 1: one keeper, one LYING row (declared width != encoded)
+      mem.addData(img(0L), img(1L).copy(width = 9))
+      q.processAllAvailable()
+      assert(cat.table("mv_purge").select("media_id")
+        .as[Long].collect().toSeq === Seq(0L))
+      assert(cat.table("mq_purge").select("media_id")
+        .as[Long].collect().toSeq === Seq(1L))
+      // the documented DROP path: the producer fixes the row but does
+      // NOT purge — the replay guard (correctly) treats the id as
+      // already ingested, because at-least-once redelivery of the
+      // ORIGINAL rotten row takes exactly this shape
+      mem.addData(img(1L))
+      q.processAllAvailable()
+      assert(cat.table("mv_purge").count() === 1L &&
+        cat.table("mq_purge").count() === 1L,
+        "same-id redelivery without purge must stay dropped")
+      // the documented CORRECTION path: purge the quarantine row
+      // first (row-level DELETE — commit-pruned, not a table rewrite),
+      // THEN redeliver: the guard no longer sees the id and the
+      // corrected row lands in the verdict table
+      assert(cat.deleteWhere("mq_purge", "media_id", 1L, 1L) === 1L)
+      mem.addData(img(1L))
+      q.processAllAvailable()
+      assert(cat.table("mv_purge").select("media_id")
+        .as[Long].collect().sorted.toSeq === Seq(0L, 1L))
+      assert(cat.table("mq_purge").count() === 0L)
+    } finally q.stop()
   }
 
   test("mediaIngestStream: per-batch decode pins leak NO reliable checkpoint " +
