@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Markup extraction — raw web page → training text, the stage every
+  * web-scale corpus pipeline starts with (reference scope: the ledger
+  * app ingests CSV only — ref `app/etl.py:22-40`; this operator is
+  * part of the LLM-pipeline mandate, promoted from q164's inline chain
+  * per the round-14 review so the robustness cases live behind one
+  * tested surface instead of being re-derived per query).
+  *
+  * The chain, per row:
+  *   1. body isolation — `(?s)<body[^>]*>(.*)</body>`: DOTALL so a
+  *      multi-line body extracts whole (the inline chain's `.` stopped
+  *      at the first newline, silently yielding an EMPTY body on any
+  *      real crawl page — and because both engines degenerated the
+  *      same way, the oracle compare could never catch it); `[^>]*`
+  *      admits an attributed `<body class=...>`; greedy `(.*)` runs to
+  *      the LAST `</body>` so a literal "&lt;/body&gt;" decoded later
+  *      cannot truncate.
+  *   2. anchor count BEFORE any rewriting — occurrences of `<a href`,
+  *      exact integer arithmetic (each hit is 7 chars).
+  *   3. tag strip — `<[^>]*>` → " " ([^>] crosses newlines, so
+  *      attributes spanning lines strip correctly; nested tags are
+  *      just consecutive matches), then `<[^>]*$` → " " so a page
+  *      truncated mid-tag (unclosed trailing `<a href=...`) drops the
+  *      fragment instead of leaking it into training text.
+  *   4. entity decode — the five XML entities + nbsp, with `&amp;`
+  *      LAST (decoding it first would double-decode `&amp;lt;` into a
+  *      live `<`).
+  *   5. whitespace collapse — the EXPLICIT class `[ \t\n\r\f]+` → " ",
+  *      then trim. Explicit because `\s` differs across engines (Java
+  *      includes U+000B, RE2 does not) and the extracted string is
+  *      md5-pinned byte-for-byte across engines.
+  *
+  * Quality gate = the two classic boilerplate signals: anchor count
+  * (ad-stuffed pages fail) and text-to-markup ratio (link-heavy short
+  * pages fail), the ratio in q20 fixed-point (`div`) so both engines
+  * agree bit-for-bit.
+  *
+  * Plan shape: pure per-row codegen'd string ops (regexp_replace /
+  * replace / length) — zero shuffles, scan-side map the whole way,
+  * embarrassingly parallel at a 100 TB crawl.
+  */
+object Markup {
+
+  /** q164's gate thresholds (shared with its oracle SQL). */
+  val DefaultMaxLinks = 7
+  val DefaultRatioMinQ20 = 350000 // extracted/html ≥ ~0.334 in q20 fixed-point
+
+  /** DOTALL body isolation (step 1). */
+  def body(html: Column): Column =
+    regexp_extract(html, "(?s)<body[^>]*>(.*)</body>", 1)
+
+  /** Tag strip incl. the unclosed trailing fragment (step 3). */
+  def stripTags(body: Column): Column =
+    regexp_replace(regexp_replace(body, "<[^>]*>", " "), "<[^>]*$", " ")
+
+  /** Entity decode, `&amp;` last (step 4). */
+  def decodeEntities(text: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(text) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+
+  /** Engine-invariant whitespace collapse + trim (step 5). */
+  def collapseWs(text: Column): Column =
+    trim(regexp_replace(text, "[ \t\n\r\f]+", " "))
+
+  /** The full text chain: body → strip → decode → collapse. */
+  def extractedText(html: Column): Column =
+    collapseWs(decodeEntities(stripTags(body(html))))
+
+  /** extract(html) → (extracted, html_chars, n_links, extracted_chars,
+    * markup_ratio_q20, keep) appended to `df`. `htmlCol` must be a
+    * plain column name (the anchor count and ratio use SQL `div` for
+    * exact integer arithmetic). */
+  def extract(df: DataFrame, htmlCol: String,
+              maxLinks: Int = DefaultMaxLinks,
+              ratioMinQ20: Int = DefaultRatioMinQ20): DataFrame =
+    df.withColumn("__body", body(col(htmlCol)))
+      .withColumn("n_links",
+        expr("(length(__body) - length(replace(__body, '<a href', ''))) div 7")
+          .cast("long"))
+      .withColumn("extracted",
+        collapseWs(decodeEntities(stripTags(col("__body")))))
+      .withColumn("html_chars", length(col(htmlCol)).cast("long"))
+      .withColumn("extracted_chars", length(col("extracted")).cast("long"))
+      .withColumn("markup_ratio_q20",
+        expr("(extracted_chars * 1048576) div html_chars"))
+      .withColumn("keep",
+        col("n_links") <= maxLinks && col("markup_ratio_q20") >= ratioMinQ20)
+      .drop("__body")
+}

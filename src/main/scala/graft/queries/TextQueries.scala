@@ -599,16 +599,18 @@ object TextQueries {
     // pattern applied to text). Each doc is wrapped in a deterministic
     // HTML page — title/style head, a nav bar of 1 + doc_id % 7
     // repeated links, the body text, an 8-link ad block on doc_id % 5
-    // pages, a footer — then extracted back: body regexp, tag-strip,
-    // whitespace collapse. Quality gate = the two classic boilerplate
-    // signals: anchor count and text-to-markup ratio (ad-stuffed pages
-    // fail the first; link-heavy short pages the second). Emitted
-    // md5(extracted) pins the extracted STRING byte-for-byte across
-    // engines, not just its stats. Plan shape: pure per-row codegen'd
-    // string ops (regexp_replace/length/md5) — zero shuffles, scan-
-    // side map the whole way, embarrassingly parallel at a 100 TB
-    // crawl; the ratio/keep arithmetic is all-integer (q20 fixed-
-    // point, `div`), so both engines agree bit-for-bit.
+    // pages, a footer — then extracted back through
+    // [[graft.operators.Markup]] (promoted from this query's inline
+    // chain in r15: DOTALL body isolation, attributed/unclosed-tag and
+    // entity robustness live in MarkupSpec now). Quality gate = the
+    // two classic boilerplate signals: anchor count (ad-stuffed pages
+    // fail) and text-to-markup ratio (link-heavy short pages fail).
+    // Emitted md5(extracted) pins the extracted STRING byte-for-byte
+    // across engines, not just its stats. Plan shape: pure per-row
+    // codegen'd string ops (regexp_replace/length/md5) — zero
+    // shuffles, scan-side map the whole way, embarrassingly parallel
+    // at a 100 TB crawl; the ratio/keep arithmetic is all-integer
+    // (q20 fixed-point, `div`), so both engines agree bit-for-bit.
     "q164_html_extract" -> ((s, d) => {
       val html = concat(
         lit("<html><head><title>doc "), col("doc_id").cast("string"),
@@ -617,25 +619,29 @@ object TextQueries {
         lit("</nav><p>"), col("text"), lit("</p>"),
         when(col("doc_id") % 5 === 0, lit(HtmlAdBlock)).otherwise(lit("")),
         lit("<footer>(c) corpus</footer></body></html>"))
-      docs(s, d).filter(col("text").isNotNull)
-        .select(col("doc_id"), html.as("html"))
-        .select(col("doc_id"), col("html"),
-          regexp_extract(col("html"), "<body>(.*)</body>", 1).as("body"))
-        .select(col("doc_id"),
-          length(col("html")).cast("long").as("html_chars"),
-          expr("(length(body) - length(replace(body, '<a href', ''))) div 7")
-            .cast("long").as("n_links"),
-          trim(regexp_replace(
-            regexp_replace(col("body"), "<[^>]*>", " "), " +", " ")).as("txt"))
+      graft.operators.Markup.extract(
+        docs(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), html.as("html")),
+        "html", HtmlMaxLinks, HtmlRatioMinQ20)
         .select(col("doc_id"), col("html_chars"), col("n_links"),
-          length(col("txt")).cast("long").as("extracted_chars"),
-          md5(col("txt")).as("extracted_md5"))
-        .withColumn("markup_ratio_q20",
-          expr("(extracted_chars * 1048576) div html_chars"))
-        .withColumn("keep",
-          col("n_links") <= HtmlMaxLinks &&
-            col("markup_ratio_q20") >= HtmlRatioMinQ20)
-    })
+          col("extracted_chars"), md5(col("extracted")).as("extracted_md5"),
+          col("markup_ratio_q20"), col("keep"))
+    }),
+
+    // learned quality filter: the fastText/CCNet-style linear scorer —
+    // where q76 is hand-rules with per-rule attrition, this is a
+    // frozen-weight model whose BIGINT dot product both engines replay
+    // bit-for-bit; the per-feature contributions are the linear-model
+    // analogue of q76's attrition reasons. One text_stats pass + one
+    // token collapse, per-row, shuffle-free — the score pipelines
+    // inside the scan's codegen stage at a 100 TB crawl. Weights,
+    // features, and the ~85%-keep calibration live at
+    // [[graft.operators.QualityClassifier]].
+    "q165_learned_quality" -> ((s, d) =>
+      graft.operators.QualityClassifier.score(
+        docs(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")), "text")
+        .drop("text"))
   )
 
   /** q164 page-synthesis + gate parameters (shared with the oracle).
@@ -645,8 +651,8 @@ object TextQueries {
   private val HtmlNavLink = "<a href=\"#\">nav link</a> "
   private val HtmlAdBlock = "<div class=\"ads\">" +
     Seq.fill(8)("""<a href="#">ad</a>""").mkString + "</div>"
-  private val HtmlMaxLinks = 7
-  private val HtmlRatioMinQ20 = 350000 // extracted/html ≥ ~0.334 in q20 fixed-point
+  private val HtmlMaxLinks = graft.operators.Markup.DefaultMaxLinks
+  private val HtmlRatioMinQ20 = graft.operators.Markup.DefaultRatioMinQ20
 
   /** q141's probe phrase (shared by Spark + oracle SQL) — occurs at
     * EVERY testdata scale factor (the sf0.001 smoke requires rows > 0;
@@ -1175,9 +1181,12 @@ object TextQueries {
          |WHERE len(list_filter(gs, x -> x = '${PhraseWords.mkString(" ")}')) > 0""".stripMargin
     },
 
-    // identical page synthesis, identical extraction chain (regexp
-    // dialect-safe: '<[^>]*>' and ' +' parse the same under Java regex
-    // and RE2), identical integer gate arithmetic
+    // identical page synthesis; the extraction chain replays
+    // operators.Markup step for step (regexp dialect-safe: '(?s)',
+    // '<[^>]*>', '<[^>]*$' and the EXPLICIT whitespace class
+    // '[ \t\n\r\f]+' parse the same under Java regex and RE2 — \s
+    // would NOT: Java's includes U+000B, RE2's doesn't); entity
+    // decode order (&amp; last) and the integer gate arithmetic match
     "q164_html_extract" ->
       s"""WITH b AS (
          |  SELECT doc_id,
@@ -1189,21 +1198,68 @@ object TextQueries {
          |    '<footer>(c) corpus</footer></body></html>' AS html
          |  FROM documents WHERE text IS NOT NULL),
          |e AS (SELECT doc_id, html,
-         |        regexp_extract(html, '<body>(.*)</body>', 1) AS body
+         |        regexp_extract(html, '(?s)<body[^>]*>(.*)</body>', 1) AS body
          |      FROM b),
+         |s AS (SELECT doc_id, html, body,
+         |        regexp_replace(regexp_replace(body, '<[^>]*>', ' ', 'g'),
+         |                       '<[^>]*$$', ' ', 'g') AS stripped
+         |      FROM e),
          |t AS (SELECT doc_id,
          |        CAST(length(html) AS BIGINT) AS html_chars,
          |        CAST((length(body) - length(replace(body, '<a href', ''))) // 7
          |             AS BIGINT) AS n_links,
-         |        trim(regexp_replace(regexp_replace(body, '<[^>]*>', ' ', 'g'),
-         |                            ' +', ' ', 'g')) AS txt
-         |      FROM e)
+         |        trim(regexp_replace(
+         |          replace(replace(replace(replace(replace(replace(stripped,
+         |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |          '[ \\t\\n\\r\\f]+', ' ', 'g')) AS txt
+         |      FROM s)
          |SELECT doc_id, html_chars, n_links,
          |  CAST(length(txt) AS BIGINT) AS extracted_chars,
          |  md5(txt) AS extracted_md5,
          |  CAST((length(txt) * 1048576) // html_chars AS BIGINT) AS markup_ratio_q20,
          |  (n_links <= $HtmlMaxLinks AND
          |   (length(txt) * 1048576) // html_chars >= $HtmlRatioMinQ20) AS keep
-         |FROM t""".stripMargin
+         |FROM t""".stripMargin,
+
+    // identical frozen weights (QualityClassifier constants inlined),
+    // identical feature arithmetic: every q20 div happens BEFORE its
+    // weight multiplies (so `div`/`//` agree — dividends are all
+    // non-negative), the token cap via least(), the dot product in
+    // BIGINT end to end
+    "q165_learned_quality" -> {
+      import graft.operators.QualityClassifier._
+      // per-language hits over the ALREADY-extracted word array (the
+      // Spark side filters __qc_ws the same way — one regexp pass)
+      val hits = stopwords.map { case (_, stops) =>
+        s"len(list_filter(ws, w -> list_contains(${duckList(stops)}, w)))"
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    $duckWsTokens AS n_ws,
+         |    $duckPunct AS n_punct,
+         |    length(text) AS n_chars,
+         |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (
+         |  SELECT doc_id,
+         |    $WTokens * least(n_ws, $TokenCap) AS c_tokens,
+         |    $WPunct * ((CAST(n_punct AS BIGINT) * 1048576) //
+         |               greatest(CAST(n_chars AS BIGINT), 1)) AS c_punct,
+         |    $WStop * ((CAST($hits AS BIGINT) * 1048576) //
+         |              greatest(CAST(len(ws) AS BIGINT), 1)) AS c_stop,
+         |    $WWlen * ((CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+         |                    AS BIGINT) * 131072) //
+         |              greatest(CAST(len(ws) AS BIGINT), 1)) AS c_wlen
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(c_tokens AS BIGINT) AS c_tokens,
+         |  CAST(c_punct AS BIGINT) AS c_punct,
+         |  CAST(c_stop AS BIGINT) AS c_stop,
+         |  CAST(c_wlen AS BIGINT) AS c_wlen,
+         |  CAST($Bias + c_tokens + c_punct + c_stop + c_wlen AS BIGINT) AS score,
+         |  ($Bias + c_tokens + c_punct + c_stop + c_wlen >= 0) AS keep
+         |FROM f""".stripMargin
+    }
   )
 }
