@@ -3,6 +3,8 @@
 
 Usage: python3 tools/check.py [sfDir] [verifyOutDir]
        python3 tools/check.py --lint-only [sfDir] [oracleSqlJson]
+       python3 tools/check.py --artifacts        # decade-artifact gate
+       python3 tools/check.py --write-slowest    # regen BASELINE.md block
 
 Loads <verifyOutDir>/oracle_sql.json, registers the sfDir parquet tables
 as DuckDB views, runs each oracle SQL, and compares against the Spark
@@ -34,6 +36,84 @@ by accident — the lint flags it all the same.
 import datetime
 import decimal
 import glob, json, os, re, sys
+
+
+def effective(v):
+    """Gate value of one artifact query entry. tools/selfheal.py rewrites
+    a sweep reading that exceeded 1.5x its committed predecessor into
+    {"in_sweep": x, "standalone": y} after an isolated-standalone
+    re-measure — the gate arithmetic prefers the standalone value (the
+    reproducible figure), while in_sweep stays on the record so the
+    sweep's noise is visible, not erased."""
+    return v["standalone"] if isinstance(v, dict) else v
+
+
+def entry_ok(v):
+    """A valid artifact entry: a positive number, or a self-healed dict
+    with positive in_sweep AND standalone."""
+    if isinstance(v, dict):
+        return (set(v) == {"in_sweep", "standalone"} and
+                all(isinstance(x, (int, float)) and x > 0 for x in v.values()))
+    return isinstance(v, (int, float)) and v >= 0
+
+
+SLOWEST_BEGIN = "<!-- slowest-queries:begin (tools/check.py --write-slowest) -->"
+SLOWEST_END = "<!-- slowest-queries:end -->"
+
+
+def slowest_table(repo, top_n=10):
+    """The BASELINE.md slowest-queries table, derived from artifact
+    fields only (VERDICT r14 #1: no hand-kept bands). Top-N at the 100x
+    decade by gate value, with the sweep's in_sweep reading shown
+    whenever a self-heal re-measure corrected it."""
+    arts = {}
+    for art in ("BENCH-sf0.1-same-code.json", "BENCH-sf1ish.json",
+                "BENCH-sf10ish.json"):
+        arts[art] = json.load(open(f"{repo}/{art}"))["queries"]
+    c = arts["BENCH-sf10ish.json"]
+    rows = ["| query | 1x (s) | 10x (s) | 100x gate (s) | 100x in-sweep (s) |",
+            "|---|---|---|---|---|"]
+    for q in sorted(c, key=lambda q: -effective(c[q]))[:top_n]:
+        gate = effective(c[q])
+        in_sweep = (f"{c[q]['in_sweep']:.2f} (healed)"
+                    if isinstance(c[q], dict) else "= gate")
+        one = effective(arts["BENCH-sf0.1-same-code.json"].get(q, 0))
+        ten = effective(arts["BENCH-sf1ish.json"].get(q, 0))
+        rows.append(f"| {q} | {one:.2f} | {ten:.2f} | {gate:.2f} | {in_sweep} |")
+    healed = sorted(q for q, v in c.items() if isinstance(v, dict))
+    rows.append("")
+    rows.append(f"(generated from the three artifact JSONs; self-healed "
+                f"100x entries: {', '.join(healed) if healed else 'none'} — "
+                f"see tools/selfheal.py)")
+    return "\n".join(rows)
+
+
+def write_slowest(repo):
+    baseline = open(f"{repo}/BASELINE.md").read()
+    if SLOWEST_BEGIN not in baseline or SLOWEST_END not in baseline:
+        sys.exit(f"BASELINE.md lacks the slowest-queries markers "
+                 f"{SLOWEST_BEGIN!r} .. {SLOWEST_END!r}")
+    head, rest = baseline.split(SLOWEST_BEGIN, 1)
+    _, tail = rest.split(SLOWEST_END, 1)
+    out = head + SLOWEST_BEGIN + "\n" + slowest_table(repo) + "\n" + \
+        SLOWEST_END + tail
+    open(f"{repo}/BASELINE.md", "w").write(out)
+    print("wrote BASELINE.md slowest-queries block")
+
+
+def slowest_gate(repo, baseline):
+    """--artifacts leg: the committed block must equal regeneration."""
+    if SLOWEST_BEGIN not in baseline or SLOWEST_END not in baseline:
+        print(f"FAIL BASELINE.md lacks the slowest-queries markers — run "
+              f"tools/check.py --write-slowest")
+        return 1
+    committed = baseline.split(SLOWEST_BEGIN, 1)[1].split(SLOWEST_END, 1)[0]
+    if committed.strip() != slowest_table(repo).strip():
+        print("FAIL BASELINE.md slowest-queries block drifted from the "
+              "artifacts — rerun tools/check.py --write-slowest")
+        return 1
+    print("PASS BASELINE.md slowest-queries block matches the artifacts")
+    return 0
 
 
 def artifacts_gate(repo):
@@ -82,18 +162,24 @@ def artifacts_gate(repo):
             fails += 1
             ok = False
         bad_times = {q: t for q, t in d.get("queries", {}).items()
-                     if not isinstance(t, (int, float)) or t < 0}
+                     if not entry_ok(t)}
         if bad_times:
-            print(f"FAIL {art}: non-numeric/failed query times "
+            print(f"FAIL {art}: non-numeric/failed/malformed query times "
                   f"{sorted(bad_times)[:5]}")
             fails += 1
             ok = False
         else:
-            totals[art] = sum(d.get("queries", {}).values())
+            totals[art] = sum(effective(v)
+                              for v in d.get("queries", {}).values())
+        healed = [q for q, v in d.get("queries", {}).items()
+                  if isinstance(v, dict)]
         if ok:
             print(f"PASS {art} ({len(have)} queries, isolated min-of-"
-                  f"{d.get('reps')})")
+                  f"{d.get('reps')}"
+                  + (f", {len(healed)} self-healed" if healed else "") + ")")
     fails += baseline_numbers_gate(baseline, totals)
+    if not fails:
+        fails += slowest_gate(repo, baseline)
     return fails
 
 
@@ -147,6 +233,11 @@ def baseline_numbers_gate(baseline, totals):
 if "--artifacts" in sys.argv:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.exit(1 if artifacts_gate(repo) else 0)
+
+if "--write-slowest" in sys.argv:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    write_slowest(repo)
+    sys.exit(0)
 
 import duckdb
 

@@ -10,6 +10,13 @@ when both artifacts carry the query.
 import json
 import sys
 
+
+def effective(v):
+    """Gate value of one query entry: self-healed entries (dicts written
+    by tools/selfheal.py) are read at their isolated-standalone value."""
+    return v["standalone"] if isinstance(v, dict) else v
+
+
 a_path, b_path = sys.argv[1], sys.argv[2]
 top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 25
 
@@ -18,7 +25,8 @@ with open(a_path) as f:
 with open(b_path) as f:
     b = json.load(f)
 
-qa, qb = a["queries"], b["queries"]
+qa = {q: effective(v) for q, v in a["queries"].items()}
+qb = {q: effective(v) for q, v in b["queries"].items()}
 shared = [q for q in qb if q in qa and qa[q] > 0 and qb[q] > 0]
 rows = sorted(shared, key=lambda q: -qb[q])
 

@@ -5,9 +5,15 @@ BENCH-sf10ish.json). Replaces the top-N and full <details> tables and
 the totals sentences in both "## Scale:" sections in place."""
 import json, re
 
+def effective(v):
+    """Self-healed entries (tools/selfheal.py) read at their
+    isolated-standalone value — the same lens as check.py's gate."""
+    return v["standalone"] if isinstance(v, dict) else v
+
 def load(p):
     d = json.load(open(p))
-    return {k: v for k, v in d["queries"].items() if v > 0}
+    return {k: effective(v) for k, v in d["queries"].items()
+            if effective(v) > 0}
 
 def table(qa, qb, names):
     rows = ["| query | before (s) | after (s) | ratio |", "|---|---|---|---|"]

@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Self-healing post-pass for committed bench artifacts (VERDICT r14 #1).
+
+The committed decade sweeps historically embedded up to 2.8x of in-sweep
+neighbor noise on the per-row-CPU decode family (q155 committed 4.28 s
+at round 14 vs a 2.08 s isolated-standalone truth the judge reproduced),
+and the correction lived in BASELINE.md prose that every future gate
+reader had to know to apply. This pass makes the artifact itself carry
+the correction:
+
+  python3 tools/selfheal.py <artifact.json> <prev_artifact.json> [--threshold 1.5] [--reps 3]
+
+For every query whose sweep reading exceeds `threshold` x its previously
+committed point (the matched query in <prev_artifact.json>, itself read
+through the same standalone-preferring lens), the query is re-run
+STANDALONE in a FRESH JVM/SparkSession session (one sbt invocation for
+the flagged set, SPARK_GRAFT_ISOLATED=1 SPARK_GRAFT_REPS=3 — a fresh
+SparkContext per query inside it), and the artifact entry is rewritten
+from a bare number to
+
+    {"in_sweep": <sweep seconds>, "standalone": <re-measure seconds>}
+
+plus a top-level "self_heal" record naming what was healed and against
+what. Consumers (tools/check.py --artifacts, tools/ratios.py,
+tools/readme_tables.py) prefer the standalone value in all gate
+arithmetic; the in_sweep value stays on the record so the noise is
+visible, not erased. Queries with no matched predecessor (new this
+round) cannot be flagged — their first committed point becomes the
+baseline the NEXT round heals against.
+
+The sweep artifact's own "sf" field names the data directory, so the
+re-measure prices exactly what the sweep priced.
+"""
+import json
+import os
+import subprocess
+import sys
+
+
+def effective(v):
+    """A query's gate value: the standalone re-measure when present."""
+    return v["standalone"] if isinstance(v, dict) else v
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0]: a.split("=")[1]
+            for a in sys.argv[1:] if a.startswith("--") and "=" in a}
+    threshold = float(opts.get("--threshold", 1.5))
+    reps = opts.get("--reps", "3")
+    if len(args) != 2:
+        sys.exit(__doc__)
+    art_path, prev_path = args
+    art = json.load(open(art_path))
+    prev = json.load(open(prev_path))
+    prev_q = {q: effective(v) for q, v in prev.get("queries", {}).items()}
+    flagged = sorted(
+        q for q, v in art.get("queries", {}).items()
+        if not isinstance(v, dict)            # never re-heal a healed entry
+        and q in prev_q and prev_q[q] > 0 and v > 0
+        and v > threshold * prev_q[q])
+    if not flagged:
+        print(f"selfheal: no query exceeds {threshold}x its predecessor — "
+              f"artifact unchanged")
+        return
+    print(f"selfheal: re-running {len(flagged)} flagged quer"
+          f"{'y' if len(flagged) == 1 else 'ies'} standalone "
+          f"(>{threshold}x vs {os.path.basename(prev_path)}): "
+          + ", ".join(f"{q} {art['queries'][q]:.2f}s vs {prev_q[q]:.2f}s"
+                      for q in flagged))
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=art["sf"],
+               SPARK_GRAFT_ISOLATED="1",
+               SPARK_GRAFT_REPS=reps)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench " + " ".join(flagged)],
+        env=env, cwd=repo, capture_output=True, text=True)
+    lines = [l for l in out.stdout.splitlines() if '"metric"' in l]
+    if not lines:
+        sys.exit(f"selfheal: Bench produced no metric line\n{out.stdout[-2000:]}"
+                 f"\n{out.stderr[-2000:]}")
+    healed = json.loads(lines[-1].replace("[info] ", "", 1))
+    bad = {q: t for q, t in healed["queries"].items() if t < 0}
+    if bad:
+        sys.exit(f"selfheal: standalone re-run FAILED for {sorted(bad)}")
+    for q in flagged:
+        art["queries"][q] = {"in_sweep": art["queries"][q],
+                             "standalone": healed["queries"][q]}
+    art["self_heal"] = {
+        "threshold": threshold,
+        "prev_artifact": os.path.basename(prev_path),
+        "healed": {q: art["queries"][q] for q in flagged},
+        "reps": int(reps), "isolated": True,
+        "load1_start": healed.get("load1_start"),
+        "load1_end": healed.get("load1_end")}
+    # the headline total follows the gate lens: standalone where healed
+    art["value"] = sum(effective(v) for v in art["queries"].values())
+    with open(art_path, "w") as f:
+        json.dump(art, f)
+    for q in flagged:
+        e = art["queries"][q]
+        print(f"  {q}: in_sweep {e['in_sweep']:.2f}s -> standalone "
+              f"{e['standalone']:.2f}s "
+              f"({e['standalone'] / prev_q[q]:.2f}x of predecessor)")
+    print(f"selfheal: wrote {art_path} (total {art['value']:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()
