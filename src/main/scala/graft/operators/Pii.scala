@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection + redaction — the scrubbing stage every training-data
+  * pipeline runs before text reaches a model (reference scope: none —
+  * the ledger app stores finance rows verbatim; this is the
+  * LLM-pipeline mandate). Five pattern families: email, credit-card,
+  * SSN, phone, IPv4.
+  *
+  * Everything is frozen so both engines replay it bit-for-bit:
+  *   - the REGEXES use only syntax with identical semantics under Java
+  *     regex and RE2 (explicit character classes, bounded repetition —
+  *     no \b, no \d, no lookaround, no backreferences);
+  *   - the REDACTION ORDER is part of the contract (email first — its
+  *     local part may contain digits a later pattern could chew on;
+  *     then cc → ssn → phone → ip). The families are mutually
+  *     non-overlapping by construction (PiiSpec pins the cross-matrix:
+  *     no pattern matches inside another family's example), so the
+  *     order never changes WHAT is redacted, only makes the why
+  *     auditable;
+  *   - counts are taken on the RAW text (the monitoring output);
+  *     `clean` re-scans the redacted text with all five patterns — the
+  *     exit criterion a compliance gate actually checks.
+  *
+  * Detection is regex-only by design: dictionary/NER-grade PII (names,
+  * addresses) needs a model this container doesn't ship, and a regex
+  * pass is the universally-run first tier (CCNet/RefinedWeb pipelines
+  * do exactly this before anything learned).
+  *
+  * Plan shape: per-row regexp_extract_all/regexp_replace — codegen'd,
+  * shuffle-free, scan-side; at a 100 TB crawl the scrub pipelines
+  * inside the scan's codegen stage like q164's extraction.
+  */
+object Pii {
+
+  /** (family, regex, placeholder) — order IS the redaction order. */
+  val Patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("cc", "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}", "<CC>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** Per-family match count on the raw text. */
+  def count(text: Column, family: String): Column = {
+    val (_, re, _) = Patterns.find(_._1 == family)
+      .getOrElse(sys.error(s"unknown PII family '$family'"))
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("bigint")
+  }
+
+  /** The redaction fold, in [[Patterns]] order. */
+  def redact(text: Column): Column =
+    Patterns.foldLeft(text) { case (c, (_, re, ph)) =>
+      regexp_replace(c, re, ph)
+    }
+
+  /** True iff a re-scan of `text` finds NO family — the compliance
+    * exit criterion (run it on the REDACTED text). */
+  def clean(text: Column): Column =
+    Patterns.map { case (_, re, _) =>
+      size(regexp_extract_all(text, lit(re), lit(0))) === 0
+    }.reduce(_ && _)
+
+  /** scrub(df, textCol) → appends n_email/n_cc/n_ssn/n_phone/n_ip
+    * (BIGINT, counted on the raw text), `redacted` (the scrubbed
+    * string) and `clean` (re-scan of the scrubbed string finds
+    * nothing). */
+  def scrub(df: DataFrame, textCol: String): DataFrame = {
+    val counted = Patterns.foldLeft(df) { case (d, (fam, _, _)) =>
+      d.withColumn(s"n_$fam", count(col(textCol), fam))
+    }
+    counted
+      .withColumn("redacted", redact(col(textCol)))
+      .withColumn("clean", clean(col("redacted")))
+  }
+}

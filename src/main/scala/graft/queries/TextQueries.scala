@@ -641,7 +641,46 @@ object TextQueries {
       graft.operators.QualityClassifier.score(
         docs(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"), col("text")), "text")
-        .drop("text"))
+        .drop("text")),
+
+    // PII scrub: the q164 synthesize-then-extract pattern applied to
+    // the redaction stage — deterministic PII is injected per doc_id
+    // (every doc an email; every 3rd a phone; every 5th an IPv4; every
+    // 7th a credit card; every 11th an SSN), then detected and
+    // redacted back out through [[graft.operators.Pii]]. Counts are
+    // the monitoring output; md5(redacted) pins the scrubbed STRING
+    // byte-for-byte across engines; `clean` re-scans the redacted text
+    // with all five patterns — the compliance exit criterion, true by
+    // construction and ASSERTED per row by both engines rather than
+    // assumed. Scan-side per-row regex work, zero shuffles.
+    "q166_pii_scrub" -> ((s, d) => {
+      val pad = (m: Int, w: Int) =>
+        lpad((col("doc_id") % m).cast("string"), w, "0")
+      val withPii = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" tel 555-"), pad(1000, 3), lit("-"), pad(10000, 4)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 97).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" card 4242 4242 4242 "), pad(10000, 4)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" ssn "), pad(1000, 3), lit("-"), pad(100, 2),
+            lit("-"), pad(10000, 4)))
+          .otherwise(lit("")))
+      graft.operators.Pii.scrub(
+        docs(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), withPii.as("text")), "text")
+        .select(col("doc_id"), col("n_email"), col("n_cc"), col("n_ssn"),
+          col("n_phone"), col("n_ip"),
+          length(col("redacted")).cast("bigint").as("redacted_chars"),
+          md5(col("redacted")).as("redacted_md5"), col("clean"))
+    })
   )
 
   /** q164 page-synthesis + gate parameters (shared with the oracle).
@@ -1260,6 +1299,50 @@ object TextQueries {
          |  CAST($Bias + c_tokens + c_punct + c_stop + c_wlen AS BIGINT) AS score,
          |  ($Bias + c_tokens + c_punct + c_stop + c_wlen >= 0) AS keep
          |FROM f""".stripMargin
+    },
+
+    // identical synthesis, and the detection/redaction chain is
+    // GENERATED from Pii.Patterns (regexes + placeholders + order), so
+    // the two engines cannot drift: the patterns use only syntax with
+    // identical Java-regex/RE2 semantics (explicit classes, bounded
+    // repetition — no \b, no \d, no lookaround)
+    "q166_pii_scrub" -> {
+      val pats = graft.operators.Pii.Patterns
+      val counts = pats.map { case (fam, re, _) =>
+        s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$fam"
+      }.mkString(",\n          ")
+      val redacted = pats.foldLeft("text") { case (e, (_, re, ph)) =>
+        s"regexp_replace($e, '$re', '$ph', 'g')"
+      }
+      val cleanSql = pats.map { case (_, re, _) =>
+        s"len(regexp_extract_all(redacted, '$re')) = 0"
+      }.mkString(" AND ")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' tel 555-' ||
+         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |      CAST(doc_id % 97 AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' card 4242 4242 4242 ' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' ssn ' ||
+         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (
+         |  SELECT doc_id,
+         |          $counts,
+         |    $redacted AS redacted
+         |  FROM p)
+         |SELECT doc_id, n_email, n_cc, n_ssn, n_phone, n_ip,
+         |  CAST(length(redacted) AS BIGINT) AS redacted_chars,
+         |  md5(redacted) AS redacted_md5,
+         |  ($cleanSql) AS clean
+         |FROM r""".stripMargin
     }
   )
 }

@@ -151,6 +151,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q163 grew a snapshot join:\n$p")
   }
 
+  test("q165: the learned quality score is a pure scan-side map — zero " +
+      "exchanges, zero joins") {
+    val p = finalPlan("q165_learned_quality")
+    // a quality classifier that shuffles would be wrong by construction:
+    // every feature and the dot product are per-row
+    assert(shuffles(p) === 0, s"q165 grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"q165 grew a join:\n$p")
+  }
+
   test("q88: batch survivor selection is a pre-shuffle WindowGroupLimit, no sort-merge join") {
     val p = finalPlan("q88_merge_upsert")
     // Spark's rank-filter rewrite must kick in: each map task keeps only
