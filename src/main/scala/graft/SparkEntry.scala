@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.RelationalQueries.queries ++
       graft.queries.BreadthQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.WebScrubQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,7 +30,8 @@ object SparkEntry {
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.BreadthQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.AnalyticsQueries.oracleSql
+      graft.queries.AnalyticsQueries.oracleSql ++
+      graft.queries.WebScrubQueries.oracleSql
   /** Queries intentionally without oracle SQL (non-SQL-expressible in
     * DuckDB; driver records a weaker rows-only check). Empty since
     * round 4: q30 now emits an engine-agnostic accuracy verdict

@@ -1231,11 +1231,14 @@ final class Catalog(val spark: SparkSession, val root: String,
 
   /** The `k` a [[maintainKmv]] sketch table was built with, read from
     * its constant `kmv_k` stamp (None when the table doesn't exist,
-    * is empty, or predates the stamp). One-row read — the sketch grid
-    * is O(groups · k), and only a single value is fetched. */
+    * is empty, predates the stamp, or — r15 advice — carries a NULL
+    * stamp from an outside-the-maintainer write: a NULL must read as
+    * "no certified k", not throw). One-row read — the sketch grid is
+    * O(groups · k), and only a single value is fetched. */
   def kmvK(table: String): Option[Int] =
     if (!exists(table) || !this.table(table).columns.contains("kmv_k")) None
-    else this.table(table).select(col("kmv_k")).limit(1).collect()
+    else this.table(table).select(col("kmv_k"))
+      .filter(col("kmv_k").isNotNull).limit(1).collect()
       .headOption.map(_.getInt(0))
 
   private val AppliedBatchIdMarker = "_applied_batch_id"

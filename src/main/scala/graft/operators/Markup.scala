@@ -26,9 +26,18 @@ import org.apache.spark.sql.functions._
   *      just consecutive matches), then `<[^>]*$` → " " so a page
   *      truncated mid-tag (unclosed trailing `<a href=...`) drops the
   *      fragment instead of leaking it into training text.
-  *   4. entity decode — the five XML entities + nbsp, with `&amp;`
-  *      LAST (decoding it first would double-decode `&amp;lt;` into a
-  *      live `<`).
+  *   4. entity decode — the named XML entities + nbsp + the common
+  *      NUMERIC character references real crawl HTML carries
+  *      (`&#34;`, `&#x27;`, …), all through one frozen table
+  *      ([[Entities]] — the q164 oracle's replace chain is GENERATED
+  *      from it, so the engines cannot drift). Ordering is the
+  *      contract: ampersand forms decode LAST, and the numeric amp
+  *      refs (`&#38;`/`&#x26;`) are first NORMALIZED to `&amp;` so a
+  *      source-escaped `&amp;#38;` or a mixed `&#38;amp;` decodes to
+  *      the literal text a real entity decoder would produce instead
+  *      of double-decoding (each `replace` scans left-to-right without
+  *      re-reading its own output, so the only cross-call feeding is
+  *      the one the table's order makes deliberate).
   *   5. whitespace collapse — the EXPLICIT class `[ \t\n\r\f]+` → " ",
   *      then trim. Explicit because `\s` differs across engines (Java
   *      includes U+000B, RE2 does not) and the extracted string is
@@ -57,11 +66,25 @@ object Markup {
   def stripTags(body: Column): Column =
     regexp_replace(regexp_replace(body, "<[^>]*>", " "), "<[^>]*$", " ")
 
-  /** Entity decode, `&amp;` last (step 4). */
+  /** Frozen decode table — order IS the contract. Named entities and
+    * non-ampersand numeric refs first (decimal + the common lowercase
+    * hex quote/apostrophe forms; `&#X..;`/zero-padded refs stay out of
+    * scope, documented), then the ampersand family: `&#38;`/`&#x26;`
+    * normalize INTO `&amp;`, and `&amp;` itself decodes last — the
+    * arrangement under which escaped-in-source refs (`&amp;#38;`,
+    * `&#38;amp;`, `&amp;lt;`) all come out as the literal text a
+    * spec-compliant decoder produces (MarkupSpec pins each). */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ",
+    "&#34;" -> "\"", "&#x22;" -> "\"", "&#x27;" -> "'",
+    "&#60;" -> "<", "&#62;" -> ">", "&#160;" -> " ",
+    "&#46;" -> ".", "&#64;" -> "@",
+    "&#38;" -> "&amp;", "&#x26;" -> "&amp;", "&amp;" -> "&")
+
+  /** Entity decode through [[Entities]], amp forms last (step 4). */
   def decodeEntities(text: Column): Column =
-    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-      "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(text) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    Entities.foldLeft(text) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
 
   /** Engine-invariant whitespace collapse + trim (step 5). */
   def collapseWs(text: Column): Column =
@@ -87,7 +110,10 @@ object Markup {
       .withColumn("html_chars", length(col(htmlCol)).cast("long"))
       .withColumn("extracted_chars", length(col("extracted")).cast("long"))
       .withColumn("markup_ratio_q20",
-        expr("(extracted_chars * 1048576) div html_chars"))
+        // greatest() guard: an empty html page must gate to keep=false,
+        // not a NULL from the div-by-zero (r15 advice; the
+        // QualityClassifier convention)
+        expr("(extracted_chars * 1048576) div greatest(html_chars, 1)"))
       .withColumn("keep",
         col("n_links") <= maxLinks && col("markup_ratio_q20") >= ratioMinQ20)
       .drop("__body")

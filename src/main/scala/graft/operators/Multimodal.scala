@@ -950,13 +950,17 @@ object Multimodal {
     * is — catching it would mint a bogus quarantine verdict for a row
     * that was never rotten (and commit it, under at-least-once replay,
     * FOREVER). InterruptedException is not matched by NonFatal; fatal
-    * VM errors (OOM, stack overflow) likewise pass through.
-    * MultimodalSpec drives this with an injected interrupt, which a
-    * Dataset round-trip can't. */
+    * VM errors (OOM, stack overflow) likewise pass through. The match
+    * is `Exception if NonFatal` rather than bare NonFatal (r15
+    * advice): NonFatal alone also swallows non-fatal ERRORS
+    * (AssertionError et al.), which are engine bugs, not rotten rows —
+    * quarantine is for decode/metadata failures only, and those
+    * surface as Exceptions. MultimodalSpec drives this with an
+    * injected interrupt, which a Dataset round-trip can't. */
   private[graft] def quarantining(mediaId: Long, kind: String)
                                  (body: => MediaVerdict): MediaVerdict =
     try body catch {
-      case scala.util.control.NonFatal(e) =>
+      case e: Exception if scala.util.control.NonFatal(e) =>
         MediaVerdict(mediaId, kind, ok = false,
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName),
           keep = false)

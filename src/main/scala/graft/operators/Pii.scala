@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   *     no \b, no \d, no lookaround, no backreferences);
   *   - the REDACTION ORDER is part of the contract (email first — its
   *     local part may contain digits a later pattern could chew on;
-  *     then cc → ssn → phone → ip). The families are mutually
-  *     non-overlapping by construction (PiiSpec pins the cross-matrix:
-  *     no pattern matches inside another family's example), so the
-  *     order never changes WHAT is redacted, only makes the why
-  *     auditable;
+  *     then cc → ssn → phone → ip). The canonical shapes are mutually
+  *     non-overlapping (PiiSpec pins the cross-matrix: no pattern
+  *     matches inside another family's example), with ONE documented
+  *     exception the order resolves: a dotted `+1.XXX.XXX.XXXX` phone
+  *     contains an IPv4-shaped substring, so raw COUNTS report both
+  *     families on such text (a monitoring artifact), while redaction
+  *     — phone strictly before ip — removes the number once and
+  *     `clean` comes back true (PiiSpec pins this case);
   *   - counts are taken on the RAW text (the monitoring output);
   *     `clean` re-scans the redacted text with all five patterns — the
   *     exit criterion a compliance gate actually checks.
@@ -35,12 +38,33 @@ import org.apache.spark.sql.functions._
   */
 object Pii {
 
-  /** (family, regex, placeholder) — order IS the redaction order. */
+  /** (family, regex, placeholder) — order IS the redaction order.
+    *
+    * Shapes covered (widened per the round-15 review — the first cut
+    * was lowercase/space-quad/bare-hyphen only, so `Jane@Example.COM`
+    * or `4242-4242-4242-4242` sailed through with `clean` = true, a
+    * false compliance signal):
+    *   - email: mixed case via EXPLICIT `[a-zA-Z…]` classes (not
+    *     `(?i)`, so there is no flag-semantics question across
+    *     engines);
+    *   - cc: quads separated by space or hyphen (mixed separators
+    *     admitted — requiring a consistent separator needs a
+    *     backreference, which RE2 lacks), plus a contiguous 16-digit
+    *     run;
+    *   - phone: optional `+1` country prefix (space/dot/hyphen),
+    *     `(XXX) XXX-XXXX` (paren space optional), and dotted or
+    *     hyphenated `XXX?XXX?XXXX`. Deliberately NOT bare 10 contiguous
+    *     digits — at crawl scale that family is mostly false positives
+    *     (ids, timestamps).
+    * Still out of scope, documented: `+1` glued straight onto digits
+    * (`+15551234567`), `&#x`-less obfuscations, and anything needing a
+    * dictionary/NER (names, addresses). */
   val Patterns: Seq[(String, String, String)] = Seq(
-    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
-    ("cc", "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}", "<CC>"),
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("cc", "[0-9]{4}([ -][0-9]{4}){3}|[0-9]{16}", "<CC>"),
     ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
-    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("phone", "(\\+1[ .-])?(\\([0-9]{3}\\) ?|[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}",
+      "<PHONE>"),
     ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
 
   /** Per-family match count on the raw text. */

@@ -616,7 +616,7 @@ object TextQueries {
         lit("<html><head><title>doc "), col("doc_id").cast("string"),
         lit("</title><style>.x{color:red}</style></head><body><nav>"),
         expr(s"repeat('$HtmlNavLink', CAST(doc_id % 7 + 1 AS INT))"),
-        lit("</nav><p>"), col("text"), lit("</p>"),
+        lit("</nav><p>"), col("text"), lit("</p>" + HtmlRefSnippet),
         when(col("doc_id") % 5 === 0, lit(HtmlAdBlock)).otherwise(lit("")),
         lit("<footer>(c) corpus</footer></body></html>"))
       graft.operators.Markup.extract(
@@ -635,7 +635,7 @@ object TextQueries {
     // analogue of q76's attrition reasons. One text_stats pass + one
     // token collapse, per-row, shuffle-free — the score pipelines
     // inside the scan's codegen stage at a 100 TB crawl. Weights,
-    // features, and the ~85%-keep calibration live at
+    // features, and the ~62%-keep calibration live at
     // [[graft.operators.QualityClassifier]].
     "q165_learned_quality" -> ((s, d) =>
       graft.operators.QualityClassifier.score(
@@ -686,7 +686,14 @@ object TextQueries {
   /** q164 page-synthesis + gate parameters (shared with the oracle).
     * The nav link is repeated 1 + doc_id % 7 times (≤ 7 links — at the
     * MaxLinks line); the ad block adds 8 more, pushing every fifth
-    * page over it. */
+    * page over it. The ref snippet (r16) makes the numeric-character-
+    * reference decode LOAD-BEARING in every page's extracted_md5:
+    * decimal + hex quote refs, an nbsp ref, and the two
+    * escaped-ampersand shapes whose literal survival the decode order
+    * guarantees (no single-quote chars, so the same literal embeds in
+    * the SQL synthesis unescaped). */
+  private val HtmlRefSnippet = "<p>refs &#34;dq&#34; &#x27;sq&#x27; " +
+    "&#60;lt&#62; nb&#160;sp &amp;#38; &#38;amp;</p>"
   private val HtmlNavLink = "<a href=\"#\">nav link</a> "
   private val HtmlAdBlock = "<div class=\"ads\">" +
     Seq.fill(8)("""<a href="#">ad</a>""").mkString + "</div>"
@@ -749,17 +756,25 @@ object TextQueries {
 
   // ------------------------------------------------------------- oracle SQL
 
-  private def duckList(xs: Seq[String]): String =
+  private[queries] def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** The q164 entity-decode replace chain, GENERATED from the frozen
+    * [[graft.operators.Markup.Entities]] table (order included) so the
+    * two engines cannot drift — the q166 generated-oracle pattern. */
+  private[queries] def duckEntityDecode(inner: String): String =
+    graft.operators.Markup.Entities.foldLeft(inner) { case (e, (ent, v)) =>
+      s"replace($e, '$ent', '${v.replace("'", "''")}')"
+    }
 
   private def duckHits(lang: String): String = {
     val stops = duckList(stopwords.toMap.apply(lang))
     s"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), w -> list_contains($stops, w)))"
   }
 
-  private val duckWsTokens =
+  private[queries] val duckWsTokens =
     "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-  private val duckPunct = "len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))"
+  private[queries] val duckPunct = "len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))"
   private val duckPunctRatio =
     s"CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0 ELSE CAST($duckPunct AS DOUBLE) / CAST(length(text) AS DOUBLE) END"
 
@@ -1224,15 +1239,18 @@ object TextQueries {
     // operators.Markup step for step (regexp dialect-safe: '(?s)',
     // '<[^>]*>', '<[^>]*$' and the EXPLICIT whitespace class
     // '[ \t\n\r\f]+' parse the same under Java regex and RE2 — \s
-    // would NOT: Java's includes U+000B, RE2's doesn't); entity
-    // decode order (&amp; last) and the integer gate arithmetic match
+    // would NOT: Java's includes U+000B, RE2's doesn't); the entity
+    // replace chain is GENERATED from Markup.Entities (amp forms
+    // last), so the r16 numeric-character-reference table cannot
+    // drift between engines; ratio div guarded by greatest() as on
+    // the Spark side
     "q164_html_extract" ->
       s"""WITH b AS (
          |  SELECT doc_id,
          |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
          |    '</title><style>.x{color:red}</style></head><body><nav>' ||
          |    repeat('$HtmlNavLink', CAST(doc_id % 7 + 1 AS INT)) ||
-         |    '</nav><p>' || text || '</p>' ||
+         |    '</nav><p>' || text || '</p>$HtmlRefSnippet' ||
          |    CASE WHEN doc_id % 5 = 0 THEN '$HtmlAdBlock' ELSE '' END ||
          |    '<footer>(c) corpus</footer></body></html>' AS html
          |  FROM documents WHERE text IS NOT NULL),
@@ -1247,18 +1265,17 @@ object TextQueries {
          |        CAST(length(html) AS BIGINT) AS html_chars,
          |        CAST((length(body) - length(replace(body, '<a href', ''))) // 7
          |             AS BIGINT) AS n_links,
-         |        trim(regexp_replace(
-         |          replace(replace(replace(replace(replace(replace(stripped,
-         |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-         |            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |        trim(regexp_replace(${duckEntityDecode("stripped")},
          |          '[ \\t\\n\\r\\f]+', ' ', 'g')) AS txt
          |      FROM s)
          |SELECT doc_id, html_chars, n_links,
          |  CAST(length(txt) AS BIGINT) AS extracted_chars,
          |  md5(txt) AS extracted_md5,
-         |  CAST((length(txt) * 1048576) // html_chars AS BIGINT) AS markup_ratio_q20,
+         |  CAST((length(txt) * 1048576) // greatest(html_chars, 1)
+         |       AS BIGINT) AS markup_ratio_q20,
          |  (n_links <= $HtmlMaxLinks AND
-         |   (length(txt) * 1048576) // html_chars >= $HtmlRatioMinQ20) AS keep
+         |   (length(txt) * 1048576) // greatest(html_chars, 1)
+         |     >= $HtmlRatioMinQ20) AS keep
          |FROM t""".stripMargin,
 
     // identical frozen weights (QualityClassifier constants inlined),

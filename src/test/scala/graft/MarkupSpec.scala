@@ -38,6 +38,33 @@ class MarkupSpec extends SparkSpec {
     assert(r.getString(0) === "a <tag> \"q\" 's' b c & d &lt;")
   }
 
+  test("numeric character references decode through the frozen table — " +
+      "decimal, lowercase hex, and the nbsp ref") {
+    val html = "<body>a &#34;dq&#34; &#x22;dq2&#x22; &#39;sq&#39; " +
+      "&#x27;sq2&#x27; &#60;tag&#62; nb&#160;sp &#38; ok</body>"
+    val r = extractOne(html)
+    assert(r.getString(0) === "a \"dq\" \"dq2\" 'sq' 'sq2' <tag> nb sp & ok")
+  }
+
+  test("escaped-ampersand shapes survive as literals: the &#38;/&#x26; " +
+      "normalize-to-&amp; arrangement cannot double-decode") {
+    // &amp;#38; = escaped ref -> literal '&#38;'; &#38;amp; = '&'+'amp;'
+    // -> literal '&amp;'; &amp;lt; -> literal '&lt;'; &#38;#x26; ->
+    // '&' + '#x26;' -> literal '&#x26;'
+    val r = extractOne(
+      "<body>w &amp;#38; x &#38;amp; y &amp;lt; z &#38;#x26;</body>")
+    assert(r.getString(0) === "w &#38; x &amp; y &lt; z &#x26;")
+  }
+
+  test("empty html gates to keep=false, not a NULL ratio (div-by-zero " +
+      "guard)") {
+    val out = Markup.extract(Seq((1L, "")).toDF("doc_id", "html"), "html")
+      .head()
+    assert(out.getAs[Long]("markup_ratio_q20") === 0L)
+    assert(out.getAs[Boolean]("keep") === false)
+    assert(!out.isNullAt(out.fieldIndex("keep")))
+  }
+
   test("unclosed trailing tag drops instead of leaking into text; nested " +
       "tags strip as consecutive matches") {
     val r = extractOne("<body><div><b>deep</b> text</div><a href=\"trunc")

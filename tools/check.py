@@ -116,6 +116,66 @@ def slowest_gate(repo, baseline):
     return 0
 
 
+def cross_round_gate(repo):
+    """Round-16 gate (VERDICT r15 item 1): selfheal's same-round banding
+    let a query drift >=1.5x ACROSS rounds with untouched code and carry
+    a bare value (q53_string_funcs reached 2.11x of its r14 committed
+    point before anything flagged it). The previous round's committed
+    artifacts are snapshotted under tools/prev_round/ (refresh them
+    BEFORE regeneration overwrites the committed files — the regen
+    workflow's first step); this leg enforces BASELINE.md's per-query
+    letter against them: any matched query whose gate value exceeds 2x
+    its prev-round committed point must carry a standalone band (a
+    self-healed dict) or a tools/priced.json explanation. Banded/priced
+    movers print as notes so cross-round drift is VISIBLE, not silently
+    green."""
+    fails = 0
+    priced_path = f"{repo}/tools/priced.json"
+    priced = json.load(open(priced_path)) if os.path.exists(priced_path) else {}
+    for art in ("BENCH-sf0.1-same-code.json", "BENCH-sf1ish.json",
+                "BENCH-sf10ish.json"):
+        prev_path = f"{repo}/tools/prev_round/{art}"
+        if not os.path.exists(prev_path):
+            print(f"FAIL tools/prev_round/{art} missing — snapshot the "
+                  f"previous round's committed artifact before regenerating")
+            fails += 1
+            continue
+        cur = json.load(open(f"{repo}/{art}")).get("queries", {})
+        prev = json.load(open(prev_path)).get("queries", {})
+        bare, noted = [], []
+        for q in sorted(cur):
+            if q not in prev or not entry_ok(cur[q]) or not entry_ok(prev[q]):
+                continue
+            pv = effective(prev[q])
+            if pv <= 0:
+                continue
+            ratio = effective(cur[q]) / pv
+            if ratio <= 2.0:
+                continue
+            if q in priced:
+                noted.append(f"{q} {ratio:.2f}x priced: {priced[q]}")
+            elif isinstance(cur[q], dict):
+                noted.append(f"{q} {ratio:.2f}x standalone-banded "
+                             f"({cur[q]['in_sweep']:.2f}s sweep -> "
+                             f"{cur[q]['standalone']:.2f}s isolated)")
+            else:
+                bare.append(f"{q} {ratio:.2f}x ({pv:.2f}s -> "
+                            f"{effective(cur[q]):.2f}s)")
+        for n in noted:
+            print(f"NOTE {art} cross-round mover: {n}")
+        if bare:
+            print(f"FAIL {art}: {len(bare)} quer"
+                  f"{'y' if len(bare) == 1 else 'ies'} >2x the prev-round "
+                  f"committed point with NO standalone band or priced.json "
+                  f"entry: {', '.join(bare)}")
+            fails += 1
+        else:
+            print(f"PASS {art} cross-round per-query gate vs "
+                  f"tools/prev_round ({len(noted)} noted mover"
+                  f"{'' if len(noted) == 1 else 's'})")
+    return fails
+
+
 def artifacts_gate(repo):
     """Round-13 gate (VERDICT r12 items 1+6): the committed decade
     artifacts must cover exactly the query set declared in source, under
@@ -178,6 +238,7 @@ def artifacts_gate(repo):
                   f"{d.get('reps')}"
                   + (f", {len(healed)} self-healed" if healed else "") + ")")
     fails += baseline_numbers_gate(baseline, totals)
+    fails += cross_round_gate(repo)
     if not fails:
         fails += slowest_gate(repo, baseline)
     return fails

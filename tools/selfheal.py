@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Self-healing post-pass for committed bench artifacts (VERDICT r14 #1).
+"""Self-healing post-pass for committed bench artifacts (VERDICT r14 #1,
+cross-round banding per VERDICT r15 #1).
 
 The committed decade sweeps historically embedded up to 2.8x of in-sweep
 neighbor noise on the per-row-CPU decode family (q155 committed 4.28 s
@@ -8,15 +9,16 @@ and the correction lived in BASELINE.md prose that every future gate
 reader had to know to apply. This pass makes the artifact itself carry
 the correction:
 
-  python3 tools/selfheal.py <artifact.json> <prev_artifact.json> [--threshold 1.5] [--reps 3]
+  python3 tools/selfheal.py <artifact.json> <prev.json> [<prev2.json> ...]
+                            [--threshold 1.5] [--reps 3]
 
-For every query whose sweep reading exceeds `threshold` x its previously
-committed point (the matched query in <prev_artifact.json>, itself read
-through the same standalone-preferring lens), the query is re-run
-STANDALONE in a FRESH JVM/SparkSession session (one sbt invocation for
-the flagged set, SPARK_GRAFT_ISOLATED=1 SPARK_GRAFT_REPS=3 — a fresh
-SparkContext per query inside it), and the artifact entry is rewritten
-from a bare number to
+For every query whose sweep reading exceeds `threshold` x its matched
+point in ANY of the given predecessor artifacts (each read through the
+same standalone-preferring lens), the query is re-run STANDALONE in a
+FRESH JVM/SparkSession session (one sbt invocation for the flagged set,
+SPARK_GRAFT_ISOLATED=1 SPARK_GRAFT_REPS=3 — a fresh SparkContext per
+query inside it), and the artifact entry is rewritten from a bare number
+to
 
     {"in_sweep": <sweep seconds>, "standalone": <re-measure seconds>}
 
@@ -27,6 +29,16 @@ arithmetic; the in_sweep value stays on the record so the noise is
 visible, not erased. Queries with no matched predecessor (new this
 round) cannot be flagged — their first committed point becomes the
 baseline the NEXT round heals against.
+
+Round-15 blind spot, closed here: healing only against the SAME round's
+predecessor sweep lets a query drift >=1.5x ACROSS rounds with untouched
+code and carry a bare value (q53_string_funcs reached 2.11x of its r14
+committed point that way). Pass the previous ROUND's committed artifact
+(kept under tools/prev_round/ — refreshed each round BEFORE regeneration
+overwrites the committed files) as an additional predecessor, and
+check.py --artifacts enforces the result: no query may sit >2x its
+prev-round committed point without a standalone band or a
+tools/priced.json explanation.
 
 The sweep artifact's own "sf" field names the data directory, so the
 re-measure prices exactly what the sweep priced.
@@ -48,26 +60,33 @@ def main():
             for a in sys.argv[1:] if a.startswith("--") and "=" in a}
     threshold = float(opts.get("--threshold", 1.5))
     reps = opts.get("--reps", "3")
-    if len(args) != 2:
+    if len(args) < 2:
         sys.exit(__doc__)
-    art_path, prev_path = args
+    art_path, prev_paths = args[0], args[1:]
     art = json.load(open(art_path))
-    prev = json.load(open(prev_path))
-    prev_q = {q: effective(v) for q, v in prev.get("queries", {}).items()}
+    # per query: the strictest (smallest positive) predecessor point,
+    # and which artifact it came from — a mover is flagged when it
+    # exceeds threshold x ANY predecessor
+    prev_q = {}
+    for pp in prev_paths:
+        for q, v in json.load(open(pp)).get("queries", {}).items():
+            ev = effective(v)
+            if ev and ev > 0 and (q not in prev_q or ev < prev_q[q][0]):
+                prev_q[q] = (ev, os.path.basename(pp))
     flagged = sorted(
         q for q, v in art.get("queries", {}).items()
         if not isinstance(v, dict)            # never re-heal a healed entry
-        and q in prev_q and prev_q[q] > 0 and v > 0
-        and v > threshold * prev_q[q])
+        and q in prev_q and v > 0
+        and v > threshold * prev_q[q][0])
     if not flagged:
-        print(f"selfheal: no query exceeds {threshold}x its predecessor — "
+        print(f"selfheal: no query exceeds {threshold}x any predecessor — "
               f"artifact unchanged")
         return
     print(f"selfheal: re-running {len(flagged)} flagged quer"
           f"{'y' if len(flagged) == 1 else 'ies'} standalone "
-          f"(>{threshold}x vs {os.path.basename(prev_path)}): "
-          + ", ".join(f"{q} {art['queries'][q]:.2f}s vs {prev_q[q]:.2f}s"
-                      for q in flagged))
+          f"(>{threshold}x vs {', '.join(os.path.basename(p) for p in prev_paths)}): "
+          + ", ".join(f"{q} {art['queries'][q]:.2f}s vs {prev_q[q][0]:.2f}s"
+                      f" [{prev_q[q][1]}]" for q in flagged))
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=art["sf"],
                SPARK_GRAFT_ISOLATED="1",
@@ -81,6 +100,13 @@ def main():
         sys.exit(f"selfheal: Bench produced no metric line\n{out.stdout[-2000:]}"
                  f"\n{out.stderr[-2000:]}")
     healed = json.loads(lines[-1].replace("[info] ", "", 1))
+    # r15 advice: validate BEFORE mutating — a flagged query missing
+    # from the re-run (e.g. it aborted, so no entry was emitted) must
+    # be a named error, not a KeyError after a partial rewrite
+    missing = sorted(set(flagged) - set(healed.get("queries", {})))
+    if missing:
+        sys.exit(f"selfheal: standalone re-run returned no entry for "
+                 f"{missing} — artifact left untouched")
     bad = {q: t for q, t in healed["queries"].items() if t < 0}
     if bad:
         sys.exit(f"selfheal: standalone re-run FAILED for {sorted(bad)}")
@@ -89,7 +115,7 @@ def main():
                              "standalone": healed["queries"][q]}
     art["self_heal"] = {
         "threshold": threshold,
-        "prev_artifact": os.path.basename(prev_path),
+        "prev_artifacts": [os.path.basename(p) for p in prev_paths],
         "healed": {q: art["queries"][q] for q in flagged},
         "reps": int(reps), "isolated": True,
         "load1_start": healed.get("load1_start"),
@@ -102,7 +128,8 @@ def main():
         e = art["queries"][q]
         print(f"  {q}: in_sweep {e['in_sweep']:.2f}s -> standalone "
               f"{e['standalone']:.2f}s "
-              f"({e['standalone'] / prev_q[q]:.2f}x of predecessor)")
+              f"({e['standalone'] / prev_q[q][0]:.2f}x of predecessor "
+              f"[{prev_q[q][1]}])")
     print(f"selfheal: wrote {art_path} (total {art['value']:.1f}s)")
 
 
