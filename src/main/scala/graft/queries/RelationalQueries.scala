@@ -185,6 +185,16 @@ object RelationalQueries {
     // of them. PlanSpec pins the `dynamicpruning` subquery in the
     // fact's PartitionFilters. Values are layout-independent, so the
     // oracle is the plain join-agg over a VALUES dim.
+    //
+    // Standalone band at the 100× decade (r16): 3.52 / 3.95 / 5.96 s
+    // across calm isolated sessions, 11.70 s once under load-18 — vs
+    // the r15 committed 2.01 s, code untouched. Unlike a pure read
+    // query, q148 WRITES the partitioned fact to a temp dir every
+    // invocation before probing it, so its floor carries the fact's
+    // parquet write + footer IO at this decade and moves with
+    // page-cache/IO weather far more than its neighbors; the DPP
+    // probe itself stays pruned (PlanSpec). The committed r16
+    // artifact carries the mid-band 5.96 standalone reading.
     "q148_dpp_prune" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_q148")
       CoreQueries.cleanupAtExit(root)
