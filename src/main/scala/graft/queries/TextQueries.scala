@@ -680,7 +680,26 @@ object TextQueries {
           col("n_phone"), col("n_ip"),
           length(col("redacted")).cast("bigint").as("redacted_chars"),
           md5(col("redacted")).as("redacted_md5"), col("clean"))
-    })
+    }),
+
+    // within-document repetition filter (Gopher/MassiveText rules):
+    // where q165's learned scorer measures vocabulary-class signals,
+    // this measures LOOPING directly — duplicate 2/3/4-gram fractions
+    // plus the top-bigram occurrence share, all q20 integers from the
+    // same positional-shingle machinery q141 proved engine-parity for.
+    // Every 6th doc is planted with a 30x-repeated trigram tail (the
+    // machine-generated-page shape), so the DROP branch is
+    // oracle-exercised on the natural corpus too. Per-row, zero
+    // shuffles, scan-side (PlanSpec-pinned) — thresholds and arithmetic
+    // live at [[graft.operators.Repetition]].
+    "q168_repetition_filter" -> ((s, d) =>
+      graft.operators.Repetition.annotate(
+        docs(s, d).filter(col("text").isNotNull).select(
+          col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % RepPlantMod === 0, lit(" " + RepPlantTail))
+              .otherwise(lit(""))).as("text")), "text")
+        .drop("text"))
   )
 
   /** q164 page-synthesis + gate parameters (shared with the oracle).
@@ -699,6 +718,13 @@ object TextQueries {
     Seq.fill(8)("""<a href="#">ad</a>""").mkString + "</div>"
   private val HtmlMaxLinks = graft.operators.Markup.DefaultMaxLinks
   private val HtmlRatioMinQ20 = graft.operators.Markup.DefaultRatioMinQ20
+
+  /** q168 repetition plant (shared with the oracle): a 30×-repeated
+    * trigram tail appended to every 6th doc — dup2 ≈ 0.9 over the tail
+    * alone, far past every threshold even after dilution by the host
+    * doc's natural grams. */
+  private val RepPlantMod = 6
+  private val RepPlantTail = "spam ham jam " * 30
 
   /** q141's probe phrase (shared by Spark + oracle SQL) — occurs at
     * EVERY testdata scale factor (the sf0.001 smoke requires rows > 0;
@@ -1359,6 +1385,44 @@ object TextQueries {
          |  CAST(length(redacted) AS BIGINT) AS redacted_chars,
          |  md5(redacted) AS redacted_md5,
          |  ($cleanSql) AS clean
+         |FROM r""".stripMargin
+    },
+
+    // identical plant; positional n-grams via the q141 slice pattern
+    // (duplicates KEPT — dedup metrics count positions); thresholds
+    // inlined from Repetition's frozen q20 constants; every div is a
+    // floor-// on non-negative BIGINTs, matching Spark's `div`
+    "q168_repetition_filter" -> {
+      import graft.operators.Repetition._
+      def gs(k: Int) =
+        s"CASE WHEN len(ws) >= $k THEN list_transform(range(0, len(ws) - ${k - 1}), " +
+          s"i -> array_to_string(list_slice(ws, CAST(i AS INT) + 1, CAST(i AS INT) + $k), ' ')) " +
+          "ELSE CAST([] AS VARCHAR[]) END"
+      def dup(n: Int) =
+        s"CAST(((len(g$n) - len(list_distinct(g$n))) * 1048576) // " +
+          s"greatest(len(g$n), 1) AS BIGINT) AS dup${n}_q20"
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % $RepPlantMod = 0
+         |                 THEN ' $RepPlantTail' ELSE '' END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |      FROM p),
+         |g AS (SELECT doc_id, ${gs(2)} AS g2, ${gs(3)} AS g3, ${gs(4)} AS g4
+         |      FROM w),
+         |r AS (SELECT doc_id,
+         |        ${dup(2)},
+         |        ${dup(3)},
+         |        ${dup(4)},
+         |        CAST((coalesce(list_max(list_filter(list_transform(
+         |               list_distinct(g2),
+         |               g -> len(list_filter(g2, x -> x = g))), c -> c >= 2)),
+         |             0) * 1048576)
+         |             // greatest(len(g2), 1) AS BIGINT) AS top2_q20
+         |      FROM g)
+         |SELECT doc_id, dup2_q20, dup3_q20, dup4_q20, top2_q20,
+         |  (dup2_q20 <= $Dup2MaxQ20 AND dup3_q20 <= $Dup3MaxQ20 AND
+         |   dup4_q20 <= $Dup4MaxQ20 AND top2_q20 <= $Top2MaxQ20) AS keep
          |FROM r""".stripMargin
     }
   )

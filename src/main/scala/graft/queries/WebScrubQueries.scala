@@ -38,9 +38,12 @@ import graft.operators.{Markup, Pii, QualityClassifier, WebScrub}
   * BIGINT checksum, so every stage is load-bearing in the hash
   * (extraction text → extracted_chars and every downstream feature;
   * quality weights → the score sum; the widened Pii families → hit
-  * counts, redacted lengths, and the distinct-redaction cardinality).
-  * `clean_exit` pins the compliance criterion itself: ZERO surviving
-  * rows may re-scan dirty.
+  * counts, the redacted≠extracted count — which must equal the
+  * hits>0 count — and an order-free SUM of a 32-bit md5 prefix per
+  * surviving redacted string: the byte-content pin WITHOUT the
+  * survivor-cardinality exchange a count-distinct would cost at
+  * 100 TB). `clean_exit` pins the compliance criterion itself: ZERO
+  * surviving rows may re-scan dirty.
   */
 object WebScrubQueries {
 
@@ -97,9 +100,16 @@ object WebScrubQueries {
         sum(when(surv, col("score")).otherwise(0L)).as("c2"),
         sum(when(surv && hits > 0L, 1L).otherwise(0L)).as("n3"),
         sum(when(surv, hits).otherwise(0L)).as("c3"),
-        countDistinct(when(surv, md5(col("redacted")))).as("n4"),
-        sum(when(surv, length(col("redacted")).cast("bigint")).otherwise(0L))
-          .as("c4"),
+        // content pin WITHOUT a distinct (count-distinct would cost a
+        // second, survivor-cardinality exchange — real at 100 TB): an
+        // order-free SUM of a 32-bit md5 prefix per surviving redacted
+        // string (2³² · rows stays far under 2⁶³ through ~10⁹ docs),
+        // plus the redacted≠extracted count, which must equal n3
+        sum(when(surv && col("redacted") =!= col("extracted"), 1L)
+          .otherwise(0L)).as("n4"),
+        sum(when(surv,
+          conv(substring(md5(col("redacted")), 1, 8), 16, 10).cast("bigint"))
+          .otherwise(0L)).as("c4"),
         sum(when(surv && !col("clean"), 1L).otherwise(0L)).as("n5"),
         sum(when(surv && col("clean"), 1L).otherwise(0L)).as("c5"))
       def st(ord: Int, name: String) =
@@ -221,8 +231,11 @@ object WebScrubQueries {
          |  CAST(SUM(CASE WHEN surv AND hits > 0 THEN 1 ELSE 0 END) AS BIGINT),
          |  CAST(SUM(CASE WHEN surv THEN hits ELSE 0 END) AS BIGINT) FROM p
          |UNION ALL SELECT 4, 'redacted',
-         |  CAST(COUNT(DISTINCT CASE WHEN surv THEN md5(redacted) END) AS BIGINT),
-         |  CAST(SUM(CASE WHEN surv THEN length(redacted) ELSE 0 END) AS BIGINT)
+         |  CAST(SUM(CASE WHEN surv AND redacted <> text THEN 1 ELSE 0 END)
+         |       AS BIGINT),
+         |  CAST(SUM(CASE WHEN surv THEN
+         |    CAST('0x' || substring(md5(redacted), 1, 8) AS BIGINT)
+         |    ELSE 0 END) AS BIGINT)
          |FROM p
          |UNION ALL SELECT 5, 'clean_exit',
          |  CAST(SUM(CASE WHEN surv AND NOT clean THEN 1 ELSE 0 END) AS BIGINT),

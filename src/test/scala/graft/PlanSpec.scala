@@ -160,6 +160,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q165 grew a join:\n$p")
   }
 
+  test("q167: the composed web scrub is ONE scan-side map — the only " +
+      "exchange is the final single-row aggregate, zero joins") {
+    val p = finalPlan("q167_web_scrub")
+    // Markup -> QualityClassifier -> Pii with no inter-stage filter:
+    // anything beyond the one-row global-agg exchange means a stage
+    // broke out of the scan's codegen span
+    assert(shuffles(p) <= 1, s"q167 grew a scrub-chain shuffle:\n$p")
+    assert(!p.contains("Join"), s"q167 grew a join:\n$p")
+  }
+
+  test("q168: the repetition filter is a pure scan-side map — zero " +
+      "exchanges, zero joins") {
+    val p = finalPlan("q168_repetition_filter")
+    // all four signals are array arithmetic over a row's OWN grams;
+    // a shuffle would mean corpus state leaked into a per-doc filter
+    assert(shuffles(p) === 0, s"q168 grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"q168 grew a join:\n$p")
+  }
+
   test("q88: batch survivor selection is a pre-shuffle WindowGroupLimit, no sort-merge join") {
     val p = finalPlan("q88_merge_upsert")
     // Spark's rank-filter rewrite must kick in: each map task keeps only
