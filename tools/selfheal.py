@@ -54,6 +54,14 @@ def effective(v):
     return v["standalone"] if isinstance(v, dict) else v
 
 
+def label(path):
+    """Display name for a predecessor artifact. Basenames alone are
+    ambiguous in multi-predecessor runs (tools/prev_round/X and a
+    same-round mid-artifact X share one), so keep the parent dir."""
+    parent = os.path.basename(os.path.dirname(os.path.abspath(path)))
+    return f"{parent}/{os.path.basename(path)}"
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     opts = {a.split("=")[0]: a.split("=")[1]
@@ -72,7 +80,7 @@ def main():
         for q, v in json.load(open(pp)).get("queries", {}).items():
             ev = effective(v)
             if ev and ev > 0 and (q not in prev_q or ev < prev_q[q][0]):
-                prev_q[q] = (ev, os.path.basename(pp))
+                prev_q[q] = (ev, label(pp))
     flagged = sorted(
         q for q, v in art.get("queries", {}).items()
         if not isinstance(v, dict)            # never re-heal a healed entry
@@ -84,7 +92,7 @@ def main():
         return
     print(f"selfheal: re-running {len(flagged)} flagged quer"
           f"{'y' if len(flagged) == 1 else 'ies'} standalone "
-          f"(>{threshold}x vs {', '.join(os.path.basename(p) for p in prev_paths)}): "
+          f"(>{threshold}x vs {', '.join(label(p) for p in prev_paths)}): "
           + ", ".join(f"{q} {art['queries'][q]:.2f}s vs {prev_q[q][0]:.2f}s"
                       f" [{prev_q[q][1]}]" for q in flagged))
     env = dict(os.environ,
@@ -115,7 +123,7 @@ def main():
                              "standalone": healed["queries"][q]}
     art["self_heal"] = {
         "threshold": threshold,
-        "prev_artifacts": [os.path.basename(p) for p in prev_paths],
+        "prev_artifacts": [label(p) for p in prev_paths],
         "healed": {q: art["queries"][q] for q in flagged},
         "reps": int(reps), "isolated": True,
         "load1_start": healed.get("load1_start"),
