@@ -69,6 +69,17 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       if (isolated) { spark.stop(); spark = newSession() }
+      // Per-query 1-min load sample, taken right before the first timed
+      // rep (round-16 verdict #4): the session-level load1_start/end
+      // told the round-16 hot-sweep story only in aggregate — a
+      // per-entry sample lets tools/check.py flag the individual gate
+      // values that were measured under external load instead of
+      // relying on a human to notice a 10x point exceeding its own
+      // 100x point. NB the sample includes the sweep's own residue
+      // (the previous query's threads stay in the 1-min average long
+      // after they stop contending), so consumers compare against the
+      // sweep's median sample, not an absolute quiet-host number.
+      val qLoad = load1()
       val nReps = repsFor(name, reps)
       val times = (1 to nReps).map { _ =>
         steadyState(spark)
@@ -87,9 +98,12 @@ object Bench {
       // full sweep OOMed once — the last line names the culprit instead
       // of the whole artifact silently vanishing
       System.err.println(f"[bench] $name%-28s $best%8.2f s")
-      name -> best
+      (name, best, qLoad)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qLoads = results
+      .map { case (k, _, l) => s"\"" + k + "\":" + f"$l%.2f" }
       .mkString("{", ",", "}")
     // total over successes only: summing the -1 sentinels would make
     // failing rounds look FASTER than passing ones
@@ -107,7 +121,7 @@ object Bench {
       .map { case (n, r) => s"\"" + n + "\":" + r }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","isolated":$isolated,"reps":$reps,""" +
-      s""""reps_overrides":$overrides,""" +
+      s""""reps_overrides":$overrides,"query_load1":$qLoads,""" +
       s""""load1_start":$loadStart,"load1_end":${load1()}}""")
     spark.stop()
   }

@@ -13,8 +13,10 @@ import sys
 
 def effective(v):
     """Gate value of one query entry: self-healed entries (dicts written
-    by tools/selfheal.py) are read at their isolated-standalone value."""
-    return v["standalone"] if isinstance(v, dict) else v
+    by tools/selfheal.py) are read at their "gate" value —
+    min(in_sweep, standalone); pre-r17 entries carry only the
+    standalone — the same lens as check.py's gate."""
+    return v.get("gate", v["standalone"]) if isinstance(v, dict) else v
 
 
 a_path, b_path = sys.argv[1], sys.argv[2]

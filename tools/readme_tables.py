@@ -6,9 +6,10 @@ the totals sentences in both "## Scale:" sections in place."""
 import json, re
 
 def effective(v):
-    """Self-healed entries (tools/selfheal.py) read at their
-    isolated-standalone value — the same lens as check.py's gate."""
-    return v["standalone"] if isinstance(v, dict) else v
+    """Self-healed entries (tools/selfheal.py) read at their "gate"
+    value — min(in_sweep, standalone); pre-r17 entries carry only the
+    standalone — the same lens as check.py's gate."""
+    return v.get("gate", v["standalone"]) if isinstance(v, dict) else v
 
 def load(p):
     d = json.load(open(p))

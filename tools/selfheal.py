@@ -20,15 +20,22 @@ SPARK_GRAFT_ISOLATED=1 SPARK_GRAFT_REPS=3 — a fresh SparkContext per
 query inside it), and the artifact entry is rewritten from a bare number
 to
 
-    {"in_sweep": <sweep seconds>, "standalone": <re-measure seconds>}
+    {"in_sweep": <sweep seconds>, "standalone": <re-measure seconds>,
+     "gate": <min of the two>, "standalone_load1": <heal-time load>}
 
 plus a top-level "self_heal" record naming what was healed and against
 what. Consumers (tools/check.py --artifacts, tools/ratios.py,
-tools/readme_tables.py) prefer the standalone value in all gate
-arithmetic; the in_sweep value stays on the record so the noise is
-visible, not erased. Queries with no matched predecessor (new this
-round) cannot be flagged — their first committed point becomes the
-baseline the NEXT round heals against.
+tools/readme_tables.py) read the "gate" value in all gate arithmetic;
+both raw readings stay on the record so the noise is visible, not
+erased. The gate is min(in_sweep, standalone) — NEVER the standalone
+alone (round-16 verdict #1: both numbers measure the same code, so
+taking the larger of two noisy estimates can only inflate; q103_bm25's
+healed 10x point landed on a hotter host than the sweep itself, went
+1.26 s -> 2.66 s, and exceeded the query's own 100x point). The heal
+session's per-query 1-min load sample is recorded per entry so a
+hot-on-hot heal is visible from the JSON alone. Queries with no
+matched predecessor (new this round) cannot be flagged — their first
+committed point becomes the baseline the NEXT round heals against.
 
 Round-15 blind spot, closed here: healing only against the SAME round's
 predecessor sweep lets a query drift >=1.5x ACROSS rounds with untouched
@@ -50,8 +57,10 @@ import sys
 
 
 def effective(v):
-    """A query's gate value: the standalone re-measure when present."""
-    return v["standalone"] if isinstance(v, dict) else v
+    """A query's gate value: min(in_sweep, standalone) for healed
+    entries ("gate"; pre-round-17 artifacts carry only the standalone —
+    read that for them), the bare reading otherwise."""
+    return v.get("gate", v["standalone"]) if isinstance(v, dict) else v
 
 
 def label(path):
@@ -118,9 +127,14 @@ def main():
     bad = {q: t for q, t in healed["queries"].items() if t < 0}
     if bad:
         sys.exit(f"selfheal: standalone re-run FAILED for {sorted(bad)}")
+    heal_loads = healed.get("query_load1", {})
     for q in flagged:
-        art["queries"][q] = {"in_sweep": art["queries"][q],
-                             "standalone": healed["queries"][q]}
+        in_sweep, standalone = art["queries"][q], healed["queries"][q]
+        entry = {"in_sweep": in_sweep, "standalone": standalone,
+                 "gate": min(in_sweep, standalone)}
+        if q in heal_loads and heal_loads[q] >= 0:
+            entry["standalone_load1"] = heal_loads[q]
+        art["queries"][q] = entry
     art["self_heal"] = {
         "threshold": threshold,
         "prev_artifacts": [label(p) for p in prev_paths],
@@ -134,9 +148,12 @@ def main():
         json.dump(art, f)
     for q in flagged:
         e = art["queries"][q]
-        print(f"  {q}: in_sweep {e['in_sweep']:.2f}s -> standalone "
-              f"{e['standalone']:.2f}s "
-              f"({e['standalone'] / prev_q[q][0]:.2f}x of predecessor "
+        print(f"  {q}: in_sweep {e['in_sweep']:.2f}s, standalone "
+              f"{e['standalone']:.2f}s"
+              + (f" at load1 {e['standalone_load1']:.1f}"
+                 if "standalone_load1" in e else "")
+              + f" -> gate {e['gate']:.2f}s "
+              f"({e['gate'] / prev_q[q][0]:.2f}x of predecessor "
               f"[{prev_q[q][1]}])")
     print(f"selfheal: wrote {art_path} (total {art['value']:.1f}s)")
 
