@@ -1230,16 +1230,37 @@ final class Catalog(val spark: SparkSession, val root: String,
   }
 
   /** The `k` a [[maintainKmv]] sketch table was built with, read from
-    * its constant `kmv_k` stamp (None when the table doesn't exist,
-    * is empty, predates the stamp, or — r15 advice — carries a NULL
-    * stamp from an outside-the-maintainer write: a NULL must read as
-    * "no certified k", not throw). One-row read — the sketch grid is
-    * O(groups · k), and only a single value is fetched. */
+    * its constant `kmv_k` stamp. None when the table doesn't exist, is
+    * empty, predates the stamp, or every stamp is NULL (a wholly
+    * uncertified outside-the-maintainer write reads as "no certified
+    * k", not a throw — r15 advice). A PARTIALLY certified grid —
+    * some NULL stamps, or more than one distinct k — fails loudly
+    * instead (r16 advice: skipping NULL rows before a limit(1) read
+    * let a half-decertified table return the surviving k and read as
+    * fully certified; [[maintainKmv]] would then merge new minima into
+    * a corrupt grid). One small aggregate over the sketch grid — the
+    * grid is O(groups · k) by contract, so the constancy scan costs
+    * what the old one-row probe did at any real scale. */
   def kmvK(table: String): Option[Int] =
     if (!exists(table) || !this.table(table).columns.contains("kmv_k")) None
-    else this.table(table).select(col("kmv_k"))
-      .filter(col("kmv_k").isNotNull).limit(1).collect()
-      .headOption.map(_.getInt(0))
+    else {
+      val r = this.table(table).agg(
+        count(lit(1)).as("rows"),
+        count(col("kmv_k")).as("stamped"),
+        countDistinct(col("kmv_k")).as("ks"),
+        min(col("kmv_k")).as("k")).head()
+      val (rows, stamped, ks) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (rows == 0L || stamped == 0L) None
+      else {
+        require(stamped == rows && ks == 1L,
+          s"kmvK('$table'): kmv_k is not a constant non-NULL stamp " +
+            s"(${rows - stamped} NULL row(s), $ks distinct k value(s) " +
+            s"over $rows rows) — an outside-the-maintainer write " +
+            "decertified part of the sketch grid; rebuild the table " +
+            "rather than trusting a partial stamp")
+        Some(r.getInt(3))
+      }
+    }
 
   private val AppliedBatchIdMarker = "_applied_batch_id"
 

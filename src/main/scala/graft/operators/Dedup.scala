@@ -615,4 +615,106 @@ object Dedup {
           expr("dup_pos * 1000000L div total_pos")).otherwise(lit(0L)))
       .withColumn("flagged", col("dup_frac_e6") >= flagAtE6 && col("total_pos") > 0)
   }
+
+  /** Duplicated-span REMOVAL — ExactSubstr dedup's second half (Lee et
+    * al. 2022, arXiv:2107.06499 §3: delete the repeated substring,
+    * KEEP the rest of the document). [[crossDocSpanStats]] (q143) and
+    * [[winnowPairs]] (q94) FIND cross-document verbatim spans; this
+    * operator cuts them: dropping a whole document over one syndicated
+    * boilerplate paragraph wastes the unique remainder, which is why
+    * production pipelines run span removal, not doc removal, for the
+    * exact-substring class.
+    *
+    * Word-k-gram granularity (the q143 unit): a word POSITION is cut
+    * when it is covered by any k-gram that (a) occurs in at least one
+    * OTHER document and (b) whose canonical keeper — the minimum
+    * doc_id containing the gram — is not this document. Every
+    * occurrence outside the keeper is removed (including repeats
+    * within the non-keeper doc); the keeper keeps ALL its occurrences,
+    * so exactly one document retains each shared span — Lee et al.'s
+    * keep-one contract at gram resolution. The cleaned text is the
+    * surviving words joined by single spaces (word-normalized, like
+    * every metric in this family — byte-level splice-back would need
+    * the original offsets, which the [a-z]+ normalization deliberately
+    * discards; callers byte-pin via md5(cleaned)).
+    *
+    * Shape at scale — REMOVAL is fundamentally cheaper than
+    * pair-FINDING: nothing here is pair-shaped, so no maxDocFreq
+    * guard is needed. A gram in d documents costs d rows through the
+    * gram-key exchange (linear), never d² (the reason winnowPairs
+    * must drop ubiquitous grams and this operator must not — a
+    * boilerplate span in a million docs is exactly what removal is
+    * FOR). Exchanges: (1) the per-doc DISTINCT gram sets (array_distinct
+    * before explode — membership and keeper identity need no
+    * multiplicities, so the exchange payload collapses repeats
+    * map-side) shuffle once on the gram key for the (count ≥ 2,
+    * min-doc keeper) aggregate; (2) the removable (doc, gram) rows
+    * come off a gram-key join of that same table against the shared
+    * grams — candidate-proportional; (3) one doc-key collect_list;
+    * (4) one doc-key join back to the corpus. Reassembly is per-row
+    * HOF arithmetic over the row's own words. The (doc, gram) table
+    * persists only within the call and the escaping per-doc removal
+    * table is doc-count-sized and eagerly pinned — the
+    * [[crossDocSpanStats]] cache discipline.
+    *
+    * Returns one row per input document:
+    * `(doc_id, total_words, removed_words, removed_chars, cleaned)` —
+    * counts BIGINT (removed_chars sums the LETTERS of removed words;
+    * separators are not counted — word granularity end to end),
+    * `cleaned` the reassembled surviving text.
+    */
+  def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.expressions.TextExpressions.wordShinglesAll
+    val dg = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordShinglesAll(col(textCol), k))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per (doc, gram): docs-per-gram = a plain count; the
+    // keeper rides the same aggregate
+    val shared = dg.groupBy(col("g"))
+      .agg(count(lit(1)).as("__d"), min(col("doc_id")).as("__keeper"))
+      .filter(col("__d") >= 2)
+      .select(col("g"), col("__keeper"))
+    val rm = Materialize.pin(dg.join(shared, "g")
+      .filter(col("doc_id") =!= col("__keeper"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("g")).as("__rm")))
+    dg.unpersist(blocking = false)
+    val flags = transform(col("__gs"),
+      g => coalesce(array_contains(col("__rm"), g), lit(false)))
+    // word j (1-based) is covered iff any removable gram STARTS in
+    // [j-k+1, j] (clamped to the gram range); CaseWhen keeps the
+    // empty-doc branch from ever evaluating the sequence()
+    val covered =
+      when(size(col("__ws")) === 0, array().cast("array<boolean>"))
+        .otherwise(transform(sequence(lit(1), size(col("__ws"))), j => {
+          val lo = greatest(j - lit(k - 1), lit(1))
+          val hi = least(j, size(col("__flags")))
+          when(hi >= lo,
+            exists(slice(col("__flags"), lo, hi - lo + lit(1)),
+              b => b)).otherwise(lit(false))
+        }))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(rm, Seq("doc_id"), "left")
+      .withColumn("__ws", graft.functions.TextFunctions.words(col("__text")))
+      .withColumn("__gs", wordShinglesAll(col("__text"), k))
+      .withColumn("__flags", flags)
+      .withColumn("__cov", covered)
+      .withColumn("__kept", filter(
+        zip_with(col("__ws"), col("__cov"),
+          (w, c) => when(c, lit(null).cast("string")).otherwise(w)),
+        w => w.isNotNull))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("bigint").as("total_words"),
+        (size(col("__ws")) - size(col("__kept"))).cast("bigint")
+          .as("removed_words"),
+        aggregate(
+          zip_with(col("__ws"), col("__cov"),
+            (w, c) => when(c, length(w)).otherwise(lit(0))),
+          lit(0L), (acc, x) => acc + x.cast("bigint")).as("removed_chars"),
+        array_join(col("__kept"), " ").as("cleaned"))
+  }
 }

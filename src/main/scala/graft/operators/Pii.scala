@@ -50,7 +50,15 @@ object Pii {
     *   - cc: quads separated by space or hyphen (mixed separators
     *     admitted — requiring a consistent separator needs a
     *     backreference, which RE2 lacks), plus a contiguous 16-digit
-    *     run;
+    *     run. The contiguous-16 alternative fires inside ANY ≥16-digit
+    *     run (order ids, hashes, concatenated timestamps), the same
+    *     false-positive class the phone family's precision stance
+    *     excludes below — a DELIBERATE asymmetry, not an oversight:
+    *     a leaked card number is a compliance incident while a leaked
+    *     10-digit integer is ambient, so cc redaction favors recall
+    *     (mangling the odd numeric blob is the accepted cost) where
+    *     phone favors precision. PiiSpec pins the over-match
+    *     (a 17-digit run redacts) so the trade-off stays visible;
     *   - phone: optional `+1` country prefix (space/dot/hyphen),
     *     `(XXX) XXX-XXXX` (paren space optional), and dotted or
     *     hyphenated `XXX?XXX?XXXX`. Deliberately NOT bare 10 contiguous

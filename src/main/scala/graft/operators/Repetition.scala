@@ -30,8 +30,14 @@ import graft.expressions.TextExpressions.wordShinglesAll
   *     corpus state, no shuffle.
   *
   * keep ⇔ every signal at or under its frozen threshold. Thresholds
-  * are the Gopher paper's, carried to q20 integers so both engines
-  * replay the verdict bit-for-bit (0.20 / 0.18 / 0.16 / 0.20 of 2²⁰).
+  * are ADAPTED from Gopher table A1's top n-gram character-fraction
+  * thresholds (0.20 / 0.18 / 0.16), applied here as gram-COUNT
+  * duplicate fractions — not the paper's values verbatim: Gopher's
+  * duplicate n-gram filters cover 5..10-grams (0.15..0.10) and weight
+  * every fraction by characters, while this operator measures
+  * gram-count fractions over 2/3/4-grams (integer-exact, so both
+  * engines replay the verdict bit-for-bit in q20 fixed-point:
+  * 0.20 / 0.18 / 0.16 / 0.20 of 2²⁰).
   * Documents with fewer than n words have no n-grams: their fractions
   * are defined 0 (greatest() guard; a max over zero grams coalesces
   * to 0), so short docs pass — length gating is q76/q165's job, not

@@ -51,4 +51,46 @@ object WebScrub {
     * than drops, so it adds no gate — its exit criterion is `clean`). */
   def survived: org.apache.spark.sql.Column =
     col("markup_keep") && col("quality_keep")
+
+  /** The PRODUCTION stage order — Gopher/MassiveText runs the
+    * repetition rules beside the learned filter, so the full chain is
+    * Markup → QualityClassifier → Repetition → Pii (r16 review item 3).
+    * Same single-pass discipline as [[scrub]]: [[Repetition.annotate]]
+    * is row-local array arithmetic over the extracted text, so the
+    * four stages still fuse into ONE filter-free whole-stage-codegen
+    * span over the scan (q170's PlanSpec pin).
+    *
+    * Composition note, proved in WebScrubSpec: a DECIMAL character
+    * reference's raw bytes (`&`, `#`, digits, `;`) are letter-free and
+    * its full-chain decode through [[Markup.Entities]] is letter-free
+    * too, and [[Repetition]] tokenizes on `[a-z]+` runs — so for
+    * decimal refs the ref's raw bytes separate words exactly where the
+    * decoded char does: the repetition verdict is provably
+    * DECIMAL-REF-DECODE-INVARIANT (an `&#46;`-obfuscated loop cannot
+    * hide from the filter, decoded or not). Hex refs (a literal `x`)
+    * and NAMED entities (`&amp;`/`&lt;` raw forms carry the letter
+    * words amp/lt) are NOT invariant — their spurious words vanish
+    * only after decode, one more reason the filter must read the
+    * DECODED extraction. The stage-order
+    * composition that IS load-bearing — and is planted in q170 — is
+    * TAG-STRIP-before-repetition: list/table pages repeat tag
+    * scaffolding (`<li id=…>` …), so a repetition filter reading raw
+    * markup sees a loop that the page's visible text does not have
+    * and false-drops healthy link-list pages; the filter must run on
+    * the EXTRACTED text. */
+  def scrubFull(df: DataFrame, htmlCol: String,
+                maxLinks: Int = Markup.DefaultMaxLinks,
+                ratioMinQ20: Int = Markup.DefaultRatioMinQ20): DataFrame = {
+    val m = Markup.extract(df, htmlCol, maxLinks, ratioMinQ20)
+      .withColumnRenamed("keep", "markup_keep")
+    val q = QualityClassifier.score(m, "extracted")
+      .withColumnRenamed("keep", "quality_keep")
+    val r = Repetition.annotate(q, "extracted")
+      .withColumnRenamed("keep", "repetition_keep")
+    Pii.scrub(r, "extracted")
+  }
+
+  /** [[scrubFull]]'s end-of-pipe predicate: past all three gates. */
+  def survivedFull: org.apache.spark.sql.Column =
+    col("markup_keep") && col("quality_keep") && col("repetition_keep")
 }

@@ -292,6 +292,29 @@ object DedupQueries {
       Dedup.crossDocSpanStats(docs(s, d), "doc_id", "text",
         k = SpanK, flagAtE6 = SpanFlagE6)),
 
+    // exact-substring span REMOVAL (Lee et al. 2022's second half —
+    // q143 measures cross-doc duplication, q94 finds the pairs, THIS
+    // deletes the shared span and keeps the rest of the document, the
+    // operation production pipelines actually run). The plant is q94's:
+    // a copy keeps the original's text from char 101 under a fresh
+    // prefix — the copy (larger doc_id) must lose the shared suffix to
+    // the original (the min-id keeper) while its fresh prefix survives,
+    // and the original keeps everything. Natural cross-doc 8-gram
+    // repeats in the synthetic corpus are cut by the same keeper rule
+    // on both engines. md5(cleaned) byte-pins every reassembled
+    // document; removed_chars prices the cut per doc.
+    "q169_exactsubstr_scrub" -> ((s, d) => {
+      val base = docs(s, d).filter(col("text").isNotNull)
+      val batch = base.unionAll(
+        base.filter(col("doc_id") % MutMod === 0 && length(col("text")) >= 300)
+          .select((col("doc_id") + MutOff).as("doc_id"),
+            concat(lit("exsub fresh prefix "), expr("substring(text, 101)"))
+              .as("text")))
+      Dedup.removeSharedSpans(batch, "doc_id", "text", k = SpanK)
+        .select(col("doc_id"), col("total_words"), col("removed_words"),
+          col("removed_chars"), md5(col("cleaned")).as("cleaned_md5"))
+    }),
+
     // Cross-snapshot corpus overlap from KMV sketch SET ALGEBRA — the
     // "how much of snapshot B is already in A" planning question a
     // pipeline answers BEFORE paying for a full dedup join. Snapshot A
@@ -757,6 +780,64 @@ object DedupQueries {
          |            THEN COALESCE(dup.dp, 0) * 1000000 // t.total_pos
          |            ELSE 0 END >= $SpanFlagE6) AS flagged
          |FROM tot t LEFT JOIN dup USING (doc_id)""".stripMargin,
+
+    // full removal replay: per-doc DISTINCT gram sets → (#docs ≥ 2,
+    // min-id keeper) per gram → removable (doc, gram) membership →
+    // per-word coverage via gram-start windows → reassembly. The
+    // coverage window and the keeper rule are replayed exactly; both
+    // engines divide nothing — pure integer/string work, md5-pinned.
+    "q169_exactsubstr_scrub" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + $MutOff AS doc_id,
+         |         'exsub fresh prefix ' || substr(text, 101) AS text
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % $MutMod = 0
+         |    AND length(text) >= 300),
+         |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |      FROM batch),
+         |g AS (SELECT doc_id, ws,
+         |        CASE WHEN len(ws) >= $SpanK
+         |          THEN list_transform(range(0, len(ws) - ${SpanK - 1}),
+         |            i -> array_to_string(
+         |              list_slice(ws, CAST(i AS INT) + 1, CAST(i AS INT) + $SpanK), ' '))
+         |          ELSE CAST([] AS VARCHAR[]) END AS gs
+         |      FROM w),
+         |dg AS (SELECT doc_id, unnest(list_distinct(gs)) AS gr FROM g),
+         |st AS (SELECT gr, COUNT(*) AS d, MIN(doc_id) AS keeper
+         |       FROM dg GROUP BY 1),
+         |rm AS (SELECT dg.doc_id, list(dg.gr) AS rms
+         |       FROM dg JOIN st USING (gr)
+         |       WHERE st.d >= 2 AND dg.doc_id <> st.keeper
+         |       GROUP BY 1),
+         |f AS (SELECT g.doc_id, g.ws,
+         |        list_transform(g.gs,
+         |          x -> coalesce(list_contains(rm.rms, x), false)) AS flags
+         |      FROM g LEFT JOIN rm USING (doc_id)),
+         |c AS (SELECT doc_id, ws,
+         |        list_transform(range(1, len(ws) + 1), j ->
+         |          CASE WHEN least(j, CAST(len(flags) AS BIGINT))
+         |                 >= greatest(j - ${SpanK - 1}, 1)
+         |               THEN len(list_filter(list_slice(flags,
+         |                      CAST(greatest(j - ${SpanK - 1}, 1) AS INT),
+         |                      CAST(least(j, CAST(len(flags) AS BIGINT)) AS INT)),
+         |                    b -> b)) > 0
+         |               ELSE false END) AS cov
+         |      FROM f)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS total_words,
+         |  CAST(len(list_filter(cov, b -> b)) AS BIGINT) AS removed_words,
+         |  CAST(coalesce(list_sum(list_transform(range(1, len(ws) + 1),
+         |    j -> CASE WHEN cov[CAST(j AS INT)]
+         |              THEN length(ws[CAST(j AS INT)]) ELSE 0 END)), 0)
+         |    AS BIGINT) AS removed_chars,
+         |  md5(coalesce(array_to_string(list_filter(list_transform(
+         |    range(1, len(ws) + 1),
+         |    j -> CASE WHEN cov[CAST(j AS INT)] THEN NULL
+         |              ELSE ws[CAST(j AS INT)] END),
+         |    x -> x IS NOT NULL), ' '), '')) AS cleaned_md5
+         |FROM c""".stripMargin,
 
     // full KMV replay: per-side k minima via a hash-ordered window,
     // union sketch = k smallest of the union set, then the identical

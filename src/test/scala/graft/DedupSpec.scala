@@ -90,6 +90,31 @@ class DedupSpec extends SparkSpec {
       5L -> ((3L, 3L, 1000000L, true))))
   }
 
+  test("removeSharedSpans: cross-doc spans are cut from every doc but " +
+      "the min-id keeper; self-repeats and short docs are untouched") {
+    val docs = Seq(
+      (1L, "a b c d e f"),           // min-id keeper of the shared span
+      (2L, "x y z a b c d e f"),     // loses the whole shared suffix
+      (3L, "p q r p q r p q r"),     // SELF-repeat only — not cross-doc
+      (4L, "a b"),                   // < k words: zero grams, untouched
+      (5L, "m n a b c d q t u v w")  // shares only 'a b c'/'b c d'
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeSharedSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      // the keeper keeps ALL its occurrences — exactly one copy of the
+      // span survives the corpus
+      1L -> ((6L, 0L, 0L, "a b c d e f")),
+      // removable grams start at 4..7, covering words 4..9
+      2L -> ((9L, 6L, 6L, "x y z")),
+      // within-ONE-doc repetition is q168's business, not removal's
+      3L -> ((9L, 0L, 0L, "p q r p q r p q r")),
+      4L -> ((2L, 0L, 0L, "a b")),
+      // 'abc'@3 and 'bcd'@4 cover words 3..6 only; the unique tail stays
+      5L -> ((11L, 4L, 4L, "m n q t u v w"))))
+  }
+
   test("nearDupPairs finds planted near-dup, not unrelated docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

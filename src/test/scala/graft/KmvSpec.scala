@@ -229,6 +229,34 @@ class KmvSpec extends SparkSpec {
       r.getLong(r.fieldIndex("est_a")) === r.getLong(r.fieldIndex("est_b"))))
   }
 
+  test("kmv_k stamp anomalies: all-NULL reads as uncertified (None), a " +
+      "PARTIAL stamp decertifies loudly instead of returning the " +
+      "surviving k") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_null").toString
+    val cat = new graft.ledger.Catalog(spark, s"$dir/wh")
+    // wholly uncertified: an outside write with a NULL stamp on every
+    // row — "no certified k", not a throw (the r15 contract)
+    cat.replace("sknull", Seq(("aa", Seq(1L, 2L)))
+      .toDF("lang", "mins")
+      .withColumn("kmv_k", lit(null).cast("int")))
+    assert(cat.kmvK("sknull") === None)
+    // partially certified: NULL on SOME rows — the r16 advice case.
+    // Skipping NULLs would return 32 and read as fully certified;
+    // the constancy guard must fail loudly instead.
+    cat.replace("skmix", Seq(("aa", Seq(1L, 2L), Some(32)),
+        ("bb", Seq(3L, 4L), Option.empty[Int]))
+      .toDF("lang", "mins", "kmv_k"))
+    val e = intercept[IllegalArgumentException] { cat.kmvK("skmix") }
+    assert(e.getMessage.contains("1 NULL row(s)") &&
+      e.getMessage.contains("decertified"), e.getMessage)
+    // two distinct non-NULL ks: same verdict
+    cat.replace("skk", Seq(("aa", Seq(1L), 32), ("bb", Seq(2L), 64))
+      .toDF("lang", "mins", "kmv_k"))
+    val e2 = intercept[IllegalArgumentException] { cat.kmvK("skk") }
+    assert(e2.getMessage.contains("2 distinct k value(s)"), e2.getMessage)
+  }
+
   private def exceptionChain(t: Throwable): Seq[Throwable] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
 

@@ -91,6 +91,18 @@ class PiiSpec extends SparkSpec {
     assert(r.getAs[Boolean]("clean"))
   }
 
+  test("cc recall asymmetry is pinned: the contiguous-16 alternative " +
+      "over-matches inside a 17-digit order id — the DELIBERATE " +
+      "recall-over-precision stance documented at Pii.Patterns") {
+    // a leaked card is a compliance incident, so cc redaction accepts
+    // mangling the odd long numeric blob; this pin keeps the trade-off
+    // visible (flipping it to precision would fail here, loudly)
+    val r = scrubOne("order 12345678901234567 total 99")
+    assert(r.getAs[Long]("n_cc") === 1L)
+    assert(r.getAs[String]("redacted") === "order <CC>7 total 99")
+    assert(r.getAs[Boolean]("clean"))
+  }
+
   test("clean text passes through untouched with zero counts — bare " +
       "10-digit runs and dates stay out of scope by design") {
     val r = scrubOne("order 5551234567 shipped 2026-08-16 qty 1234")

@@ -211,6 +211,30 @@ class PlanSpec extends SparkSpec {
       s"q94's join sides should reuse one exchange:\n$p")
   }
 
+  test("q169: span removal is gram-key exchanges + a doc-key join-back — " +
+      "never pair-shaped, never cartesian") {
+    val p = finalPlan("q169_exactsubstr_scrub")
+    // removal is LINEAR in gram occurrences: the plan may exchange on
+    // the gram key (stats + removable membership) and the doc key
+    // (collect + join-back), but a self-join of the corpus against
+    // itself (the pair shape q94 needs) or any nested-loop means the
+    // operator regressed to pair-finding
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q169 went all-pairs:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q169's joins should stay hash-shaped at this scale:\n$p")
+  }
+
+  test("q170: the 4-stage scrub chain is ONE scan-side map — the only " +
+      "exchange is the final single-row aggregate, zero joins") {
+    val p = finalPlan("q170_web_scrub_full")
+    // Markup -> QualityClassifier -> Repetition -> Pii with no
+    // inter-stage filter: the q167 contract extended by one stage
+    assert(shuffles(p) <= 1, s"q170 grew a scrub-chain shuffle:\n$p")
+    assert(!p.contains("Join"), s"q170 grew a join:\n$p")
+  }
+
   test("q92: HLL sketches partial-aggregate map-side; the merge sees buffers, not rows") {
     val p = finalPlan("q92_hll_rollup")
     // hll_sketch_agg is object-hash-aggregated with a partial pass, so

@@ -54,7 +54,8 @@ class RepetitionSpec extends SparkSpec {
     assert(r.getAs[Long]("dup2_q20") > Repetition.Dup2MaxQ20)
   }
 
-  test("thresholds are the frozen Gopher q20 constants") {
+  test("thresholds are the frozen q20 constants adapted from Gopher's " +
+      "top n-gram fractions (applied as gram-count duplicate fractions)") {
     assert(Repetition.Dup2MaxQ20 === (0.20 * (1 << 20)).toLong &&
       Repetition.Dup3MaxQ20 === 188743L && Repetition.Dup4MaxQ20 === 167772L &&
       Repetition.Top2MaxQ20 === 209715L)
