@@ -81,6 +81,19 @@ def main():
         sys.exit(__doc__)
     art_path, prev_paths = args[0], args[1:]
     art = json.load(open(art_path))
+    # Decade guard: a predecessor from a DIFFERENT scale directory
+    # (e.g. the 10x artifact passed while healing the 100x) makes its
+    # every point look like a mover and triggers a full-suite
+    # standalone re-run — fail loudly by name instead. Matched on the
+    # sf basename (the 1x sweeps have used more than one parent path).
+    sf_of = lambda d: os.path.basename(str(d.get("sf", "")).rstrip("/"))
+    for pp in prev_paths:
+        psf = sf_of(json.load(open(pp)))
+        if psf and sf_of(art) and psf != sf_of(art):
+            sys.exit(f"selfheal: predecessor {label(pp)} is a '{psf}' "
+                     f"sweep but {os.path.basename(art_path)} is "
+                     f"'{sf_of(art)}' — cross-decade comparison would "
+                     f"flag every query; pass same-decade artifacts only")
     # per query: the strictest (smallest positive) predecessor point,
     # and which artifact it came from — a mover is flagged when it
     # exceeds threshold x ANY predecessor
