@@ -115,6 +115,45 @@ class DedupSpec extends SparkSpec {
       5L -> ((11L, 4L, 4L, "m n q t u v w"))))
   }
 
+  test("removeSharedSpans is consistent with crossDocSpanStats on the " +
+      "real corpus: docs with zero duplicated positions lose nothing, " +
+      "word accounting agrees, and every planted copy is cut") {
+    // the q169 plant shape on the sf0.001 corpus: copies keep the
+    // original's suffix under a fresh prefix
+    val base = Tables(spark, sf0001, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val docs = base.unionAll(
+      base.filter(col("doc_id") % 7 === 0 && length(col("text")) >= 300)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("fresh prefix here "), expr("substring(text, 101)"))
+            .as("text")))
+    val k = 8
+    val stats = Dedup.crossDocSpanStats(docs, "doc_id", "text",
+        k = k, flagAtE6 = 500000L)
+      .select(col("doc_id"), col("total_pos"), col("dup_pos"))
+    val rem = Dedup.removeSharedSpans(docs, "doc_id", "text", k = k)
+    val j = stats.join(rem, "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val (dup, removedW, totalW, totalPos) = (r.getAs[Long]("dup_pos"),
+        r.getAs[Long]("removed_words"), r.getAs[Long]("total_words"),
+        r.getAs[Long]("total_pos"))
+      // removal only ever cuts positions covered by a CROSS-DOC gram,
+      // so a doc q143 scores as 0% duplicated must come out untouched
+      assert(dup > 0L || removedW === 0L, s"doc ${r.get(0)}: dup_pos=0 " +
+        s"but removed_words=$removedW")
+      // both operators tokenize identically: q143's position count is
+      // exactly max(total_words - (k-1), 0)
+      assert(totalPos === math.max(totalW - (k - 1), 0L), s"doc ${r.get(0)}")
+    }
+    // every planted copy shares a long suffix with its lower-id
+    // original (the keeper), so each must lose words
+    val copies = j.filter(_.getAs[Long]("doc_id") >= 1000000L)
+    assert(copies.nonEmpty)
+    copies.foreach(r => assert(r.getAs[Long]("removed_words") > 0L,
+      s"planted copy ${r.get(0)} kept its shared suffix"))
+  }
+
   test("nearDupPairs finds planted near-dup, not unrelated docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
