@@ -666,10 +666,7 @@ object Dedup {
   def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import graft.expressions.TextExpressions.wordShinglesAll
-    val dg = docs
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(wordShinglesAll(col(textCol), k))).as("g"))
+    val dg = docGrams(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per (doc, gram): docs-per-gram = a plain count; the
     // keeper rides the same aggregate
@@ -682,6 +679,30 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_list(col("g")).as("__rm")))
     dg.unpersist(blocking = false)
+    cutAndReassemble(docs, idCol, textCol, k, rm)
+  }
+
+  /** The per-doc DISTINCT (doc_id, gram) rows every face of span
+    * removal starts from. Null text reads as the empty document (the
+    * [[cutAndReassemble]] contract — words(null) would otherwise
+    * poison size() with -1 downstream). */
+  private def docGrams(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    import graft.expressions.TextExpressions.wordShinglesAll
+    docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        wordShinglesAll(coalesce(col(textCol), lit("")), k))).as("g"))
+  }
+
+  /** The shared reassembly tail: given the pinned per-doc removable
+    * gram table `rm` (`doc_id`, `__rm` array), cut every covered word
+    * position and rebuild the survivors — identical arithmetic for the
+    * monolithic and incremental faces, so their equality pin is a
+    * statement about the AGGREGATION half only. */
+  private def cutAndReassemble(docs: DataFrame, idCol: String,
+                               textCol: String, k: Int,
+                               rm: DataFrame): DataFrame = {
+    import graft.expressions.TextExpressions.wordShinglesAll
     val flags = transform(col("__gs"),
       g => coalesce(array_contains(col("__rm"), g), lit(false)))
     // word j (1-based) is covered iff any removable gram STARTS in
@@ -697,7 +718,11 @@ object Dedup {
               b => b)).otherwise(lit(false))
         }))
     docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      // null text ≡ empty document (public-API guard: without the
+      // coalesce, words(null) is null and size(null) = -1 silently
+      // skips the empty-doc branch)
+      .select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("__text"))
       .join(rm, Seq("doc_id"), "left")
       .withColumn("__ws", graft.functions.TextFunctions.words(col("__text")))
       .withColumn("__gs", wordShinglesAll(col("__text"), k))
@@ -716,5 +741,89 @@ object Dedup {
             (w, c) => when(c, length(w)).otherwise(lit(0))),
           lit(0L), (acc, x) => acc + x.cast("bigint")).as("removed_chars"),
         array_join(col("__kept"), " ").as("cleaned"))
+  }
+
+  /** Corpus word-k-gram table — the MAINTAINED state for incremental
+    * span removal (`(g, n_docs, keeper)`: distinct-document count and
+    * min-doc-id keeper per gram). Built once from the corpus, then
+    * kept current with [[foldGramTable]]; [[removeSharedSpansAgainst]]
+    * probes it so an arriving batch never re-pays the corpus-wide
+    * gram aggregate (the q97 batch-vs-corpus discipline applied to
+    * q169). ALL grams are kept, count-1 included — a count-1 gram is
+    * exactly the one a future batch promotes to shared. */
+  def gramTable(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docGrams(docs, idCol, textCol, k)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+  }
+
+  /** Fold an arriving batch into a maintained gram table: counts add,
+    * keepers take the min — `foldGramTable(gramTable(old), new) ==
+    * gramTable(old ∪ new)` exactly (DedupSpec pins it). The refresh is
+    * gram-TABLE-sized (one unionByName + one gram-key aggregate over
+    * table rows, the [[graft.ledger.Catalog]] maintained-rollup cost
+    * model); the corpus TEXT is never rescanned — that is the point. */
+  def foldGramTable(table: DataFrame, batch: DataFrame, idCol: String,
+                    textCol: String, k: Int): DataFrame =
+    table.unionByName(gramTable(batch, idCol, textCol, k))
+      .groupBy(col("g"))
+      .agg(sum(col("n_docs")).as("n_docs"), min(col("keeper")).as("keeper"))
+
+  /** Incremental duplicated-span removal: scrub the ARRIVING BATCH
+    * against a [[gramTable]]-maintained corpus state — the
+    * add-a-day-of-crawl face of [[removeSharedSpans]]. The monolithic
+    * operator re-pays the full corpus gram aggregate for every
+    * arrival; here the batch's own distinct grams aggregate
+    * batch-side, the corpus table is probed ONCE by a broadcast
+    * semi-join on those grams (streamed, never shuffled — the
+    * [[nearDupPairsAgainst]] batch-broadcast discipline), and the
+    * combined (corpus + batch) count/keeper decide removability under
+    * exactly the monolithic keeper rule. Batch-internal duplicates
+    * are IN scope (unlike [[nearDupPairsAgainst]]): two batch docs
+    * sharing a fresh gram count 2 combined, so the equality
+    * `removeSharedSpansAgainst(batch, gramTable(corpus)) ==
+    * removeSharedSpans(corpus ∪ batch) restricted to batch docs`
+    * holds unconditionally (DedupSpec pins it; the q171 oracle IS the
+    * monolithic replay filtered to batch ids, so the driver's hash
+    * gate re-proves it at every SF).
+    *
+    * Per-arrival cost: batch gram aggregate + one corpus-table probe
+    * (batch-gram-bounded output) + the batch-sized reassembly tail —
+    * nothing corpus-text-proportional. Corpus docs already holding a
+    * now-shared span are NOT rewritten retroactively; the keep-one
+    * contract is preserved because the corpus keeper keeps and the
+    * batch copies are cut (fold the batch in with [[foldGramTable]]
+    * afterwards so the NEXT arrival sees it). */
+  def removeSharedSpansAgainst(batch: DataFrame, corpusGrams: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bg = docGrams(batch, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bstat = bg.groupBy(col("g"))
+      .agg(count(lit(1)).as("__bn"), min(col("doc_id")).as("__bkeeper"))
+    // corpus-table rows for grams the batch mentions: the big table
+    // streams against a broadcast hash set of batch grams — no corpus
+    // shuffle, batch-gram-bounded output
+    val probe = corpusGrams
+      .select(col("g"), col("n_docs").as("__cn"), col("keeper").as("__ck"))
+      .join(broadcast(bstat.select(col("g"))), Seq("g"), "left_semi")
+    // combined stats under the monolithic rule: counts add, keeper =
+    // min over both sides (least() skips the null of a corpus-absent
+    // gram); both join inputs are batch-gram-bounded by now
+    val shared = bstat.join(broadcast(probe), Seq("g"), "left")
+      .select(col("g"),
+        (coalesce(col("__cn"), lit(0L)) + col("__bn")).as("__d"),
+        least(col("__ck"), col("__bkeeper")).as("__keeper"))
+      .filter(col("__d") >= 2)
+      .select(col("g"), col("__keeper"))
+    val rm = Materialize.pin(bg.join(shared, "g")
+      .filter(col("doc_id") =!= col("__keeper"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("g")).as("__rm")))
+    bg.unpersist(blocking = false)
+    cutAndReassemble(batch, idCol, textCol, k, rm)
   }
 }

@@ -315,6 +315,119 @@ object DedupQueries {
           col("removed_chars"), md5(col("cleaned")).as("cleaned_md5"))
     }),
 
+    // INCREMENTAL span removal — the q97 batch-vs-corpus discipline
+    // applied to q169: the corpus' maintained gram table (built once,
+    // kept current with Dedup.foldGramTable) is PROBED by the arriving
+    // batch's grams instead of re-running the corpus-wide gram
+    // aggregate per arrival. Batch = q169's planted copies, so every
+    // batch doc shares its stolen suffix with a corpus keeper. The
+    // oracle is the MONOLITHIC replay over corpus ∪ batch filtered to
+    // batch ids — the driver's hash gate IS the incremental ==
+    // monolithic equality pin, re-proven at every SF (DedupSpec pins
+    // the same equality in-engine, batch-internal duplicates included).
+    "q171_exsub_incremental" -> ((s, d) => {
+      val corpus = docs(s, d).filter(col("text").isNotNull)
+      val batch = corpus
+        .filter(col("doc_id") % MutMod === 0 && length(col("text")) >= 300)
+        .select((col("doc_id") + MutOff).as("doc_id"),
+          concat(lit("exsub fresh prefix "), expr("substring(text, 101)"))
+            .as("text"))
+      val grams = Dedup.gramTable(corpus, "doc_id", "text", k = SpanK)
+      Dedup.removeSharedSpansAgainst(batch, grams, "doc_id", "text",
+          k = SpanK)
+        .select(col("doc_id"), col("total_words"), col("removed_words"),
+          col("removed_chars"), md5(col("cleaned")).as("cleaned_md5"))
+    }),
+
+    // RE-FILTER AFTER REMOVAL — Lee et al. 2022's noted consequence of
+    // span removal: a document stripped of its duplicated half may no
+    // longer pass the quality gates, so production pipelines re-run
+    // them on the cleaned text. q169's removal composes through
+    // QualityClassifier (q165 weights) + Repetition (q168 thresholds)
+    // with BOTH pre- and post-removal verdicts emitted and a
+    // first-failing-stage reason (the q76 pattern). Plants (negative
+    // ids, so the lowest of them keeps): doc -3 holds the boilerplate
+    // paragraph alone (keeper — survives intact, stays keep); doc -2
+    // is boilerplate + a 3-word stub (passes every gate pre-removal,
+    // loses the whole paragraph to -3, and its stub remainder FAILS
+    // the quality gate — the headline case); doc -1 is boilerplate +
+    // a healthy remainder (loses the paragraph, still passes — the
+    // control). Note the post gates score the word-normalized cleaned
+    // text, so its punct feature is structurally 0 — the length /
+    // stopword / word-length legs carry the post verdict.
+    "q172_refilter_after_scrub" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("text"))
+      val plants = Seq(
+        (-3L, RefilterBoiler),
+        (-2L, s"$RefilterBoiler $RefilterStub"),
+        (-1L, s"$RefilterBoiler $RefilterHealthy")).toDF("doc_id", "text")
+      val batch = base.unionAll(plants)
+      val pre = graft.operators.Repetition.annotate(
+          graft.operators.QualityClassifier.score(batch, "text")
+            .withColumnRenamed("keep", "pre_q_keep"), "text")
+        .select(col("doc_id"), col("pre_q_keep"),
+          col("keep").as("pre_rep_keep"))
+      val cleaned = Dedup.removeSharedSpans(batch, "doc_id", "text",
+        k = SpanK)
+      val post = graft.operators.Repetition.annotate(
+          graft.operators.QualityClassifier.score(cleaned, "cleaned")
+            .withColumnRenamed("keep", "post_q_keep")
+            .withColumnRenamed("score", "post_score"), "cleaned")
+        .select(col("doc_id"), col("total_words"), col("removed_words"),
+          col("post_score"), col("post_q_keep"),
+          col("keep").as("post_rep_keep"))
+      post.join(pre, Seq("doc_id"))
+        .select(col("doc_id"), col("total_words"), col("removed_words"),
+          col("pre_q_keep"), col("pre_rep_keep"), col("post_score"),
+          col("post_q_keep"), col("post_rep_keep"),
+          when(not(col("post_q_keep")), lit("quality"))
+            .when(not(col("post_rep_keep")), lit("repetition"))
+            .otherwise(lit("keep")).as("post_stage"))
+    }),
+
+    // BEST-QUALITY near-dup survivor — every keep-rule in the dedup
+    // family is min-id (deterministic but arbitrary); production
+    // pipelines keep the best-QUALITY cluster member (SemDeDup,
+    // RefinedWeb), and q165's scores are sitting right there. The
+    // plant makes the rule change hash-visible: degraded copies get
+    // ids BELOW every natural doc (doc_id − 1e6) with a glued
+    // punctuation tail — the [a-z]+ shingle set is untouched (Jaccard
+    // exactly 1, so the pair is always found) while the punct feature
+    // collapses the copy's quality score, so the cluster REP (min id)
+    // is the LOW-quality member and the argmax-quality survivor is
+    // the original. Tie-break: highest score, then LOWEST id —
+    // deterministic on both engines (row_number, no float compare).
+    "q173_quality_survivor" -> ((s, d) => {
+      val base = docs(s, d)
+      val batch = base.unionAll(
+        base.filter(col("doc_id") % MutMod === 0).select(
+          (col("doc_id") - MutOff).as("doc_id"),
+          concat(col("text"),
+            expr("repeat('!', 2 * length(text))")).as("text")))
+      val pairs = Dedup.nearDupPairs(batch, "doc_id", "text",
+        k = K, numHashes = H, bands = B, threshold = Tau)
+      val labels = Dedup.dupClusters(pairs.select("a_id", "b_id"))
+        .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      val scored = graft.operators.QualityClassifier.score(batch, "text")
+        .select(col("doc_id"), col("score"))
+      val m = labels.join(scored, Seq("doc_id"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_rep"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_rep"))
+      m.withColumn("rn", row_number().over(wOrd))
+        .withColumn("cluster_size", count(lit(1)).over(wAll))
+        .filter(col("rn") === 1)
+        .join(scored.select(col("doc_id").as("cluster_rep"),
+          col("score").as("rep_score")), Seq("cluster_rep"))
+        .select(col("cluster_rep"), col("cluster_size"),
+          col("doc_id").as("survivor_id"), col("score").as("survivor_score"),
+          col("rep_score"))
+    }),
+
     // Cross-snapshot corpus overlap from KMV sketch SET ALGEBRA — the
     // "how much of snapshot B is already in A" planning question a
     // pipeline answers BEFORE paying for a full dedup join. Snapshot A
@@ -381,6 +494,31 @@ object DedupQueries {
   private val SpanK = 8
   private val SpanFlagE6 = 500000L
 
+  // q172 re-filter plants (shared by Spark + oracle SQL — lowercase
+  // [a-z ] only, so they survive word normalization verbatim and need
+  // no SQL escaping). Boiler: ~70 stopword-rich non-repetitive words —
+  // passes both gates on its own. Healthy: a second such paragraph
+  // (plant -1's remainder). Stub: 3 rare non-stopword words — plant
+  // -2's remainder, which FAILS the quality gate (score = bias +
+  // 3 tokens − word-length drag < 0).
+  private val RefilterBoiler =
+    "the quarterly report shows that revenue in the northern region " +
+      "grew faster than expected and the board is pleased with the " +
+      "result it also notes that costs for transport and storage " +
+      "remain on budget while demand in the southern market is " +
+      "expected to recover early next year for that reason the " +
+      "committee recommends that investment in new warehouse capacity " +
+      "should continue and that hiring for the logistics team is " +
+      "approved"
+  private val RefilterHealthy =
+    "after the review the team agreed that the new pricing model is " +
+      "simpler for customers and that it reduces the number of manual " +
+      "corrections in the billing cycle the rollout will start with a " +
+      "small group of accounts and expand once the support staff " +
+      "confirm that the documentation is clear and the migration " +
+      "tools work as intended"
+  private val RefilterStub = "zxq vbnw mlkp"
+
   // decontamination parameters (shared by Spark + oracle SQL)
   private val DecontK = 4
   private val DecontMod = 17
@@ -416,6 +554,126 @@ object DedupQueries {
 
   private val duckJaccard =
     "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)"
+
+  /** The q169/q171 planted batch: corpus ∪ fresh-prefix copies. */
+  private val duckExsubBatch =
+    s"""batch AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id + $MutOff AS doc_id,
+       |         'exsub fresh prefix ' || substr(text, 101) AS text
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % $MutMod = 0
+       |    AND length(text) >= 300)""".stripMargin
+
+  /** The span-removal replay chain (w → g → dg → st → rm → f → c) over
+    * a `batch(doc_id, text)` CTE — shared verbatim by q169 (monolithic,
+    * plants), q171 (the monolithic half of the incremental equality
+    * pin) and q172 (removal before re-filtering). `c` carries
+    * (doc_id, ws, cov): the word list and the per-position coverage
+    * verdicts the final selects cut with. */
+  private val duckSpanChain =
+    s"""w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |      FROM batch),
+       |g AS (SELECT doc_id, ws,
+       |        CASE WHEN len(ws) >= $SpanK
+       |          THEN list_transform(range(0, len(ws) - ${SpanK - 1}),
+       |            i -> array_to_string(
+       |              list_slice(ws, CAST(i AS INT) + 1, CAST(i AS INT) + $SpanK), ' '))
+       |          ELSE CAST([] AS VARCHAR[]) END AS gs
+       |      FROM w),
+       |dg AS (SELECT doc_id, unnest(list_distinct(gs)) AS gr FROM g),
+       |st AS (SELECT gr, COUNT(*) AS d, MIN(doc_id) AS keeper
+       |       FROM dg GROUP BY 1),
+       |rm AS (SELECT dg.doc_id, list(dg.gr) AS rms
+       |       FROM dg JOIN st USING (gr)
+       |       WHERE st.d >= 2 AND dg.doc_id <> st.keeper
+       |       GROUP BY 1),
+       |f AS (SELECT g.doc_id, g.ws,
+       |        list_transform(g.gs,
+       |          x -> coalesce(list_contains(rm.rms, x), false)) AS flags
+       |      FROM g LEFT JOIN rm USING (doc_id)),
+       |c AS (SELECT doc_id, ws,
+       |        list_transform(range(1, len(ws) + 1), j ->
+       |          CASE WHEN least(j, CAST(len(flags) AS BIGINT))
+       |                 >= greatest(j - ${SpanK - 1}, 1)
+       |               THEN len(list_filter(list_slice(flags,
+       |                      CAST(greatest(j - ${SpanK - 1}, 1) AS INT),
+       |                      CAST(least(j, CAST(len(flags) AS BIGINT)) AS INT)),
+       |                    b -> b)) > 0
+       |               ELSE false END) AS cov
+       |      FROM f)""".stripMargin
+
+  /** q169/q171's shared final projection over `c`. */
+  private val duckSpanSelect =
+    """SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS total_words,
+      |  CAST(len(list_filter(cov, b -> b)) AS BIGINT) AS removed_words,
+      |  CAST(coalesce(list_sum(list_transform(range(1, len(ws) + 1),
+      |    j -> CASE WHEN cov[CAST(j AS INT)]
+      |              THEN length(ws[CAST(j AS INT)]) ELSE 0 END)), 0)
+      |    AS BIGINT) AS removed_chars,
+      |  md5(coalesce(array_to_string(list_filter(list_transform(
+      |    range(1, len(ws) + 1),
+      |    j -> CASE WHEN cov[CAST(j AS INT)] THEN NULL
+      |              ELSE ws[CAST(j AS INT)] END),
+      |    x -> x IS NOT NULL), ' '), '')) AS cleaned_md5""".stripMargin
+
+  /** q165 quality-score replay over a `src(doc_id, text, …)` CTE:
+    * emits `{p}w → {p}f → {p}sc(doc_id{extra}, score)` — GENERATED
+    * from QualityClassifier's frozen constants (the q166 discipline),
+    * feature arithmetic identical to the q165 oracle. */
+  private def duckQualityCtes(src: String, p: String,
+                              extra: String): String = {
+    import graft.operators.QualityClassifier._
+    val hits = graft.functions.TextFunctions.stopwords.map { case (_, stops) =>
+      s"len(list_filter(ws, w -> list_contains(${TextQueries.duckList(stops)}, w)))"
+    }.mkString(" + ")
+    s"""${p}w AS (SELECT doc_id$extra, text,
+       |    regexp_extract_all(lower(text), '[a-z]+') AS ws FROM $src),
+       |${p}f AS (SELECT doc_id$extra,
+       |    $WTokens * least(${TextQueries.duckWsTokens}, $TokenCap) AS c_tokens,
+       |    $WPunct * ((CAST(${TextQueries.duckPunct} AS BIGINT) * 1048576) //
+       |      greatest(CAST(length(text) AS BIGINT), 1)) AS c_punct,
+       |    $WStop * ((CAST($hits AS BIGINT) * 1048576) //
+       |      greatest(CAST(len(ws) AS BIGINT), 1)) AS c_stop,
+       |    $WWlen * ((CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+       |      AS BIGINT) * 131072) //
+       |      greatest(CAST(len(ws) AS BIGINT), 1)) AS c_wlen
+       |  FROM ${p}w),
+       |${p}sc AS (SELECT doc_id$extra,
+       |    CAST($Bias + c_tokens + c_punct + c_stop + c_wlen AS BIGINT) AS score
+       |  FROM ${p}f)""".stripMargin
+  }
+
+  /** q168 repetition-verdict replay over a `src(doc_id, text, …)` CTE:
+    * emits `{p}gw → {p}gg → {p}gr → {p}rv(doc_id, rep_keep)` —
+    * generated from Repetition's frozen q20 thresholds. */
+  private def duckRepCtes(src: String, p: String): String = {
+    import graft.operators.Repetition._
+    def gsl(k: Int) =
+      s"CASE WHEN len(ws) >= $k THEN list_transform(range(0, len(ws) - ${k - 1}), " +
+        s"i -> array_to_string(list_slice(ws, CAST(i AS INT) + 1, CAST(i AS INT) + $k), ' ')) " +
+        "ELSE CAST([] AS VARCHAR[]) END"
+    def dup(n: Int) =
+      s"CAST(((len(g$n) - len(list_distinct(g$n))) * 1048576) // " +
+        s"greatest(len(g$n), 1) AS BIGINT)"
+    s"""${p}gw AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '[a-z]+') AS ws FROM $src),
+       |${p}gg AS (SELECT doc_id, ${gsl(2)} AS g2, ${gsl(3)} AS g3,
+       |    ${gsl(4)} AS g4 FROM ${p}gw),
+       |${p}gr AS (SELECT doc_id, ${dup(2)} AS d2, ${dup(3)} AS d3,
+       |    ${dup(4)} AS d4,
+       |    CAST((coalesce(list_max(list_filter(list_transform(
+       |        list_distinct(g2), g -> len(list_filter(g2, x -> x = g))),
+       |        c -> c >= 2)), 0) * 1048576) //
+       |      greatest(len(g2), 1) AS BIGINT) AS t2
+       |  FROM ${p}gg),
+       |${p}rv AS (SELECT doc_id,
+       |    (d2 <= $Dup2MaxQ20 AND d3 <= $Dup3MaxQ20 AND
+       |     d4 <= $Dup4MaxQ20 AND t2 <= $Top2MaxQ20) AS rep_keep
+       |  FROM ${p}gr)""".stripMargin
+  }
 
   private val duckCos =
     """SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
@@ -787,57 +1045,111 @@ object DedupQueries {
     // coverage window and the keeper rule are replayed exactly; both
     // engines divide nothing — pure integer/string work, md5-pinned.
     "q169_exactsubstr_scrub" ->
-      s"""WITH batch AS (
-         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id + $MutOff AS doc_id,
-         |         'exsub fresh prefix ' || substr(text, 101) AS text
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND doc_id % $MutMod = 0
-         |    AND length(text) >= 300),
-         |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
-         |      FROM batch),
-         |g AS (SELECT doc_id, ws,
-         |        CASE WHEN len(ws) >= $SpanK
-         |          THEN list_transform(range(0, len(ws) - ${SpanK - 1}),
-         |            i -> array_to_string(
-         |              list_slice(ws, CAST(i AS INT) + 1, CAST(i AS INT) + $SpanK), ' '))
-         |          ELSE CAST([] AS VARCHAR[]) END AS gs
-         |      FROM w),
-         |dg AS (SELECT doc_id, unnest(list_distinct(gs)) AS gr FROM g),
-         |st AS (SELECT gr, COUNT(*) AS d, MIN(doc_id) AS keeper
-         |       FROM dg GROUP BY 1),
-         |rm AS (SELECT dg.doc_id, list(dg.gr) AS rms
-         |       FROM dg JOIN st USING (gr)
-         |       WHERE st.d >= 2 AND dg.doc_id <> st.keeper
-         |       GROUP BY 1),
-         |f AS (SELECT g.doc_id, g.ws,
-         |        list_transform(g.gs,
-         |          x -> coalesce(list_contains(rm.rms, x), false)) AS flags
-         |      FROM g LEFT JOIN rm USING (doc_id)),
-         |c AS (SELECT doc_id, ws,
-         |        list_transform(range(1, len(ws) + 1), j ->
-         |          CASE WHEN least(j, CAST(len(flags) AS BIGINT))
-         |                 >= greatest(j - ${SpanK - 1}, 1)
-         |               THEN len(list_filter(list_slice(flags,
-         |                      CAST(greatest(j - ${SpanK - 1}, 1) AS INT),
-         |                      CAST(least(j, CAST(len(flags) AS BIGINT)) AS INT)),
-         |                    b -> b)) > 0
-         |               ELSE false END) AS cov
-         |      FROM f)
-         |SELECT doc_id,
-         |  CAST(len(ws) AS BIGINT) AS total_words,
-         |  CAST(len(list_filter(cov, b -> b)) AS BIGINT) AS removed_words,
-         |  CAST(coalesce(list_sum(list_transform(range(1, len(ws) + 1),
-         |    j -> CASE WHEN cov[CAST(j AS INT)]
-         |              THEN length(ws[CAST(j AS INT)]) ELSE 0 END)), 0)
-         |    AS BIGINT) AS removed_chars,
-         |  md5(coalesce(array_to_string(list_filter(list_transform(
-         |    range(1, len(ws) + 1),
-         |    j -> CASE WHEN cov[CAST(j AS INT)] THEN NULL
-         |              ELSE ws[CAST(j AS INT)] END),
-         |    x -> x IS NOT NULL), ' '), '')) AS cleaned_md5
+      s"""WITH $duckExsubBatch,
+         |$duckSpanChain
+         |$duckSpanSelect
          |FROM c""".stripMargin,
+
+    // the MONOLITHIC replay over corpus ∪ batch, filtered to the batch
+    // ids — hashing q171's incremental result against this IS the
+    // incremental == monolithic equality pin, re-proven at every SF
+    "q171_exsub_incremental" ->
+      s"""WITH $duckExsubBatch,
+         |$duckSpanChain
+         |$duckSpanSelect
+         |FROM c WHERE doc_id >= $MutOff""".stripMargin,
+
+    // removal replay (the q169 chain, cleaned kept as TEXT), then the
+    // q165 quality legs + q168 repetition legs replayed over BOTH the
+    // raw batch and the cleaned text — all fragments generated from
+    // the same frozen operator constants (the q166 discipline)
+    "q172_refilter_after_scrub" -> {
+      val batchCte =
+        s"""batch AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+           |  FROM documents WHERE text IS NOT NULL
+           |  UNION ALL SELECT -3, '$RefilterBoiler'
+           |  UNION ALL SELECT -2, '$RefilterBoiler $RefilterStub'
+           |  UNION ALL SELECT -1, '$RefilterBoiler $RefilterHealthy')"""
+          .stripMargin
+      s"""WITH $batchCte,
+         |$duckSpanChain,
+         |cl AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS total_words,
+         |        CAST(len(list_filter(cov, b -> b)) AS BIGINT) AS removed_words,
+         |        coalesce(array_to_string(list_filter(list_transform(
+         |          range(1, len(ws) + 1),
+         |          j -> CASE WHEN cov[CAST(j AS INT)] THEN NULL
+         |                    ELSE ws[CAST(j AS INT)] END),
+         |          x -> x IS NOT NULL), ' '), '') AS text
+         |      FROM c),
+         |${duckQualityCtes("batch", "pq", "")},
+         |${duckRepCtes("batch", "pr")},
+         |${duckQualityCtes("cl", "oq", ", total_words, removed_words")},
+         |${duckRepCtes("cl", "orp")}
+         |SELECT doc_id, oqsc.total_words, oqsc.removed_words,
+         |  (pqsc.score >= 0) AS pre_q_keep,
+         |  prrv.rep_keep AS pre_rep_keep,
+         |  oqsc.score AS post_score,
+         |  (oqsc.score >= 0) AS post_q_keep,
+         |  orprv.rep_keep AS post_rep_keep,
+         |  CASE WHEN NOT (oqsc.score >= 0) THEN 'quality'
+         |       WHEN NOT orprv.rep_keep THEN 'repetition'
+         |       ELSE 'keep' END AS post_stage
+         |FROM pqsc
+         |JOIN prrv USING (doc_id)
+         |JOIN oqsc USING (doc_id)
+         |JOIN orprv USING (doc_id)""".stripMargin
+    },
+
+    // q56's full LSH + recursive-CC chain over the punct-degraded
+    // batch, the q165 score legs over the same batch, and the
+    // identical (score DESC, doc_id ASC) row_number survivor pick
+    "q173_quality_survivor" -> {
+      val mins = (1 to H).map(h =>
+        s"list_aggregate(list_transform(sh, s -> md5('$h:' || s)), 'min')")
+      val bandExprs = (0 until B).map { bi =>
+        val r = H / B
+        val parts = mins.slice(bi * r, (bi + 1) * r).mkString(" || '|' || ")
+        s"md5('$bi' || '|' || $parts)"
+      }
+      s"""WITH RECURSIVE batch AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id - $MutOff, text || repeat('!', 2 * length(text))
+         |  FROM documents WHERE doc_id % $MutMod = 0),
+         |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM batch),
+         |sh AS (SELECT doc_id, ${duckShingles(K)} AS sh FROM w),
+         |bd AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS bk FROM sh),
+         |pairs AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM (
+         |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |    FROM bd a JOIN bd b ON a.bk = b.bk AND a.doc_id < b.doc_id) c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id
+         |  WHERE $duckJaccard >= $Tau),
+         |e AS (SELECT a_id AS x, b_id AS y FROM pairs
+         |      UNION SELECT b_id, a_id FROM pairs),
+         |walk(a, b) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM e)
+         |  UNION
+         |  SELECT walk.a, e.y FROM walk JOIN e ON walk.b = e.x),
+         |rep AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM walk GROUP BY 1),
+         |${duckQualityCtes("batch", "q", "")},
+         |m AS (SELECT rep.doc_id, rep.cluster_rep, qsc.score
+         |      FROM rep JOIN qsc USING (doc_id)),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY cluster_rep
+         |                           ORDER BY score DESC, doc_id ASC) AS rn,
+         |        COUNT(*) OVER (PARTITION BY cluster_rep) AS csz
+         |      FROM m)
+         |SELECT r.cluster_rep, CAST(r.csz AS BIGINT) AS cluster_size,
+         |  r.doc_id AS survivor_id, r.score AS survivor_score,
+         |  s2.score AS rep_score
+         |FROM r JOIN qsc s2 ON s2.doc_id = r.cluster_rep
+         |WHERE r.rn = 1""".stripMargin
+    },
 
     // full KMV replay: per-side k minima via a hash-ordered window,
     // union sketch = k smallest of the union set, then the identical

@@ -154,6 +154,94 @@ class DedupSpec extends SparkSpec {
       s"planted copy ${r.get(0)} kept its shared suffix"))
   }
 
+  test("removeSharedSpansAgainst equals the monolithic run restricted " +
+      "to batch docs — corpus-shared, batch-internal, and " +
+      "promoted-to-shared grams included") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "p q r s t u")).toDF("doc_id", "text")
+    val batch = Seq(
+      // shares 'a b c'/'b c d' with corpus keeper 1
+      (10L, "za zb a b c d w"),
+      // 11 and 12 share a gram the CORPUS has never seen — the
+      // batch-internal case nearDupPairsAgainst scopes out but span
+      // removal must count (keeper = 11, the lower batch id)
+      (11L, "alpha one two three beta"),
+      (12L, "gamma delta one two three eps"),
+      // 'p q r' is count-1 in the corpus table; the batch occurrence
+      // PROMOTES it to shared (count 2, corpus keeper 2 keeps)
+      (13L, "p q r keeps nothing here")).toDF("doc_id", "text")
+    val k = 3
+    val gt = Dedup.gramTable(corpus, "doc_id", "text", k)
+    val inc = Dedup.removeSharedSpansAgainst(batch, gt, "doc_id", "text", k)
+    val mono = Dedup.removeSharedSpans(corpus.unionAll(batch),
+        "doc_id", "text", k)
+      .filter(col("doc_id") >= 10L)
+    assert(inc.exceptAll(mono).isEmpty && mono.exceptAll(inc).isEmpty,
+      "incremental != monolithic on the batch docs")
+    val rw = inc.select("doc_id", "removed_words").as[(Long, Long)]
+      .collect().toMap
+    assert(rw === Map(10L -> 4L, 11L -> 0L, 12L -> 3L, 13L -> 3L))
+  }
+
+  test("removeSharedSpansAgainst == monolithic on the real corpus " +
+      "(the q171 plant shape at sf0.001)") {
+    val corpus = Tables(spark, sf0001, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val batch = corpus
+      .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 300)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("fresh prefix here "), expr("substring(text, 101)"))
+          .as("text"))
+    val k = 8
+    val gt = Dedup.gramTable(corpus, "doc_id", "text", k)
+    val inc = Dedup.removeSharedSpansAgainst(batch, gt, "doc_id", "text", k)
+    val mono = Dedup.removeSharedSpans(corpus.unionAll(batch),
+        "doc_id", "text", k)
+      .filter(col("doc_id") >= 1000000L)
+    assert(inc.count() === batch.count())
+    assert(inc.exceptAll(mono).isEmpty && mono.exceptAll(inc).isEmpty,
+      "incremental != monolithic on the real corpus")
+    // the plant is non-trivial: every copy loses its stolen suffix
+    assert(inc.filter(col("removed_words") > 0L).count() === inc.count())
+  }
+
+  test("foldGramTable(gramTable(old), new) == gramTable(old ∪ new): " +
+      "counts add, keepers take the min, count-1 grams survive") {
+    val corpus = Tables(spark, sf0001, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+      .limit(200)
+    val batch = corpus.limit(50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val k = 8
+    val folded = Dedup.foldGramTable(
+      Dedup.gramTable(corpus, "doc_id", "text", k),
+      batch, "doc_id", "text", k)
+    val direct = Dedup.gramTable(corpus.unionAll(batch),
+      "doc_id", "text", k)
+    assert(folded.exceptAll(direct).isEmpty &&
+      direct.exceptAll(folded).isEmpty,
+      "folded gram table != directly built gram table")
+  }
+
+  test("removeSharedSpans: null text reads as the empty document, " +
+      "never a -1 word count") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeSharedSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      1L -> ((0L, 0L, 0L, "")),
+      2L -> ((3L, 0L, 0L, "a b c"))))
+    val inc = Dedup.removeSharedSpansAgainst(docs,
+        Dedup.gramTable(docs.limit(0), "doc_id", "text", 3),
+        "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(inc(1L) === ((0L, 0L, 0L, "")))
+  }
+
   test("nearDupPairs finds planted near-dup, not unrelated docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -226,6 +226,24 @@ class PlanSpec extends SparkSpec {
       s"q169's joins should stay hash-shaped at this scale:\n$p")
   }
 
+  test("q171: incremental span removal probes the corpus gram table by " +
+      "BROADCAST of the batch grams — bounded joins only, never " +
+      "pair-shaped") {
+    val p = finalPlan("q171_exsub_incremental")
+    // the maintained gram table must stream against a broadcast hash
+    // set of the batch's grams (and the combined-stats join is
+    // batch-gram-bounded on both sides) — a corpus-side shuffle here
+    // means the arrival re-paid the corpus, which is exactly what the
+    // incremental face exists to avoid
+    assert(p.contains("BroadcastHashJoin"),
+      s"q171's corpus probe must broadcast the batch grams:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q171 went all-pairs:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q171's joins should stay hash-shaped at this scale:\n$p")
+  }
+
   test("q170: the 4-stage scrub chain is ONE scan-side map — the only " +
       "exchange is the final single-row aggregate, zero joins") {
     val p = finalPlan("q170_web_scrub_full")

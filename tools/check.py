@@ -35,7 +35,7 @@ by accident — the lint flags it all the same.
 """
 import datetime
 import decimal
-import glob, json, os, re, sys
+import glob, json, os, re, statistics, sys
 
 
 def effective(v):
@@ -208,7 +208,7 @@ def load_notes(art, d):
                      if isinstance(v, (int, float)) and v >= 0)
     if not samples:
         return
-    med = samples[len(samples) // 2]
+    med = statistics.median(samples)
     thr = max(4.0, 2 * med)
     for q, v in sorted(d.get("queries", {}).items()):
         if not entry_ok(v):
