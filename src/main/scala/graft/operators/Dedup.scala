@@ -688,10 +688,14 @@ object Dedup {
     * poison size() with -1 downstream). */
   private def docGrams(docs: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
-    import graft.expressions.TextExpressions.wordShinglesAll
+    import graft.expressions.TextExpressions.wordShingles
+    // round-18: the 2-arg word_shingles form IS the distinct set
+    // (LinkedHashSet, first-occurrence order — exactly what
+    // array_distinct(positional) produced); the positional array and
+    // the interpreted array_distinct pass are dead weight before an
+    // explode that only needs the set
     docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(
-        wordShinglesAll(coalesce(col(textCol), lit("")), k))).as("g"))
+      explode(wordShingles(coalesce(col(textCol), lit("")), k)).as("g"))
   }
 
   /** The shared reassembly tail: given the pinned per-doc removable
@@ -699,7 +703,34 @@ object Dedup {
     * position and rebuild the survivors — identical arithmetic for the
     * monolithic and incremental faces, so their equality pin is a
     * statement about the AGGREGATION half only. */
-  private def cutAndReassemble(docs: DataFrame, idCol: String,
+  private[graft] def cutAndReassemble(docs: DataFrame, idCol: String,
+                               textCol: String, k: Int,
+                               rm: DataFrame): DataFrame =
+    // round-18 optimization (guide §1.2 step 2): the per-row membership
+    // probe + coverage window + reassembly ride ONE fused native pass
+    // ([[graft.expressions.SpanCut]] — hash-set membership and a
+    // run-length coverage sweep) instead of the composed
+    // O(|grams|·|rm|) interpreted array_contains + per-word
+    // slice/exists chain (the round-17 verdict's noted quadratic
+    // row-local probe, observation 2). [[cutAndReassembleComposed]]
+    // keeps the original as the DedupSpec parity reference; the
+    // q169/q171/q172 oracles replay the composed SQL unchanged.
+    docs
+      .select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("__text"))
+      .join(rm, Seq("doc_id"), "left")
+      .withColumn("__sc",
+        graft.expressions.ScrubExpressions.spanCut(col("__text"),
+          col("__rm"), k))
+      .select(col("doc_id"),
+        col("__sc.total_words").as("total_words"),
+        col("__sc.removed_words").as("removed_words"),
+        col("__sc.removed_chars").as("removed_chars"),
+        col("__sc.cleaned").as("cleaned"))
+
+  /** The pure-builtin composition — parity reference for
+    * [[cutAndReassemble]] (and the shape the DuckDB oracles replay). */
+  private[graft] def cutAndReassembleComposed(docs: DataFrame, idCol: String,
                                textCol: String, k: Int,
                                rm: DataFrame): DataFrame = {
     import graft.expressions.TextExpressions.wordShinglesAll

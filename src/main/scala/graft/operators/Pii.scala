@@ -89,11 +89,17 @@ object Pii {
     }
 
   /** True iff a re-scan of `text` finds NO family — the compliance
-    * exit criterion (run it on the REDACTED text). */
+    * exit criterion (run it on the REDACTED text).
+    *
+    * Round-18 optimization (guide §1.2 step 2): existence needs only
+    * the FIRST match, so each family re-scans via `rlike` (first-match
+    * search, no match-array construction) instead of
+    * `size(regexp_extract_all(...)) === 0` (which materializes every
+    * match just to count zero). NULL text reads NULL both ways
+    * (size(NULL) = NULL under Spark 4 defaults — ScrubFusionSpec pins
+    * the parity, NULL row included). */
   def clean(text: Column): Column =
-    Patterns.map { case (_, re, _) =>
-      size(regexp_extract_all(text, lit(re), lit(0))) === 0
-    }.reduce(_ && _)
+    Patterns.map { case (_, re, _) => !text.rlike(re) }.reduce(_ && _)
 
   /** scrub(df, textCol) → appends n_email/n_cc/n_ssn/n_phone/n_ip
     * (BIGINT, counted on the raw text), `redacted` (the scrubbed

@@ -68,8 +68,43 @@ object QualityClassifier {
 
   /** Appends c_tokens, c_punct, c_stop, c_wlen, score (BIGINT) and
     * keep (boolean) to `df`. `textCol` must be a plain column name
-    * (the q20 features use SQL `div`). */
-  def score(df: DataFrame, textCol: String): DataFrame = {
+    * (the q20 features use SQL `div`).
+    *
+    * Round-18 optimization (guide §1.2 step 2): the word-derived
+    * features (word count, summed word length, stopword hits over all
+    * 5 lists) ride ONE fused native pass
+    * ([[graft.expressions.QcFeatures]]) instead of a regexp
+    * extract-all plus five interpreted filter/array_contains walks
+    * plus an interpreted aggregate. [[scoreComposed]] keeps the
+    * original chain as the parity reference (QualityClassifierSpec
+    * pins native == composed, NULL text included; the q165-family
+    * DuckDB oracles replay the composed SQL unchanged). */
+  def score(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__qc_ts",
+        graft.expressions.TextExpressions.textStats(col(textCol)))
+      .withColumn("__qc_f",
+        graft.expressions.ScrubExpressions.qcFeatures(col(textCol)))
+      .withColumn("c_tokens",
+        lit(WTokens) * least(col("__qc_ts.n_ws_tokens"), lit(TokenCap))
+          .cast("bigint"))
+      .withColumn("c_punct", lit(WPunct) * expr(
+        "(CAST(__qc_ts.n_punct AS BIGINT) * 1048576L) div " +
+          "greatest(CAST(__qc_ts.n_chars AS BIGINT), 1L)"))
+      .withColumn("c_stop", lit(WStop) * expr(
+        "(CAST(__qc_f.hits AS BIGINT) * 1048576L) div " +
+          "greatest(CAST(__qc_f.n_words AS BIGINT), 1L)"))
+      .withColumn("c_wlen", lit(WWlen) * expr(
+        "(CAST(__qc_f.wsum AS BIGINT) * 131072L) div " +
+          "greatest(CAST(__qc_f.n_words AS BIGINT), 1L)"))
+      .withColumn("score",
+        lit(Bias) + col("c_tokens") + col("c_punct") + col("c_stop") +
+          col("c_wlen"))
+      .withColumn("keep", col("score") >= 0L)
+      .drop("__qc_ts", "__qc_f")
+
+  /** The pure-builtin composition — parity reference for [[score]]
+    * (and the shape the DuckDB oracles replay). */
+  private[graft] def scoreComposed(df: DataFrame, textCol: String): DataFrame = {
     val hits = TextFunctions.stopwords.map { case (_, stops) =>
       val set = array(stops.map(lit): _*)
       size(filter(col("__qc_ws"), w => array_contains(set, w)))

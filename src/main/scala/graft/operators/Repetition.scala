@@ -56,8 +56,31 @@ object Repetition {
   val Top2MaxQ20 = 209715L
 
   /** Appends dup2_q20/dup3_q20/dup4_q20/top2_q20 (BIGINT) and `keep`
-    * to `df`. All per-row; `textCol` may be any column expression. */
-  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    * to `df`. All per-row; `textCol` may be any column expression.
+    *
+    * Round-18 optimization (guide §1.2 step 2): the four signals ride
+    * ONE fused native pass ([[graft.expressions.RepetitionStats]] —
+    * one tokenize + one hash-count per n) instead of three positional
+    * word_shingles arrays, three interpreted array_distincts and an
+    * O(kinds·total) interpreted top-gram transform. [[annotateComposed]]
+    * keeps the original chain as the parity reference (RepetitionSpec
+    * pins native == composed on the adversarial corpus; the q168/q170
+    * DuckDB oracles replay the composed SQL unchanged). */
+  def annotate(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__rep", graft.expressions.ScrubExpressions
+        .repetitionStats(col(textCol)))
+      .withColumn("dup2_q20", col("__rep.dup2_q20"))
+      .withColumn("dup3_q20", col("__rep.dup3_q20"))
+      .withColumn("dup4_q20", col("__rep.dup4_q20"))
+      .withColumn("top2_q20", col("__rep.top2_q20"))
+      .withColumn("keep",
+        col("dup2_q20") <= Dup2MaxQ20 && col("dup3_q20") <= Dup3MaxQ20 &&
+          col("dup4_q20") <= Dup4MaxQ20 && col("top2_q20") <= Top2MaxQ20)
+      .drop("__rep")
+
+  /** The pure-builtin composition — parity reference for [[annotate]]
+    * (and the shape the DuckDB oracles replay). */
+  private[graft] def annotateComposed(df: DataFrame, textCol: String): DataFrame = {
     val g2 = col("__rep_g2")
     val top2Count =
       coalesce(array_max(filter(transform(array_distinct(g2),
