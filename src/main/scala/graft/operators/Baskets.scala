@@ -57,4 +57,32 @@ private[graft] object Baskets {
     bkts.unpersist(blocking = false)
     (itemN, pairN, basketN)
   }
+
+  /** Canonical co-order edge list `(a < b, distinct)` of a
+    * (basket, item) projection — the q111/q124/q133/q147 graph input.
+    *
+    * Round-18 optimization (guide §2.4): the original idiom was
+    * `op.distinct.as(x).join(op.as(y), x.o === y.o && x.p < y.p)` —
+    * a self-join whose two exchanges, hash build and row-matching all
+    * exist only to enumerate within-basket pairs. Pairs are a per-row
+    * property of a basket's item SET, so ONE basket-key aggregate +
+    * the native `array_pairs` explode produces the identical edge set
+    * (sorted distinct items → ordered pairs ≡ the p < p' predicate on
+    * distinct rows) with one exchange less and no join. Measured on
+    * the q133 build (noop sink): 7.98 → 6.80 s warm at the 100×
+    * decade, 24.2 → 9.7 s cold. Output equality is oracle-re-proven
+    * (the DuckDB SQL keeps the self-join form) and pair-order
+    * invariant (the consumer aggregates/distincts).
+    *
+    * Per-basket pair fan-out is C(size, 2) — bounded for bounded
+    * baskets, and [[graft.expressions.ArrayPairs]] fails loudly past
+    * 65535 items; cap pathological baskets upstream. */
+  def coOrderEdges(baskets: DataFrame): DataFrame =
+    baskets.toDF("bk", "it")
+      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(call_function(
+        graft.expressions.ArrayPairs.name, col("items"))).as("pr"))
+      .select(col("pr.ia").as("a"), col("pr.ib").as("b"))
+      .distinct()
 }

@@ -98,12 +98,12 @@ object AnalyticsQueries {
     // divisions. Top-20 by (rank desc, part) — unique-key tie-break
     // makes the LIMIT selection deterministic.
     "q124_pagerank" -> ((s, d) => {
-      val op = t(s, d, "lineitem")
-        .filter(col("l_orderkey") % 3 === 0)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e0 = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      // r18: in-array co-order edge build (Baskets.coOrderEdges) —
+      // identical edge set, one exchange less than the self-join form
+      val e0 = graft.operators.Baskets.coOrderEdges(
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 3 === 0)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
       Graph.pageRank(e0, iters = PrIters, scale = PrScale)
         .orderBy(col("r").desc, col("p"))
         .limit(PrTopK)
@@ -229,12 +229,11 @@ object AnalyticsQueries {
     // "blast radius" query. Static 3-hop unrolled pipeline, one hash
     // join + one min-aggregate per hop, edge list materialized once.
     "q133_bfs_hops" -> ((s, d) => {
-      val op = t(s, d, "lineitem")
-        .filter(col("l_orderkey") % 3 === 0)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e0 = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      // r18: in-array co-order edge build (see q124)
+      val e0 = graft.operators.Baskets.coOrderEdges(
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 3 === 0)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
       val seeds = t(s, d, "part")
         .filter(col("p_partkey") % 97 === 0).select(col("p_partkey"))
       Graph.bfs(e0, seeds, maxHops = 3)
@@ -249,12 +248,11 @@ object AnalyticsQueries {
     // pre-partitioned edge list with the vertex-sized dist table plus
     // one min-aggregate; BIGINT min/+ replays bit-identically.
     "q147_weighted_path" -> ((s, d) => {
-      val op = t(s, d, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e0 = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      // r18: in-array co-order edge build (see q124)
+      val e0 = graft.operators.Baskets.coOrderEdges(
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 7 === 0)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
         .withColumn("w", expr("(a * 7 + b * 13) % 97 + 1").cast("long"))
       val seeds = t(s, d, "part")
         .filter(col("p_partkey") % 89 === 0).select(col("p_partkey"))

@@ -543,6 +543,13 @@ object BreadthQueries {
       val op = t(s, d, "lineitem")
         .filter(col("l_orderkey") % 3 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // r18 note: q124/q133/q147 switched to the in-array co-order
+      // edge build (Baskets.coOrderEdges) and each measured FASTER at
+      // the 100× decade; q111 alone was A/B-measured 2× SLOWER with it
+      // (28.5 → 59.9 s min-of-2, same session) — its downstream
+      // (orientedAdjacency's two degree joins + the shuffle_hash
+      // triangle join) degrades on the explode-derived statistics. The
+      // self-join build stays HERE, deliberately.
       val e0 = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
