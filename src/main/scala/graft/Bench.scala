@@ -119,10 +119,26 @@ object Bench {
     val overrides = names.map(n => n -> repsFor(n, reps))
       .filter(_._2 != reps)
       .map { case (n, r) => s"\"" + n + "\":" + r }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","isolated":$isolated,"reps":$reps,""" +
       s""""reps_overrides":$overrides,"query_load1":$qLoads,""" +
-      s""""load1_start":$loadStart,"load1_end":${load1()}}""")
+      s""""load1_start":$loadStart,"load1_end":${load1()}}"""
+    println(json)
+    // Mirror the artifact to a file (round-18 postmortem: the driver's
+    // round-over-round comparison went dark because the captured stdout
+    // tail of BENCH_r17 was truncated MID-LINE — the one-line JSON now
+    // carries two 173-entry maps, so losing the tail loses everything).
+    // The mirror is best-effort: the stdout line stays the contract.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench-last.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] artifact mirrored to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact mirror failed (non-fatal): $e")
+    }
     spark.stop()
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 
 /** All ordered index pairs `(a[i], a[j]), i < j` of an array, as
   * `array<struct<ia, ib>>` — the market-basket candidate generator's
@@ -90,19 +90,24 @@ case class ArrayPairs(child: Expression)
     copy(child = newChild)
 }
 
-/** `|A ∩ B|` of two SORTED ascending `array<bigint>` SETS (distinct
-  * elements, no nulls) as one two-pointer merge — the triangle
-  * counter's per-row hot path ([[graft.operators.Graph]]).
+/** `|A ∩ B|` of two SORTED ascending SETS (distinct elements, no
+  * nulls) of BIGINT or STRING as one two-pointer merge — the triangle
+  * counter's ([[graft.operators.Graph]]) and the containment
+  * verifier's ([[graft.operators.Dedup.containmentPairs]]) per-row
+  * hot path.
   *
   * The built-in `size(array_intersect(a, b))` is semantically
   * identical on set inputs but builds a hash set of one side PER ROW
   * and materializes the intersection ARRAY it only gets sized — for
   * the q111 basket graph that per-row allocation dominated the
   * intersection stage at the 100× decade. This expression reads both
-  * arrays' primitive long storage directly and counts matches in one
-  * O(|A|+|B|) pass: no allocation, no boxing, no intermediate array —
-  * and unlike the hash form it codegens into the enclosing
-  * whole-stage span (the [[DotProductFloat]] precedent).
+  * arrays' storage directly and counts matches in one O(|A|+|B|)
+  * pass: no hash set, no intermediate array — and unlike the hash
+  * form it codegens into the enclosing whole-stage span (the
+  * [[DotProductFloat]] precedent). The STRING variant (r19, the q89
+  * verify stage) compares UTF8String bytes — the SAME binary
+  * collation `sort_array` orders by, so sorted-input merging is
+  * exact.
   *
   * Contract: both inputs ascending-sorted and duplicate-free (what
   * `sort_array(collect_list(...))` over distinct values yields — the
@@ -118,17 +123,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = SortedIntersectCount.name
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(LongType, containsNull) => !containsNull
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"${SortedIntersectCount.name} expects two array<bigint> with " +
-        s"non-nullable elements, got (${left.dataType.simpleString}, " +
-        s"${right.dataType.simpleString})")
+  private def elemOf(t: DataType): Option[DataType] = t match {
+    case ArrayType(e @ (LongType | StringType), containsNull)
+      if !containsNull => Some(e)
+    case _ => None
   }
+
+  @transient private lazy val isString: Boolean =
+    elemOf(left.dataType).contains(StringType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemOf(left.dataType), elemOf(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"${SortedIntersectCount.name} expects two array<bigint> or two " +
+          s"array<string> with non-nullable elements, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -138,12 +149,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0L
-    while (i < an && j < bn) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv < yv) i += 1
-      else if (xv > yv) j += 1
-      else { c += 1L; i += 1; j += 1 }
+    if (isString) {
+      while (i < an && j < bn) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp < 0) i += 1
+        else if (cmp > 0) j += 1
+        else { c += 1L; i += 1; j += 1 }
+      }
+    } else {
+      while (i < an && j < bn) {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv < yv) i += 1
+        else if (xv > yv) j += 1
+        else { c += 1L; i += 1; j += 1 }
+      }
     }
     c
   }
@@ -157,16 +177,32 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val body =
+        if (isString) {
+          val cmp = ctx.freshName("cmp")
+          s"""
+             |  UTF8String $xv = $a.getUTF8String($i);
+             |  UTF8String $yv = $b.getUTF8String($j);
+             |  int $cmp = $xv.compareTo($yv);
+             |  if ($cmp < 0) { $i++; }
+             |  else if ($cmp > 0) { $j++; }
+             |  else { $c++; $i++; $j++; }
+           """.stripMargin
+        } else {
+          s"""
+             |  long $xv = $a.getLong($i);
+             |  long $yv = $b.getLong($j);
+             |  if ($xv < $yv) { $i++; }
+             |  else if ($xv > $yv) { $j++; }
+             |  else { $c++; $i++; $j++; }
+           """.stripMargin
+        }
       s"""
          |int $an = $a.numElements();
          |int $bn = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $an && $j < $bn) {
-         |  long $xv = $a.getLong($i);
-         |  long $yv = $b.getLong($j);
-         |  if ($xv < $yv) { $i++; }
-         |  else if ($xv > $yv) { $j++; }
-         |  else { $c++; $i++; $j++; }
+         |$body
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -44,6 +44,17 @@ object Warehouse {
     * rows through one window task is well under a second — cheaper than
     * the three extra jobs the scalable path schedules. */
   val boundedIdBatchRows: Long = 4L * 1000 * 1000
+
+  /** Batches at or under this many rows ALSO skip the fact write's
+    * range repartition and write straight from the id window's single
+    * partition (r19): for a small delta the boundary-sampling job + the
+    * range exchange cost more than one writer task. The bound is much
+    * tighter than [[boundedIdBatchRows]] because the single WRITER
+    * serializes parquet encoding + one directory per month, where the
+    * id window only numbers rows: a 64k-row write is ~0.1 s, but the
+    * same trade at ~1M rows measured 19 vs 15 s on the whole q68 e2e
+    * at the 100× decade (single-task encode of 36 month directories). */
+  val singleTaskWriteRows: Long = 64L * 1024
 }
 
 final class Warehouse(catalog: Catalog, strictQuirks: Boolean = false) {
@@ -52,8 +63,14 @@ final class Warehouse(catalog: Catalog, strictQuirks: Boolean = false) {
 
   /** dim_tempo (reference app/etl.py:20-40). */
   def loadDimTempo(): Long = {
+    // r19: no pre-dedup on the raw `Data` string — the (ano, mes)
+    // dropDuplicates below is the semantic dedup, its partial
+    // aggregation already collapses repeats map-side, and the string
+    // dedup was a SECOND full exchange per run whose only effect was
+    // running parseMonth on fewer rows (a per-row expression vs an
+    // exchange + AQE stage job — the wrong trade).
     val months = staging
-      .select(col("Data")).na.drop().dropDuplicates("Data")
+      .select(col("Data")).na.drop()
       .select(parseMonth(col("Data")).as("d")).na.drop()
       .select(
         yearOf(col("d")).cast("int").as("ano"),
@@ -191,29 +208,55 @@ final class Warehouse(catalog: Catalog, strictQuirks: Boolean = false) {
     // lead with the partition columns or the writer stacks its own
     // sort on top, destroying the clustering it sits above.
     //
-    // Range partitioning SAMPLES its input, which executes the whole
-    // fact plan (five broadcast joins, the anti-join, the serial id
-    // window) once for boundaries and again for the write. On the
-    // bounded path the delta is ≤ boundedIdBatchRows by the same
-    // contract that chose the one-window id assignment, so persist it:
-    // the sampling pass materializes the cache and the write reads it —
-    // one execution instead of two. The scalable path (backfills,
-    // migrations) must NOT pin a table-sized delta in executor memory;
-    // it keeps the recompute, which is parallel there (assignScalable
-    // has no single-task stage).
-    val cached =
-      if (batchRows <= Warehouse.boundedIdBatchRows)
-        keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else keyed
-    try {
-      val clustered = cached
-        .repartitionByRange(col("ano"), col("mes"),
-          col("id_tipo"), col("id_grupo"), col("id_categoria"))
-        .sortWithinPartitions(
-          "ano", "mes", "id_tipo", "id_grupo", "id_categoria")
-      catalog.appendDelta("fato_lancamento", clustered, partitionBy = Seq("ano", "mes"),
+    // On the SMALL-BATCH path (≤ singleTaskWriteRows — r19, guide
+    // §6/§1.2: q68's cost is ~70 jobs of fixed scheduling over a tiny
+    // batch, and this stage paid three of them): the delta just came
+    // out of assignBounded's GLOBAL
+    // id_hash window, i.e. it sits in ONE partition — a partition-local
+    // sort leading with the write-partition columns is already a TOTAL
+    // sort, so the single write task hands the partitioned writer
+    // strictly contiguous (ano, mes) spans and the same row-group
+    // clustering the range shuffle produced. That drops the
+    // repartitionByRange (whose boundary SAMPLING re-executed the whole
+    // fact plan — five broadcast joins, the anti-join, the id window —
+    // and forced a persist to avoid paying it twice), the persist, and
+    // the extra shuffle: one job instead of three, identical rows and
+    // ids. Single-task write of a ≤ boundedIdBatchRows batch is the
+    // same trade assignBounded itself already makes.
+    //
+    // The SCALABLE path (backfills, migrations) keeps the range
+    // repartition: there the delta is fact-scale, the id assignment is
+    // already parallel, and each task must own a contiguous (ano, mes)
+    // span so the partitioned writer opens ~1 directory per task
+    // instead of tasks × months tiny files. It must NOT pin a
+    // table-sized delta in executor memory, so it keeps the recompute.
+    if (batchRows <= Warehouse.singleTaskWriteRows)
+      catalog.appendDelta("fato_lancamento",
+        keyed.sortWithinPartitions(
+          "ano", "mes", "id_tipo", "id_grupo", "id_categoria"),
+        partitionBy = Seq("ano", "mes"),
         clusterBy = Seq("id_tipo", "id_grupo", "id_categoria"))
-    } finally if (cached ne keyed) cached.unpersist(blocking = false)
+    else {
+      // mid-size bounded batches (single-window ids, parallel write)
+      // still persist across the boundary sample + write double
+      // execution; the UNBOUNDED scalable path must not pin a
+      // table-sized delta in executor memory and keeps the recompute
+      // (assignScalable is parallel there).
+      val cached =
+        if (batchRows <= Warehouse.boundedIdBatchRows)
+          keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else keyed
+      try {
+        val clustered = cached
+          .repartitionByRange(col("ano"), col("mes"),
+            col("id_tipo"), col("id_grupo"), col("id_categoria"))
+          .sortWithinPartitions(
+            "ano", "mes", "id_tipo", "id_grupo", "id_categoria")
+        catalog.appendDelta("fato_lancamento", clustered,
+          partitionBy = Seq("ano", "mes"),
+          clusterBy = Seq("id_tipo", "id_grupo", "id_categoria"))
+      } finally if (cached ne keyed) cached.unpersist(blocking = false)
+    }
   }
 
   /** The existing-fact side of the id_hash anti-join, restricted to the
@@ -230,14 +273,31 @@ final class Warehouse(catalog: Catalog, strictQuirks: Boolean = false) {
     catalog.table("fato_lancamento").filter(pred)
   }
 
-  /** Shared dim-merge: dedup batch keys, anti-join existing, assign
-    * surrogate ids continuing from the stored max (SERIAL semantics),
-    * append. */
+  /** Shared dim-merge: anti-join existing, assign surrogate ids
+    * continuing from the stored max (SERIAL semantics), append.
+    *
+    * CONTRACT: `rows` must already be key-distinct — every loader above
+    * dedups at source (dim_tempo `dropDuplicates(ano, mes)`, the other
+    * four a `distinct()` over exactly their key columns), because the
+    * distinct doubles as the map-side reduction of a fact-scale batch
+    * down to vocabulary size. r19 (guide §2.4): mergeDim therefore
+    * anti-joins directly instead of going through
+    * [[MergeIgnore.newRows]], whose defensive `dropDuplicates(keys)`
+    * was a second full exchange on the same keys per loader per run
+    * (visible as dim_tempo's extra AQE-stage job in the q68 profile —
+    * the optimizer collapses it only when the source distinct covers
+    * exactly the key columns). */
   private def mergeDim(table: String, rows: DataFrame, keys: Seq[String],
                        idCol: String, orderBy: Seq[String]): Long = {
     val offset = catalog.maxId(table, idCol)
-    val existing = if (catalog.exists(table)) catalog.table(table) else null
-    val delta = MergeIgnore.newRows(rows, existing, keys)
+    // no distinct on the anti-join's existing side: anti-join semantics
+    // are duplicate-insensitive, existing dim keys are unique by the
+    // merge invariant anyway, and the distinct was one more exchange +
+    // AQE stage job per loader per rerun
+    val delta =
+      if (!catalog.exists(table)) rows
+      else rows.join(catalog.table(table).select(keys.map(col): _*),
+        keys, "left_anti")
     val keyed = SurrogateKeys.assign(delta, idCol, orderBy, offset)
       .select(Schemas.schemaOf(table).fieldNames.map(col): _*)
     catalog.appendDelta(table, keyed)

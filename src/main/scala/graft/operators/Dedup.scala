@@ -252,16 +252,25 @@ object Dedup {
         greatest(col("__pa"), col("__pb")).as("b_id"))
       .distinct()
     // exact verify: intersect the df-filtered shingle arrays — same
-    // counts the naive join aggregates, bounded by the candidate set
+    // counts the naive join aggregates, bounded by the candidate set.
+    // r19 (guide §4): the per-doc arrays are SORTED once at build
+    // (O(s log s), one pass over the docs) so the per-CANDIDATE
+    // intersection is the native two-pointer sorted_intersect_count —
+    // one codegen'd O(|A|+|B|) merge — instead of
+    // size(array_intersect), which hash-builds one side and
+    // materializes the intersection array per candidate pair. Shingles
+    // are distinct within a doc ([[shingles]]), so the set-intersection
+    // count is unchanged; sorting cannot change sizes or membership.
     val sets = ranked.groupBy(col("id"))
-      .agg(collect_list(col("g")).as("__gs"))
+      .agg(sort_array(collect_list(col("g"))).as("__gs"))
     candidates
       .join(sets.select(col("id").as("a_id"), col("__gs").as("__ga"))
         .hint("shuffle_hash"), "a_id")
       .join(sets.select(col("id").as("b_id"), col("__gs").as("__gb"))
         .hint("shuffle_hash"), "b_id")
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("__ga"), col("__gb"))).cast("double") /
+        (call_function(graft.expressions.SortedIntersectCount.name,
+          col("__ga"), col("__gb")).cast("double") /
           least(size(col("__ga")), size(col("__gb"))).cast("double"))
           .as("containment"))
       .filter(col("containment") >= threshold)
@@ -393,12 +402,21 @@ object Dedup {
     // groupBy key, preserved through the checkpoint), so the per-round
     // join is co-partitioned and the ONLY shuffle left in a round is
     // the min-aggregate itself.
+    // r19: loop-table partition count sized from the input scan bytes
+    // ([[Partitions.forLoopTable]] — capped at shuffle.partitions, so
+    // plan-identical at/above cluster scale): the persisted edge
+    // partitioning propagates through every round's join, AQE cannot
+    // coalesce around a cached side, and at sf0.1 the 32-way slicing
+    // of a KB-scale label table × N convergence rounds was pure
+    // scheduling overhead (PERF_r18 scaling: q137 0.38, q56 0.91).
+    val nLoop = Partitions.forLoopTable(pairs)
+    val spLoop = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val sym = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .unionAll(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
     val edges = sym
       .unionAll(sym.select(col("x")).distinct()
         .select(col("x"), col("x").as("y")))
-      .repartition(col("y")).persist()
+      .repartition(nLoop, col("y")).persist()
     // Convergence fingerprint: order-independent XOR of per-row hashes
     // of the labeling, valid for ANY id type (a sum over the rep column
     // would assume numeric ids) and overflow-free under ANSI mode (ids
@@ -425,19 +443,24 @@ object Dedup {
         else observed.localCheckpoint(true)
       (out, Option(obs.get("fp")).map(_.asInstanceOf[Long]))
     }
+    // keep every round's label table on the loop sizing so the
+    // per-round join is co-partitioned at nLoop (no-op when the cap
+    // was hit — plan-identical to the unaligned form)
+    def align(df: DataFrame): DataFrame =
+      if (nLoop < spLoop) df.repartition(nLoop, col("id")) else df
     // initial labels = the self-loop rows (id, rep=id), read from the
     // already-persisted edges
-    var (labels, prevSum) = materialize(
+    var (labels, prevSum) = materialize(align(
       edges.filter(col("x") === col("y"))
-        .select(col("x").as("id"), col("x").as("rep")))
+        .select(col("x").as("id"), col("x").as("rep"))))
     var iter = 0
     var done = prevSum.isEmpty
     try {
       while (!done && iter < maxIter) {
-      val (next, s) = materialize(
+      val (next, s) = materialize(align(
         edges.join(labels, edges("y") === labels("id"))
           .groupBy(col("x")).agg(min(col("rep")).as("rep"))
-          .select(col("x").as("id"), col("rep")),
+          .select(col("x").as("id"), col("rep"))),
         reliable = reliableAvailable && (iter + 1) % checkpointEvery == 0)
         labels = next
         done = s == prevSum

@@ -183,9 +183,20 @@ object Graph {
     // contrib side exchanges inside the loop. The deg aggregate below
     // rides the same partitioning (groupBy key = partition key ⇒ no
     // exchange).
+    //
+    // r19: the partition COUNT is sized from the input scan bytes
+    // ([[Partitions.forLoopTable]], capped at shuffle.partitions —
+    // plan-identical at/above cluster scale), not inherited from the
+    // session constant: the pinned partitioning propagates through
+    // every iteration join, AQE cannot coalesce around a cached side,
+    // and at sf0.1 the 32-way slicing of a KB-scale loop was pure
+    // scheduling overhead (PERF_r18 scaling: q124 ran 1.75× faster on
+    // 8 cores than 32).
+    val nLoop = Partitions.forLoopTable(e0)
+    val sp = e0.sparkSession.sessionState.conf.numShufflePartitions
     val e = ckpt(e0.select(col("a"), col("b"))
       .unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a")))
+      .repartition(nLoop, col("a")))
     val deg = ckpt(e.groupBy(col("a").as("p")).agg(count(lit(1)).as("dg")))
     val cnt = deg.agg(count(lit(1)).as("n"))
     val r0 = deg.select(col("p")).crossJoin(cnt)
@@ -202,8 +213,16 @@ object Graph {
       // argument).
       val sums = e.join(contrib.hint("shuffle_hash"), col("a") === col("p"))
         .groupBy(col("b")).agg(sum(col("c")).as("s"))
+      // align the vertex-sized aggregate back onto the loop sizing so
+      // the join below (and the next iteration's contrib join) stays
+      // co-partitioned at nLoop instead of forcing the planner to
+      // re-exchange one side per iteration; the partial aggregation
+      // above still runs map-side before this tiny exchange. No-op
+      // (plan-identical) when the cap was hit.
+      val sumsAligned =
+        if (nLoop < sp) sums.repartition(nLoop, col("b")) else sums
       deg.select(col("p")).crossJoin(cnt)
-        .join(sums, col("p") === col("b"), "left")
+        .join(sumsAligned, col("p") === col("b"), "left")
         .select(col("p"),
           // 15·scale precomputed in Scala: interpolating `15 * scale`
           // would parse as INT32 × INT32 and overflow under ANSI
@@ -243,12 +262,19 @@ object Graph {
       if (materialize) Materialize.loopPin(df) else df
     // pre-partitioned on the per-hop join key `a` (the pageRank
     // rationale): the m-row edge side shuffles once at build, and each
-    // hop's join exchanges only the vertex-sized frontier.
+    // hop's join exchanges only the vertex-sized frontier. Partition
+    // count sized from scan bytes (r19 — see pageRank), and every
+    // hop's dist table is aligned onto the same sizing so the hop
+    // joins stay co-partitioned at nLoop.
+    val nLoop = Partitions.forLoopTable(e0)
+    val sp = e0.sparkSession.sessionState.conf.numShufflePartitions
+    def align(df: DataFrame): DataFrame =
+      if (nLoop < sp) df.repartition(nLoop, col("p")) else df
     val e = ckpt(e0.select(col("a"), col("b"))
       .unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a")))
+      .repartition(nLoop, col("a")))
     val d0 = seeds.toDF("p").distinct().select(col("p"), lit(0).as("dist"))
-    (1 to maxHops).foldLeft(ckpt(d0)) { (dPrev, k) =>
+    (1 to maxHops).foldLeft(ckpt(align(d0))) { (dPrev, k) =>
       // dist(v) at hop k = min(dist so far, k if any neighbor reached):
       // union the relaxed frontier with the standing table, keep min —
       // one join + one agg per hop, both on the vertex key. Each hop's
@@ -263,8 +289,8 @@ object Graph {
           dPrev.filter(col("dist") === k - 1).hint("shuffle_hash"),
           col("a") === col("p"))
         .select(col("b").as("p"), lit(k).as("dist"))
-      ckpt(dPrev.unionAll(relaxed)
-        .groupBy(col("p")).agg(min(col("dist")).cast("int").as("dist")))
+      ckpt(align(dPrev.unionAll(relaxed)
+        .groupBy(col("p")).agg(min(col("dist")).cast("int").as("dist"))))
     }
   }
 
@@ -294,19 +320,24 @@ object Graph {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     def ckpt(df: DataFrame) =
       if (materialize) Materialize.loopPin(df) else df
+    // loop sizing + per-round alignment: the bfs/pageRank rationale
+    val nLoop = Partitions.forLoopTable(e0)
+    val sp = e0.sparkSession.sessionState.conf.numShufflePartitions
+    def align(df: DataFrame): DataFrame =
+      if (nLoop < sp) df.repartition(nLoop, col("p")) else df
     val e = ckpt(e0.select(col("a"), col("b"), col("w"))
       .unionAll(e0.select(col("b").as("a"), col("a").as("b"), col("w")))
-      .repartition(col("a")))
+      .repartition(nLoop, col("a")))
     val d0 = seeds.toDF("p").distinct().select(col("p"), lit(0L).as("dist"))
-    (1 to maxHops).foldLeft(ckpt(d0)) { (dPrev, _) =>
+    (1 to maxHops).foldLeft(ckpt(align(d0))) { (dPrev, _) =>
       // each round's dist table is consumed twice (keep + relax) —
       // materialized for the bfs reason (the plan doubles per round
       // otherwise). shuffle_hash: the dist side is vertex-sized, the
       // edge side must never sort.
       val relaxed = e.join(dPrev.hint("shuffle_hash"), col("a") === col("p"))
         .select(col("b").as("p"), (col("dist") + col("w")).as("dist"))
-      ckpt(dPrev.unionAll(relaxed)
-        .groupBy(col("p")).agg(min(col("dist")).cast("bigint").as("dist")))
+      ckpt(align(dPrev.unionAll(relaxed)
+        .groupBy(col("p")).agg(min(col("dist")).cast("bigint").as("dist"))))
     }
   }
 

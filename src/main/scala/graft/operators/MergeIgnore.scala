@@ -19,13 +19,20 @@ import org.apache.spark.sql.functions.col
 object MergeIgnore {
 
   /** Rows of `batch` whose key is not present in `existing`,
-    * at most one row per key value. */
+    * at most one row per key value.
+    *
+    * r19 (guide §2.4): no `distinct()` on the anti-join's existing
+    * side — anti-join semantics are duplicate-insensitive (a key
+    * matches whether the right side holds it once or N times), so the
+    * distinct was a pure extra exchange + aggregate over the existing
+    * key scan on every merge; at fact scale that is a full pass over
+    * the (already unique by merge invariant) stored key column. */
   def newRows(batch: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame = {
     val deduped = batch.dropDuplicates(keys)
     existing match {
       case null => deduped
       case ex =>
-        deduped.join(ex.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        deduped.join(ex.select(keys.map(col): _*), keys, "left_anti")
     }
   }
 }

@@ -80,6 +80,37 @@ class AnalyticsOpsSpec extends SparkSpec {
       col("x"), col("y"))).as[Long].collect().toSeq === Seq(0L, 0L, 3L))
   }
 
+  test("sorted_intersect_count: STRING variant equals size(array_intersect) " +
+      "on sort_array'd sets (the q89 verify contract)") {
+    // inputs are DISTINCT but UNSORTED; sorting happens through Spark's
+    // own sort_array so the test exercises the exact production
+    // collation (UTF8String byte order), not Scala's UTF-16 sort
+    val gen = Gen.listOfN(40, Gen.chooseNum(0, 60).map(i => s"w$i tok"))
+    for (seed <- 1L to 6L) {
+      val a = sample(gen, seed).distinct
+      val b = sample(gen, seed + 100).distinct
+      val df = Seq((a, b)).toDF("x0", "y0")
+        .select(sort_array(array_compact(col("x0"))).as("x"),
+          sort_array(array_compact(col("y0"))).as("y"))
+      val got = df.select(call_function("sorted_intersect_count",
+        col("x"), col("y"))).as[Long].head()
+      val ref = df.select(size(array_intersect(col("x"), col("y")))
+        .cast("long")).as[Long].head()
+      assert(got === ref, s"seed=$seed")
+      assert(got === (a.toSet & b.toSet).size.toLong, s"seed=$seed")
+    }
+    // edges: empty side, no overlap, full overlap, non-ASCII bytes
+    val edge = Seq(
+      (Seq.empty[String], Seq("a b")),
+      (Seq("a b", "a c"), Seq("b a", "c a")),
+      (Seq("x y", "é z", "a b"), Seq("é z", "a b", "x y")))
+      .toDF("x0", "y0")
+      .select(sort_array(array_compact(col("x0"))).as("x"),
+        sort_array(array_compact(col("y0"))).as("y"))
+    assert(edge.select(call_function("sorted_intersect_count",
+      col("x"), col("y"))).as[Long].collect().toSeq === Seq(0L, 0L, 3L))
+  }
+
   // ------------------------------------------- weighted shortest path (q147)
 
   /** Sequential Bellman–Ford: relax every edge against the frozen
