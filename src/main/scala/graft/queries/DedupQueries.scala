@@ -410,6 +410,15 @@ object DedupQueries {
         k = K, numHashes = H, bands = B, threshold = Tau)
       val labels = Dedup.dupClusters(pairs.select("a_id", "b_id"))
         .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      // NOT pinned (r19 probe, reverted on 100x evidence): the score
+      // table is consumed by two differently-keyed joins, so the
+      // per-row scoring pass runs twice -- but pinning it measured
+      // 12.0 -> 20.8 s at the 100x decade (min-of-3 stash pair, page
+      // cache warmed; sf0.1 read 3.89 -> 3.18 the OTHER way). The
+      // join strategies are identical either way (4 broadcasts, plan
+      // dumps checked), so the regression is the pin's own serial
+      // eager action vs two fully-overlapped lazy passes -- the
+      // decade number decides (the q111 discipline).
       val scored = graft.operators.QualityClassifier.score(batch, "text")
         .select(col("doc_id"), col("score"))
       val m = labels.join(scored, Seq("doc_id"))

@@ -42,10 +42,12 @@ import graft.operators.{Dedup, Quantize, Similarity}
   * count for pack (q70 machinery, 512-token budget per lang shard).
   *
   * Scale shape: every stage is the operator's own scale path —
-  * nothing here is all-pairs, the only driver actions are the three
+  * nothing here is all-pairs, the only driver actions are the four
   * documented survivor-set pins (each bounded by the corpus, reused by
   * every later stage instead of recomputing the expensive prefix once
-  * per stage count). r19: the pins ride [[graft.operators.Materialize.pin]]
+  * per stage count; the quality-gate pin is r19 — the nfc + text_stats
+  * prefix ran three times unpinned). The pins ride
+  * [[graft.operators.Materialize.pin]]
   * — localCheckpoint on a dir-less local session (bench-identical),
   * reliable checkpoint when the session has a checkpoint dir, so an
   * executor loss mid-query cannot kill the truncated-lineage consumers
@@ -101,7 +103,14 @@ object PipelineQueries {
         col("lang"))
 
       // ---- stage 2: quality gate (the streaming qualityGate rules,
-      // riding the fused text_stats struct — one scan)
+      // riding the fused text_stats struct — one scan). r19 (guide
+      // §1.2): the gate output is PINNED too — the ingest→nfc→
+      // text_stats prefix is the pipeline's per-row hot path, and
+      // unpinned it executed THREE times (the exact-dedup canon branch,
+      // its probe branch — no shared exchange joins them — and the
+      // stage-2 count). One pass now feeds all three. The stage-0/1
+      // counts stay lazy: count(1) prunes their text expressions away,
+      // so they never pay the nfc work.
       val ts = graft.expressions.TextExpressions.textStats(col("text"))
       val quality = nrm
         .withColumn("__ts", ts)
@@ -110,6 +119,7 @@ object PipelineQueries {
             .otherwise(col("__ts.n_punct").cast("double") /
               col("__ts.n_chars").cast("double")) >= MaxPunctRatio))
         .drop("__ts")
+        .transform(graft.operators.Materialize.pin)
 
       // ---- stage 3: exact dedup (q19 machinery — fingerprint groupBy,
       // min-id canonical)
